@@ -1,0 +1,81 @@
+"""Engine configuration.
+
+Detection/structure constants are pinned to the reference's values
+(``/root/reference/src/ocr_config.py:1-11``) because the correctness gate is
+exact span-sequence equality with the oracle transcription of the reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+# --- reference constants (src/ocr_config.py:3-8) -------------------------------
+DET_THRESHOLD = 0.5                 # src/ocr_config.py:3 — drop detections below
+ROW_DETERMINING_THRESHOLD = 0.6667  # src/ocr_config.py:5 — y-gap sessionize (W1)
+COL_DETERMINING_THRESHOLD = 0.5     # src/ocr_config.py:6 — x-gap sessionize (W2)
+NMS_TABLE_THRESHOLD = 0.1           # src/ocr_config.py:7
+NMS_CELL_THRESHOLD = 0.0001         # src/ocr_config.py:8
+
+# Layout (figure) detector score threshold: the reference configures its
+# LayoutParser/Detectron2 model with MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.8
+# (src/pdf_ocr_frcnn_tesseract_ocr.py:118-120), so only Figure detections with
+# score >= 0.8 reach the pipeline.
+FIGURE_SCORE_THRESHOLD = 0.8
+
+# --- boilerplate-strip constants (engine-defined; generalization of the
+# reference's DOM-pruning heuristic in
+# experiments/postprocessing_singular_word_treatment.py:5-46, à la jusText) ----
+STRIP_MIN_WORDS = 5          # blocks shorter than this are boilerplate
+STRIP_MAX_LINK_DENSITY = 0.33  # blocks with more anchor-text than this are nav
+
+# --- synthetic data -------------------------------------------------------------
+SYNTH_SEED = 42
+
+# --- scale knobs ---------------------------------------------------------------
+# Lineage / restart bucket count: partition key for idempotent overwrite.
+# At 10^12 docs this would be sized so one bucket ~= one Iceberg partition
+# (e.g. 2**14 buckets); locally small so the kill/restart test is meaningful.
+DEFAULT_N_BUCKETS = 32
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_spark(app_name: str = "complete_ocr_spark", master: str | None = None,
+                shuffle_partitions: int | None = None, extra_conf: dict | None = None):
+    """Session factory with the engine's scale-oriented defaults.
+
+    AQE on (skew-join split + partition coalescing), Arrow on for pandas UDF
+    transfer, shuffle partitions sized to cores (not the 200 default).
+    """
+    from pyspark.sql import SparkSession
+
+    cores = default_parallelism()
+    master = master or f"local[{cores}]"
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # ship the package to executors (spark-submit --py-files equivalent) so
+    # the pandas UDFs deserialize regardless of the driver's cwd
+    from .packaging import build_pyfiles_zip
+
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
+    return spark

@@ -1,0 +1,126 @@
+"""TableIO: checkpoint-restartable writes with per-partition lineage.
+
+The reference's resumability is "skip PDF→image if Images/ non-empty"
+(optimized_code/main.py:67-69) and its run metadata is a wall-clock print
+(src/pdf_ocr_frcnn_tesseract_ocr.py:219-222). The engine generalizes both per
+the north_rule: documents hash into ``bucket = pmod(xxhash64(doc_id), B)``;
+``docs_out`` is written partitioned by bucket with *dynamic partition
+overwrite* (idempotent — a re-run of a bucket replaces it byte-for-byte);
+``lineage`` records (bucket, doc_range, doc_count, span_count, checksum) and a
+restart left-anti-joins docs against completed buckets (broadcast — lineage is
+tiny) so finished work is pruned at the scan.
+
+Locally parquet-backed; on a real cluster the same calls map to
+``spark.read/writeTo("iceberg.db.docs_out")`` with identity-partitioning on
+bucket (no Iceberg runtime jar in this sandbox — verified /opt/spark/jars).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import DEFAULT_N_BUCKETS
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def doc_checksum() -> F.Column:
+    """Order-sensitive per-document content hash over the output span sequence."""
+    return F.xxhash64(F.col("doc_id"), F.to_json(F.col("spans")))
+
+
+def lineage_rows(docs_out_bucketed: DataFrame) -> DataFrame:
+    """Per-bucket lineage: doc range, counts, xor-combined checksum (order-
+    insensitive combine of order-sensitive per-doc hashes)."""
+    return (
+        docs_out_bucketed.withColumn("doc_hash", doc_checksum())
+        .groupBy("bucket")
+        .agg(
+            F.min("doc_id").alias("doc_range_min"),
+            F.max("doc_id").alias("doc_range_max"),
+            F.count("*").alias("doc_count"),
+            F.sum(F.size("spans")).alias("span_count"),
+            F.expr("bit_xor(doc_hash)").alias("checksum"),
+        )
+    )
+
+
+class TableIO:
+    """Parquet-backed local implementation of the Iceberg-shaped sink."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = DEFAULT_N_BUCKETS):
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self.docs_out_path = os.path.join(root, "docs_out")
+        self.lineage_path = os.path.join(root, "lineage")
+
+    # --- resume ---------------------------------------------------------
+    def completed_buckets(self) -> DataFrame | None:
+        if not os.path.exists(self.lineage_path):
+            return None
+        return self.spark.read.parquet(self.lineage_path).select("bucket").distinct()
+
+    def filter_pending(self, docs: DataFrame) -> DataFrame:
+        """Prune documents in already-completed buckets (J3 broadcast anti-join)."""
+        docs = with_bucket(docs, self.n_buckets)
+        done = self.completed_buckets()
+        if done is None:
+            return docs
+        return docs.join(F.broadcast(done), "bucket", "left_anti")
+
+    # --- write ----------------------------------------------------------
+    def write(self, docs_out: DataFrame) -> None:
+        """Idempotent per-bucket overwrite + lineage append."""
+        out = with_bucket(docs_out, self.n_buckets)
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            out.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self.docs_out_path)
+        )
+        lineage_rows(out).write.mode("append").parquet(self.lineage_path)
+
+    # --- read -----------------------------------------------------------
+    def read_docs_out(self) -> DataFrame:
+        return self.spark.read.parquet(self.docs_out_path)
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_path)
+
+
+def run_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_root: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """End-to-end resumable job: prune completed buckets, extract, write.
+
+    ``fail_after_buckets`` simulates a mid-job crash for the restart test: only
+    the first k pending buckets are processed this run.
+    """
+    from .pipeline import run_extraction
+
+    io = TableIO(spark, out_root, n_buckets)
+    pending = io.filter_pending(docs)
+    if fail_after_buckets is not None:
+        keep = [
+            r["bucket"]
+            for r in pending.select("bucket").distinct().orderBy("bucket").collect()
+        ][:fail_after_buckets]
+        pending = pending.filter(F.col("bucket").isin(keep))
+    n_pending = pending.count()
+    if n_pending == 0:
+        return {"docs_processed": 0, "skipped": True}
+    docs_out = run_extraction(spark, pending.drop("bucket"))
+    io.write(docs_out)
+    return {"docs_processed": n_pending, "skipped": False}
