@@ -1,0 +1,131 @@
+"""Deduplication operators for web-scale corpora — all shuffle-aware DataFrame
+compositions (no UDFs):
+
+* exact: hash-groupBy on a normalized fingerprint — one shuffle on the hash.
+* MinHash-LSH: shingle -> per-band min-hash -> band-bucket join. The classic
+  near-dup path: candidate generation is equi-join-able (bucket key), so at
+  100 TB it is one shuffle on (band, minhash) instead of an O(n^2) compare.
+* SimHash: per-token bit votes -> 16-bit signature; duplicates collide on the
+  signature (groupBy).
+* n-gram Jaccard: exact verification for candidate pairs (explode shingles,
+  self-equi-join on shingle, count intersections) — run it after LSH at scale;
+  the sf-test runs it standalone.
+
+Hashes are md5-based so the DuckDB oracle computes bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_BANDS = 4
+
+
+def normalized(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint, count,
+    representative = min id."""
+    return (
+        df.withColumn("fp", F.md5(normalized(F.col(text_col))))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _words(text_col: str):
+    return F.split(normalized(F.col(text_col)), " ")
+
+
+def minhash_lsh_buckets(df: DataFrame, id_col: str, text_col: str,
+                        n_bands: int = N_BANDS) -> DataFrame:
+    """(band, minhash) buckets holding >= 2 docs — near-dup candidates.
+
+    Signature: per band b, min over words of md5(b || '|' || word). Word-level
+    shingles; the md5 hex ordering is the hash order (identical in DuckDB).
+    """
+    words = (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(_words(text_col))).alias("w"))
+    )
+    bands = words.select(
+        "doc", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        F.col("w"),
+    ).withColumn("h", F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("w"))))
+    sig = bands.groupBy("doc", "band").agg(F.min("h").alias("minhash"))
+    return (
+        sig.groupBy("band", "minhash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash: bit j votes +1/-1 by the high bit of hex digit j of
+    md5(token); signature bit = sign of the vote sum. Output (id, simhash)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(_words(text_col)).alias("w")
+    ).withColumn("h", F.md5("w"))
+    votes = toks.select(
+        "doc",
+        *[
+            F.when(
+                F.instr(F.lit("89abcdef"), F.substring("h", j + 1, 1)) > 0, 1
+            ).otherwise(-1).alias(f"b{j}")
+            for j in range(16)
+        ],
+    ).groupBy("doc").agg(*[F.sum(f"b{j}").alias(f"v{j}") for j in range(16)])
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, 2**j).otherwise(0)
+        sim = bit if sim is None else sim + bit
+    return votes.select("doc", sim.cast("bigint").alias("simhash"))
+
+
+def ngram_shingles(text_col: str, n: int = 3):
+    """n-word shingles as an array column; docs with < n words get none."""
+    w = _words(text_col)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
+
+    explode distinct shingles -> self-join on shingle -> intersection counts;
+    union sizes from per-doc distinct counts. At scale, feed only LSH
+    candidates into the self-join; the equi-join on the shingle key is the
+    shuffle, and Catalyst/AQE handles skewed shingles.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(ngram_shingles(text_col, n))).alias("s"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(sa, "doc1").join(sb, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "n_inter", "n1", "n2", "jaccard")
+    )

@@ -1,0 +1,58 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All JVM-side ``pyspark.sql.functions`` expressions (whole-stage codegen, no
+Python in the hot path): token counting, quality scoring, language-ID
+heuristic, document fingerprinting. Each has an exact ANSI-SQL twin in
+``complete_ocr_spark.queries`` so the DuckDB oracle checks the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokenization count (U4-adjacent: page text -> tokens)."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: word-piece regex (letter runs, digit runs, punctuation
+    each count as one token)."""
+    return F.regexp_count(col, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[^a-zA-Z0-9\s]", "")
+    return (F.length(col) - F.length(stripped)) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column) -> Column:
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_EN)))
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]: length band + low punctuation + some
+    stopwords — a deterministic stand-in for a learned quality classifier."""
+    len_ok = F.when((F.length(col) >= 100) & (F.length(col) <= 20000), 1.0).otherwise(0.4)
+    punct_ok = F.when(punct_ratio(col) <= 0.1, 1.0).otherwise(0.5)
+    stop_ok = F.when(stopword_ratio(col) >= 0.01, 1.0).otherwise(0.6)
+    return F.round((len_ok + punct_ok + stop_ok) / 3.0, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit language heuristic: 'en' if any English stopword token is
+    present, else 'unknown' — the shape of an n-gram langid at trivial cost."""
+    return F.when(stopword_ratio(col) > 0.0, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint: md5 over lowercased, whitespace-
+    collapsed text (stable across engines — md5 is bit-identical in DuckDB)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))

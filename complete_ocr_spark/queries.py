@@ -1,0 +1,769 @@
+"""Driver query surface: every operator exposed as (Spark callable, oracle SQL).
+
+Each entry pairs a PySpark DataFrame program with the ANSI-SQL statement DuckDB
+runs on the same parquet tables; the driver hash-compares values, so:
+
+* every computed column is aliased identically on both sides;
+* double aggregates go through exact DECIMAL sums (order-independent) and are
+  rounded identically before output;
+* timestamps are emitted as epoch microseconds (bigint) on both sides;
+* hashes are md5 (bit-identical across engines).
+
+Queries that are not SQL-expressible (the full extraction pipeline) are checked
+against a *committed golden parquet produced by the pure-Python oracle* — the
+SQL side just scans the golden file, so the driver still performs a full
+value-level comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .functions import dedup, similarity
+from .functions.text import (
+    STOPWORDS_EN,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS_SF001 = os.path.join(_REPO, "data", "docs_sf0.001.parquet")
+DOCS_SF01 = os.path.join(_REPO, "data", "docs_sf0.01.parquet")
+GOLDEN_SF001 = os.path.join(_REPO, "data", "golden_sf0.001.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_path(sf_dir: str) -> str:
+    """Synth docs parquet matching the sf of sf_dir (committed; deterministic)."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    cand = os.path.join(_REPO, "data", f"docs_{sf}.parquet")
+    return cand if os.path.exists(cand) else DOCS_SF01
+
+
+def _us(col):
+    """Epoch microseconds from a (possibly NTZ) timestamp; session TZ is UTC so
+    this matches DuckDB's epoch_us on the naive value."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def _dec_sum(col, alias, scale=2, prec=28, round_to=2):
+    """Order-independent money sum: exact decimal accumulate, double out."""
+    return F.round(
+        F.sum(col.cast(f"decimal({prec},{scale})")).cast("double"), round_to
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# relational core (TPC-H-ish breadth over the driver tables)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc_price, "sum_disc_price", scale=6, round_to=4),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            _dec_sum(rev, "revenue", scale=6, round_to=4),
+            _us(F.min("o_orderdate")).alias("o_orderdate_us"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q03 = """
+SELECT o_orderkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue,
+       epoch_us(MIN(o_orderdate)) AS o_orderdate_us
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q05_region_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dec_sum(rev, "revenue", scale=6, round_to=4),
+             F.count("*").alias("n_items"))
+    )
+
+
+SQL_Q05 = """
+SELECT r_name, n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_brand_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            F.count("*").alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_BRAND = """
+SELECT p_brand,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_qty,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Customers with no large order — broadcast anti-join (J3's shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_ANTI = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_active_suppliers(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+SQL_SEMI = """
+SELECT n_name, COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '1996-01-01')
+GROUP BY n_name
+"""
+
+
+def q_top3_suppliers_per_nation(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("s_nationkey", "s_suppkey", "s_acctbal", "rnk")
+    )
+
+
+SQL_TOP3 = """
+SELECT s_nationkey, s_suppkey, s_acctbal, rnk
+FROM (SELECT s_nationkey, s_suppkey, s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+      FROM supplier)
+WHERE rnk <= 3
+"""
+
+
+def q_orders_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             _dec_sum(F.col("o_totalprice"), "sum_price"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_order_bbox(spark, sf_dir):
+    """Per-order min/max envelope — the bbox-union aggregation shape (A4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        _us(F.min("l_shipdate")).alias("first_ship_us"),
+        _us(F.max("l_shipdate")).alias("last_ship_us"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+SQL_BBOX = """
+SELECT l_orderkey,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       epoch_us(MIN(l_shipdate)) AS first_ship_us,
+       epoch_us(MAX(l_shipdate)) AS last_ship_us,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_value_percentiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+    )
+
+
+SQL_PCTL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_type_matrix(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "error"]
+    return e.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == k, 1).otherwise(0)).alias(f"n_{k}")
+            for k in kinds
+        ]
+    )
+
+
+SQL_MATRIX = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization + as-of merge (the W1/W2 and J2 semantics on driver tables)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def q_sessionize_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn("ts_us", _us(F.col("ts")))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    brk = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US, 1
+    ).otherwise(0)
+    sess = e.withColumn("session_id", F.sum(brk).over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        _dec_sum(F.col("value"), "sum_value"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+  FROM g)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_asof_last_click(spark, sf_dir):
+    """As-of join (J2's first-greater merge in time form): each error event
+    picks up the value of the latest preceding click of the same user."""
+    e = _t(spark, sf_dir, "events").withColumn("ts_us", _us(F.col("ts")))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_val = F.last(
+        F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("last_click_value", click_val)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts_us", "last_click_value")
+    )
+
+
+SQL_ASOF = """
+SELECT event_id, user_id, ts_us, last_click_value
+FROM (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
+  FROM events)
+WHERE event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_pieces"),
+        F.length("text").alias("n_chars_computed"),
+        "n_chars",
+    )
+
+
+SQL_TOKENS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_pieces,
+       length(text) AS n_chars_computed,
+       n_chars
+FROM documents
+"""
+
+
+def q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+SQL_QUALITY = rf"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ({_SW}))) AS n_stop,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_words
+  FROM documents)
+SELECT doc_id,
+       ROUND(n_punct / greatest(n, 1), 6) AS punct_ratio,
+       ROUND(n_stop / greatest(n_words, 1), 6) AS stop_ratio,
+       ROUND((
+         (CASE WHEN n BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.4 END) +
+         (CASE WHEN n_punct / greatest(n, 1) <= 0.1 THEN 1.0 ELSE 0.5 END) +
+         (CASE WHEN n_stop / greatest(n_words, 1) >= 0.01 THEN 1.0 ELSE 0.6 END)
+       ) / 3.0, 6) AS quality
+FROM b
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("source", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_LANG = rf"""
+SELECT source,
+       CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 w -> w IN ({_SW}))) > 0
+            THEN 'en' ELSE 'unknown' END AS lang_pred,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_fingerprint_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+SQL_FP = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_buckets(d, "doc_id", "text").select(
+        "band", "minhash", "n_docs", F.element_at("docs", 1).alias("min_doc")
+    )
+
+
+SQL_MINHASH = r"""
+WITH words AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS w
+  FROM documents),
+bands AS (
+  SELECT doc, band, md5(CAST(band AS VARCHAR) || '|' || w) AS h
+  FROM words, (SELECT unnest([0, 1, 2, 3]) AS band)),
+sig AS (SELECT doc, band, MIN(h) AS minhash FROM bands GROUP BY doc, band)
+SELECT band, minhash, COUNT(*) AS n_docs, MIN(doc) AS min_doc
+FROM sig GROUP BY band, minhash HAVING COUNT(*) > 1
+"""
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash16(d, "doc_id", "text")
+
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN instr('89abcdef', substr(h, {j + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         md5(unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS h
+  FROM documents),
+votes AS (
+  SELECT doc,
+         {votes}
+  FROM toks GROUP BY doc)
+SELECT doc, CAST({bits} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+
+
+SQL_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id AS doc,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc, l[CAST(i AS BIGINT) + 1] || ' ' || l[CAST(i AS BIGINT) + 2] || ' ' || l[CAST(i AS BIGINT) + 3] AS s
+  FROM w, UNNEST(range(greatest(len(l) - 2, 0))) AS t(i)
+  WHERE len(l) >= 3),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT doc1, doc2, n_inter, sa.n_sh AS n1, sb.n_sh AS n2,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc1
+JOIN sizes sb ON sb.doc = doc2
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.cosine_topk(e, "vec_id", "embedding", list(qv), k=10)
+
+
+SQL_ANN = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS a,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+y AS (SELECT CAST(unnest(qv) AS DOUBLE) AS b, generate_subscripts(qv, 1) AS i FROM q),
+d AS (SELECT vec_id, SUM(a * b) AS dot, SUM(a * a) AS na
+      FROM x JOIN y USING (i) GROUP BY vec_id),
+nq AS (SELECT SUM(b * b) AS nb FROM y)
+SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM d, nq
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def q_lsh_buckets(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_counts(e, "embedding", n_bits=8)
+
+
+_BUCKET_BITS = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(8)
+)
+SQL_LSH_BUCKETS = f"""
+SELECT CAST({_BUCKET_BITS} AS BIGINT) AS bucket, COUNT(*) AS n_vecs
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_embed_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.1)
+
+
+SQL_NEAR_DUP = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         CAST({_BUCKET_BITS} AS BIGINT) AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT x.vec_id AS id1, y.vec_id AS id2, x.embedding AS ex, y.embedding AS ey
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+u AS (
+  SELECT id1, id2,
+         CAST(unnest(ex) AS DOUBLE) AS a, CAST(unnest(ey) AS DOUBLE) AS c
+  FROM pairs),
+d AS (SELECT id1, id2, SUM(a * c) AS dot, SUM(a * a) AS na, SUM(c * c) AS nc
+      FROM u GROUP BY id1, id2)
+SELECT id1, id2, ROUND(dot / (sqrt(na) * sqrt(nc)), 6) AS cos
+FROM d WHERE ROUND(dot / (sqrt(na) * sqrt(nc)), 6) >= 0.1
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs-table queries (the interleaved extraction surface)
+# ---------------------------------------------------------------------------
+
+def q_docs_span_stats(spark, sf_dir):
+    docs = spark.read.parquet(_docs_path(sf_dir))
+    return docs.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "text")).alias("n_text"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "media_ref")).alias("n_media"),
+    )
+
+
+SQL_DOCS_STATS = f"""
+SELECT doc_id,
+       len(spans) AS n_spans,
+       len(list_filter(spans, s -> s.kind = 'text')) AS n_text,
+       len(list_filter(spans, s -> s.kind = 'media_ref')) AS n_media
+FROM '{DOCS_SF01}'
+"""
+
+
+def q_strip_text_blocks(spark, sf_dir):
+    """Text-branch boilerplate strip expressed purely in Catalyst expressions
+    (no UDF) — proves the heuristic is SQL-expressible and oracle-checkable."""
+    docs = spark.read.parquet(_docs_path(sf_dir))
+    spans = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "text")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.text").alias("text"))
+    )
+    blocks = spans.select(
+        "doc_id", "offset", F.explode(F.split("text", "\n\n")).alias("block")
+    )
+    link_chars = F.aggregate(
+        F.transform(
+            F.regexp_extract_all("block", F.lit(r"(?s)<a\b[^>]*>(.*?)</a>"), 1),
+            lambda m: F.length(F.regexp_replace(F.trim(m), r"\s+", " ")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    plain = F.trim(F.regexp_replace(F.regexp_replace("block", r"<[^>]+>", " "), r"\s+", " "))
+    scored = blocks.select(
+        "doc_id", "offset", plain.alias("plain"), link_chars.alias("link_chars")
+    )
+    return scored.filter(
+        (F.length("plain") > 0)
+        & (F.size(F.split("plain", " ")) >= 5)
+        & (F.col("link_chars") / F.greatest(F.length("plain"), F.lit(1)) <= 0.33)
+    ).select("doc_id", "offset", "plain")
+
+
+SQL_STRIP = rf"""
+WITH spans AS (
+  SELECT doc_id, s."offset" AS "offset", s.text AS text
+  FROM (SELECT doc_id, unnest(spans) AS s FROM '{DOCS_SF01}')
+  WHERE s.kind = 'text'),
+blocks AS (
+  SELECT doc_id, "offset", unnest(string_split(text, chr(10) || chr(10))) AS block
+  FROM spans),
+scored AS (
+  SELECT doc_id, "offset",
+         trim(regexp_replace(regexp_replace(block, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS plain,
+         COALESCE(list_sum(list_transform(
+             regexp_extract_all(block, '(?s)<a\b[^>]*>(.*?)</a>', 1),
+             m -> length(regexp_replace(trim(m), '\s+', ' ', 'g')))), 0) AS link_chars
+  FROM blocks)
+SELECT doc_id, "offset", plain
+FROM scored
+WHERE length(plain) > 0
+  AND len(string_split(plain, ' ')) >= 5
+  AND link_chars / greatest(length(plain), 1) <= 0.33
+"""
+
+
+def q_extract_pipeline(spark, sf_dir):
+    """Full extraction pipeline over the committed sf0.001 docs table, exploded
+    to flat rows. The oracle side scans the committed golden parquet produced
+    by the pure-Python oracle — a full value-level north_rule check through
+    the driver."""
+    from .pipeline import run_extraction
+
+    docs = spark.read.parquet(DOCS_SF001)
+    out = run_extraction(spark, docs)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+SQL_EXTRACT = f"""
+SELECT doc_id, "offset", kind, text, media_ref FROM '{GOLDEN_SF001}'
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q03_top_orders": (q03_top_orders, SQL_Q03),
+    "q05_region_revenue": (q05_region_revenue, SQL_Q05),
+    "q_brand_volume": (q_brand_volume, SQL_BRAND),
+    "q_customers_without_orders": (q_customers_without_orders, SQL_ANTI),
+    "q_active_suppliers": (q_active_suppliers, SQL_SEMI),
+    "q_top3_suppliers_per_nation": (q_top3_suppliers_per_nation, SQL_TOP3),
+    "q_orders_rollup": (q_orders_rollup, SQL_ROLLUP),
+    "q_order_bbox": (q_order_bbox, SQL_BBOX),
+    "q_value_percentiles": (q_value_percentiles, SQL_PCTL),
+    "q_event_type_matrix": (q_event_type_matrix, SQL_MATRIX),
+    "q_sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
+    "q_asof_last_click": (q_asof_last_click, SQL_ASOF),
+    "q_token_stats": (q_token_stats, SQL_TOKENS),
+    "q_quality": (q_quality, SQL_QUALITY),
+    "q_lang_id": (q_lang_id, SQL_LANG),
+    "q_fingerprint_groups": (q_fingerprint_groups, SQL_FP),
+    "q_minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
+    "q_simhash": (q_simhash, _simhash_sql()),
+    "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
+    "q_ann_topk": (q_ann_topk, SQL_ANN),
+    "q_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
+    "q_embed_near_dup": (q_embed_near_dup, SQL_NEAR_DUP),
+    "q_docs_span_stats": (q_docs_span_stats, SQL_DOCS_STATS),
+    "q_strip_text_blocks": (q_strip_text_blocks, SQL_STRIP),
+    "q_extract_pipeline": (q_extract_pipeline, SQL_EXTRACT),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
