@@ -63,11 +63,20 @@ def build_spark(app_name: str = "complete_ocr_spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # local inputs are few small files; split aggressively so the scan +
+        # explode stage parallelizes (cluster-scale inputs split at 128MB
+        # natively — this only emulates that shape locally)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # ParallelGC: the default G1 degrades monotonically across repeated
+        # heavy allocation bursts here (nested-array building at 32 mutator
+        # threads: measured 17s -> 33s over 3 runs; ParallelGC stays flat)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

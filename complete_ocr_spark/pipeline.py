@@ -1,30 +1,34 @@
-"""The extraction pipeline: explode -> branch -> reassemble (SURVEY.md §3.4).
+"""The extraction pipeline: explode -> extract (mapInPandas) -> reassemble.
 
 Plan shape (exactly two executor-boundary crossings):
 
     docs ──read(parquet/Iceberg)──►
       ├─ resume filter: broadcast left-anti join against lineage buckets (J3)
       ├─ explode(spans) → (doc_id, kind, text, media_ref, offset)
-      ├─ repartition(N, doc_id, offset)          ← shuffle #1 (offset = salt:
-      │     spans of a media-heavy doc spread across all partitions, so one
-      │     2000-span doc cannot skew the UDF stage)
-      ├─ kind='text'      → strip_text_udf        (Arrow batch)
-      ├─ kind='media_ref' → extract_media_udf     (Arrow batch)
-      ├─ unionByName
-      └─ groupBy(doc_id) → array_sort(collect_list) → flatten → dense offsets
-                                                   ← shuffle #2 (reassembly)
+      ├─ repartition(4 × shuffle.partitions, doc_id, offset)   ← shuffle #1
+      │     offset = salt: spans of a media-heavy doc spread across ALL
+      │     partitions, so one 2000-span doc cannot skew the kernel stage;
+      │     4x-finer tasks smooth per-PAGE cost skew that byte-based planning
+      │     (and AQE coalescing) cannot see — the kernel is CPU-bound per row.
+      ├─ mapInPandas(extract_spans_batch)  — ONE Arrow pass handles both span
+      │     kinds and emits FLAT rows; flat columns serialize vectorized
+      │     (returning nested array<struct> from Python measured ~2.5x slower)
+      ├─ union with a per-doc null seed row (docs whose spans are empty /
+      │     all-boilerplate / unknown-kind must stay present in the output)
+      └─ groupBy(doc_id): array_sort(collect_list(struct(offset, sub, …)))
+            → drop seed nulls → dense output offsets        ← shuffle #2
 
-At 100 TB the same plan holds: the explode fan-out is map-side, both UDF stages
-are embarrassingly parallel, AQE coalesces the post-aggregation partitions, and
-the only per-key state is one document's output spans (bounded by document
-size, not table size).
+At 100 TB the same plan holds: the explode fan-out is map-side, the kernel
+stage is embarrassingly parallel, AQE coalesces the post-aggregation
+partitions, and the only per-key state is one document's output spans
+(bounded by document size, not table size).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators.extract import extract_media_udf, strip_text_udf
+from .operators.extract import FLAT_SCHEMA, extract_spans_batch
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
@@ -36,43 +40,36 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def run_extraction(
-    spark: SparkSession,
-    docs: DataFrame,
-    n_partitions: int | None = None,
-) -> DataFrame:
-    """docs(doc_id, spans) -> docs_out(doc_id, spans) with extracted content."""
-    n_partitions = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    exploded = explode_spans(docs)
-    # salt-by-offset repartition: bounds per-task memory and de-skews docs with
-    # huge span arrays before the expensive UDF stage (north_rule skew handling)
-    exploded = exploded.repartition(n_partitions, "doc_id", "offset")
-
-    text_branch = exploded.filter(F.col("kind") == "text").select(
-        "doc_id", "offset", strip_text_udf(F.col("text")).alias("out_spans")
+def extract_flat(spark: SparkSession, docs: DataFrame,
+                 n_partitions: int | None = None) -> DataFrame:
+    """docs -> flat extracted-span rows (doc_id, offset, sub, kind, text,
+    media_ref), including one null seed row per doc."""
+    n_partitions = n_partitions or 4 * int(
+        spark.conf.get("spark.sql.shuffle.partitions")
     )
-    media_branch = exploded.filter(F.col("kind") == "media_ref").select(
-        "doc_id",
-        "offset",
-        extract_media_udf(F.col("media_ref"), F.col("offset")).alias("out_spans"),
-    )
-    # per-doc seed row: keeps docs whose spans are empty / all-dropped /
-    # unknown-kind present in the output (with an empty spans array) instead of
-    # silently vanishing at the groupBy. offset -1 sorts first, contributes no
-    # spans. Spans with kind ∉ {'text','media_ref'} are dropped by contract.
-    empty_spans = "CAST(array() AS array<struct<kind:string,text:string,media_ref:string>>)"
+    exploded = explode_spans(docs).repartition(n_partitions, "doc_id", "offset")
+    flat = exploded.mapInPandas(extract_spans_batch, schema=FLAT_SCHEMA)
     seed = docs.select(
-        "doc_id", F.lit(-1).alias("offset"), F.expr(empty_spans).alias("out_spans")
+        "doc_id",
+        F.lit(-1).alias("offset"),
+        F.lit(None).cast("int").alias("sub"),
+        F.lit(None).cast("string").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
     )
-    both = text_branch.unionByName(media_branch).unionByName(seed)
+    return flat.unionByName(seed)
 
-    # reassembly: order parts by source offset, flatten, assign dense offsets
-    parts = both.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("offset", "out_spans"))).alias("parts")
+
+def reassemble(flat: DataFrame) -> DataFrame:
+    """Flat extracted rows -> docs_out(doc_id, spans) with dense offsets in
+    (source offset, within-page position) order."""
+    arr = F.array_sort(
+        F.collect_list(F.struct("offset", "sub", "kind", "text", "media_ref"))
     )
-    flat = F.flatten(F.transform(F.col("parts"), lambda p: p["out_spans"]))
+    g = flat.groupBy("doc_id").agg(arr.alias("arr"))
+    kept = F.filter(F.col("arr"), lambda x: x["kind"].isNotNull())
     spans = F.transform(
-        flat,
+        kept,
         lambda s, i: F.struct(
             s["kind"].alias("kind"),
             s["text"].alias("text"),
@@ -80,4 +77,13 @@ def run_extraction(
             i.cast("int").alias("offset"),
         ),
     )
-    return parts.select("doc_id", spans.alias("spans"))
+    return g.select("doc_id", spans.alias("spans"))
+
+
+def run_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """docs(doc_id, spans) -> docs_out(doc_id, spans) with extracted content."""
+    return reassemble(extract_flat(spark, docs, n_partitions))

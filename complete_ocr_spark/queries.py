@@ -704,6 +704,115 @@ WHERE length(plain) > 0
 """
 
 
+def q_page_text(spark, sf_dir):
+    """Flat text view (S5/A5): per-document plain text = ordered concat of the
+    extracted text spans — the reference's per-page .txt sink
+    (src/pdf_ocr_frcnn_tesseract_ocr.py:136-138) as a projection."""
+    g = spark.read.parquet(GOLDEN_SF001)
+    arr = F.array_sort(F.collect_list(F.struct("offset", "text")))
+    return (
+        g.filter(F.col("kind") == "text")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(" ", F.transform(arr, lambda x: x["text"])).alias("page_text"),
+            F.count("*").alias("n_text_spans"),
+        )
+    )
+
+
+SQL_PAGE_TEXT = f"""
+SELECT doc_id,
+       string_agg(text, ' ' ORDER BY "offset") AS page_text,
+       COUNT(*) AS n_text_spans
+FROM '{GOLDEN_SF001}'
+WHERE kind = 'text'
+GROUP BY doc_id
+"""
+
+
+def q_hocr_documents(spark, sf_dir):
+    """hOCR document rewrite (F6, experiments/xml2hocr.py:13-52): wrap each
+    document's ordered span markup in the doctype/head scaffold — a pure final
+    projection."""
+    g = spark.read.parquet(GOLDEN_SF001)
+    arr = F.array_sort(F.collect_list(F.struct("offset", "text")))
+    head = (
+        '<?xml version="1.0" encoding="UTF-8"?><!DOCTYPE html><html><head>'
+        '<meta name="ocr-system" content="complete_ocr_spark" />'
+        '<meta name="ocr-capabilities" content="ocr_page ocr_carea ocr_par ocr_line ocrx_word ocr_tab ocr_im" />'
+        "</head><body>"
+    )
+    return g.groupBy("doc_id").agg(
+        F.concat(
+            F.lit(head),
+            F.concat_ws("", F.transform(arr, lambda x: x["text"])),
+            F.lit("</body></html>"),
+        ).alias("hocr_doc")
+    )
+
+
+_HOCR_HEAD = (
+    '<?xml version="1.0" encoding="UTF-8"?><!DOCTYPE html><html><head>'
+    '<meta name="ocr-system" content="complete_ocr_spark" />'
+    '<meta name="ocr-capabilities" content="ocr_page ocr_carea ocr_par ocr_line ocrx_word ocr_tab ocr_im" />'
+    "</head><body>"
+)
+SQL_HOCR_DOCS = f"""
+SELECT doc_id,
+       '{_HOCR_HEAD}' || string_agg(COALESCE(text, ''), '' ORDER BY "offset") || '</body></html>' AS hocr_doc
+FROM '{GOLDEN_SF001}'
+GROUP BY doc_id
+"""
+
+
+def q_merge_short_spans(spark, sf_dir):
+    """W5 singular-word treatment generalized
+    (experiments/postprocessing_singular_word_treatment.py:5-46): text spans
+    with < 4 words merge into the preceding text span; groups renumbered."""
+    g = spark.read.parquet(GOLDEN_SF001).filter(F.col("kind") == "text")
+    words = F.size(F.split(F.trim("text"), r"\s+"))
+    w = W.partitionBy("doc_id").orderBy("offset")
+    grp = F.sum(F.when(words >= 4, 1).otherwise(0)).over(w)
+    arr = F.array_sort(F.collect_list(F.struct("offset", "text")))
+    return (
+        g.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(" ", F.transform(arr, lambda x: x["text"])).alias("merged_text"),
+            F.count("*").alias("n_merged"),
+        )
+    )
+
+
+SQL_MERGE_SHORT = rf"""
+WITH t AS (
+  SELECT doc_id, "offset", text,
+         SUM(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 4 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY "offset") AS grp
+  FROM '{GOLDEN_SF001}'
+  WHERE kind = 'text')
+SELECT doc_id, grp,
+       string_agg(text, ' ' ORDER BY "offset") AS merged_text,
+       COUNT(*) AS n_merged
+FROM t GROUP BY doc_id, grp
+"""
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Multimodal: binary payload synthesis -> plan-side frame sampling (no
+    SQL oracle — payloads are synthesized in the UDF; driver rows-only check)."""
+    from .functions.multimodal import frame_sample, media_table
+
+    docs = spark.read.parquet(_docs_path(sf_dir))
+    media = media_table(spark, docs)
+    return (
+        frame_sample(media, every_k=2)
+        .groupBy("modality")
+        .agg(F.count("*").alias("n_frames_kept"),
+             F.countDistinct("media_ref").alias("n_media"))
+    )
+
+
 def q_extract_pipeline(spark, sf_dir):
     """Full extraction pipeline over the committed sf0.001 docs table, exploded
     to flat rows. The oracle side scans the committed golden parquet produced
@@ -758,6 +867,10 @@ REGISTRY: dict[str, tuple] = {
     "q_docs_span_stats": (q_docs_span_stats, SQL_DOCS_STATS),
     "q_strip_text_blocks": (q_strip_text_blocks, SQL_STRIP),
     "q_extract_pipeline": (q_extract_pipeline, SQL_EXTRACT),
+    "q_page_text": (q_page_text, SQL_PAGE_TEXT),
+    "q_hocr_documents": (q_hocr_documents, SQL_HOCR_DOCS),
+    "q_merge_short_spans": (q_merge_short_spans, SQL_MERGE_SHORT),
+    "q_media_frame_sample": (q_media_frame_sample, None),
 }
 
 

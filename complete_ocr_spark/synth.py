@@ -105,12 +105,28 @@ def make_docs(n_docs: int, seed: int = SYNTH_SEED) -> list[dict]:
     return [make_doc(d, seed) for d in doc_ids(n_docs)]
 
 
-def write_docs_parquet(path: str, n_docs: int, seed: int = SYNTH_SEED) -> None:
-    """Write the docs table as parquet via pyarrow (no Spark needed)."""
+def _make_doc_star(args) -> dict:
+    return make_doc(*args)
+
+
+def write_docs_parquet(path: str, n_docs: int, seed: int = SYNTH_SEED,
+                       workers: int = 1) -> None:
+    """Write the docs table as parquet via pyarrow (no Spark needed).
+
+    ``workers > 1`` fans generation out over a process pool — generation is a
+    pure per-doc function, so parallel output is identical to serial."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = make_docs(n_docs, seed)
+    if workers > 1:
+        from multiprocessing import Pool
+
+        with Pool(workers) as pool:
+            rows = pool.map(
+                _make_doc_star, [(d, seed) for d in doc_ids(n_docs)], chunksize=64
+            )
+    else:
+        rows = make_docs(n_docs, seed)
     span_t = pa.struct(
         [
             ("kind", pa.string()),
@@ -126,73 +142,72 @@ def write_docs_parquet(path: str, n_docs: int, seed: int = SYNTH_SEED) -> None:
         },
         schema=pa.schema([("doc_id", pa.string()), ("spans", pa.list_(span_t))]),
     )
-    pq.write_table(table, path)
+    # small row groups so Spark's byte-range file splitting can parallelize the
+    # scan of a single local file (a 100 TB table has many >=128MB files and
+    # gets this for free)
+    pq.write_table(table, path, row_group_size=256)
 
 
 # ---------------------------------------------------------------------------
 # page descriptor (what a media_ref resolves to)
 # ---------------------------------------------------------------------------
 
-def _glyph_seq(rng: np.random.RandomState) -> list[int]:
-    """CTC-style logit-argmax code sequence: blanks (0) and repeats included."""
-    n = rng.randint(3, 11)
-    seq: list[int] = []
-    for _ in range(n):
-        c = int(rng.randint(0, 27))
-        seq.append(c)
-        if c != 0 and rng.rand() < 0.3:
-            seq.append(c)  # repeat — CTC collapse food
-    return seq
-
-
 def resolve_descriptor(media_ref: str, seed: int = SYNTH_SEED) -> dict:
     """media_ref -> page descriptor dict (FIXTURES.md §2).
 
     detections: [{'box':[x1,y1,x2,y2], 'score':float, 'label':str}, ...]
     glyphs: {det_index: [codes...]} for 'word' and 'cell' detections.
+
+    Vectorized: all randomness for a page is drawn as a handful of bulk NumPy
+    arrays (per-call RNG overhead dominated the media branch otherwise). Still
+    a pure deterministic function of (media_ref, seed).
     """
     rng = _rng("page", media_ref, seed)
     width = int(rng.randint(800, 1701))
     height = int(rng.randint(1000, 2401))
     detections: list[dict] = []
-    glyphs: dict[int, list[int]] = {}
+    glyph_owner: list[int] = []  # det indices that get glyph sequences
 
-    def add(box, score, label, with_glyphs=False):
+    def add(x1, y1, x2, y2, score, label, with_glyphs=False):
         idx = len(detections)
         detections.append(
             {
-                "box": [int(box[0]), int(box[1]), int(box[2]), int(box[3])],
+                "box": [int(x1), int(y1), int(x2), int(y2)],
                 "score": float(np.float32(score)),
                 "label": label,
             }
         )
         if with_glyphs:
-            glyphs[idx] = _glyph_seq(rng)
+            glyph_owner.append(idx)
         return idx
 
-    # --- word lines ------------------------------------------------------
+    # --- word lines (bulk draws, ragged assembly) --------------------------
     n_lines = int(rng.randint(0, 13))
     y = int(rng.randint(40, 120))
     line_h = int(rng.randint(18, 32))
-    for _ in range(n_lines):
-        x = int(rng.randint(30, 90))
-        for _w in range(int(rng.randint(1, 9))):
-            w = int(rng.randint(30, 140))
-            if x + w > width - 20:
+    if n_lines:
+        max_w = 8
+        words_per_line = rng.randint(1, 9, size=n_lines)
+        x_starts = rng.randint(30, 90, size=n_lines)
+        widths = rng.randint(30, 140, size=(n_lines, max_w))
+        gaps = rng.randint(8, 25, size=(n_lines, max_w))
+        y_gaps = rng.randint(line_h, 3 * line_h, size=n_lines)
+        scores_w = 0.9 + 0.09 * rng.rand(n_lines, max_w)
+        for li in range(n_lines):
+            x = int(x_starts[li])
+            for wi in range(int(words_per_line[li])):
+                w = int(widths[li, wi])
+                if x + w > width - 20:
+                    break
+                add(x, y, x + w, y + line_h, scores_w[li, wi], "word", True)
+                x += w + int(gaps[li, wi])
+            y += line_h + int(y_gaps[li])
+            if y > height - 60:
                 break
-            add([x, y, x + w, y + line_h], 0.9 + 0.09 * rng.rand(), "word", True)
-            x += w + int(rng.randint(8, 25))
-        y += line_h + int(rng.randint(line_h, 3 * line_h))
-        if y > height - 60:
-            break
 
-    # --- tables ----------------------------------------------------------
-    n_tables = 0
+    # --- tables -------------------------------------------------------------
     r = rng.rand()
-    if r < 0.30:
-        n_tables = 1
-    elif r < 0.38:
-        n_tables = 2
+    n_tables = 1 if r < 0.30 else (2 if r < 0.38 else 0)
     ty = y + int(rng.randint(10, 60))
     for _t in range(n_tables):
         nrows = int(rng.randint(1, 6))
@@ -206,35 +221,62 @@ def resolve_descriptor(media_ref: str, seed: int = SYNTH_SEED) -> dict:
             ty0 = int(rng.randint(30, max(31, y - th) if y - th > 31 else 60))
         else:
             ty0 = ty
-        tbox = [tx, ty0, tx + tw, ty0 + th]
-        add(tbox, 0.55 + 0.44 * rng.rand(), "table")
+        add(tx, ty0, tx + tw, ty0 + th, 0.55 + 0.44 * rng.rand(), "table")
         if rng.rand() < 0.25:  # score-jittered duplicate table box → NMS food
-            jb = [tbox[0] + int(rng.randint(0, 6)), tbox[1] + int(rng.randint(0, 6)),
-                  tbox[2] + int(rng.randint(0, 6)), tbox[3] + int(rng.randint(0, 6))]
-            add(jb, 0.5 + 0.4 * rng.rand(), "table")
+            j = rng.randint(0, 6, size=4)
+            add(tx + j[0], ty0 + j[1], tx + tw + j[2], ty0 + th + j[3],
+                0.5 + 0.4 * rng.rand(), "table")
+        # cell grid: bulk draws
+        missing = rng.rand(nrows, ncols) < 0.12
+        jx = rng.randint(0, 4, size=(nrows, ncols))
+        jy = rng.randint(0, 4, size=(nrows, ncols))
+        low_score = rng.rand(nrows, ncols) < 0.1
+        sc_low = 0.3 + 0.15 * rng.rand(nrows, ncols)
+        sc_hi = 0.55 + 0.44 * rng.rand(nrows, ncols)
+        dup = rng.rand(nrows, ncols) < 0.08
+        sc_dup = 0.5 + 0.3 * rng.rand(nrows, ncols)
         for i in range(nrows):
             for j in range(ncols):
-                if rng.rand() < 0.12:
+                if missing[i, j]:
                     continue  # missing grid slot
-                cx1 = tx + 5 + j * cw + int(rng.randint(0, 4))
-                cy1 = ty0 + 5 + i * ch + int(rng.randint(0, 4))
-                cbox = [cx1, cy1, cx1 + cw - 6, cy1 + ch - 6]
-                # some cells below det threshold (filtered), most above
-                score = 0.3 + 0.15 * rng.rand() if rng.rand() < 0.1 else 0.55 + 0.44 * rng.rand()
-                add(cbox, score, "cell", True)
-                if rng.rand() < 0.08:  # near-duplicate cell → NMS food
-                    db = [cbox[0] + 1, cbox[1] + 1, cbox[2] + 1, cbox[3] + 1]
-                    add(db, 0.5 + 0.3 * rng.rand(), "cell", True)
+                cx1 = tx + 5 + j * cw + int(jx[i, j])
+                cy1 = ty0 + 5 + i * ch + int(jy[i, j])
+                score = sc_low[i, j] if low_score[i, j] else sc_hi[i, j]
+                add(cx1, cy1, cx1 + cw - 6, cy1 + ch - 6, score, "cell", True)
+                if dup[i, j]:  # near-duplicate cell → NMS food
+                    add(cx1 + 1, cy1 + 1, cx1 + cw - 5, cy1 + ch - 5,
+                        sc_dup[i, j], "cell", True)
         ty = ty0 + th + int(rng.randint(20, 80))
 
-    # --- figures ----------------------------------------------------------
+    # --- figures --------------------------------------------------------------
     n_figs = int(rng.randint(0, 3))
     for _f in range(n_figs):
         fx = int(rng.randint(30, max(31, width - 320)))
         fy = int(rng.randint(30, max(31, height - 260)))
         fw = int(rng.randint(120, 300))
         fh = int(rng.randint(90, 240))
-        add([fx, fy, fx + fw, fy + fh], 0.6 + 0.39 * rng.rand(), "Figure")
+        add(fx, fy, fx + fw, fy + fh, 0.6 + 0.39 * rng.rand(), "Figure")
+
+    # --- glyph sequences: one bulk draw for the whole page ---------------------
+    glyphs: dict[int, list[int]] = {}
+    n_seq = len(glyph_owner)
+    if n_seq:
+        lens = rng.randint(3, 11, size=n_seq)
+        total = int(lens.sum())
+        codes = rng.randint(0, 27, size=total)
+        rep = rng.rand(total) < 0.3
+        # CTC repeat food: non-blank codes with a repeat flag appear twice
+        expanded = np.repeat(codes, 1 + ((codes != 0) & rep))
+        # slice expanded back into per-word sequences
+        exp_lens = lens + np.add.reduceat(
+            ((codes != 0) & rep).astype(np.int64),
+            np.concatenate([[0], np.cumsum(lens)[:-1]]),
+        )
+        pos = 0
+        for k, det_idx in enumerate(glyph_owner):
+            ln = int(exp_lens[k])
+            glyphs[det_idx] = [int(c) for c in expanded[pos:pos + ln]]
+            pos += ln
 
     return {
         "media_ref": media_ref,

@@ -48,6 +48,9 @@ def test_query_matches_duckdb(spark, name):
     sdf = fn(spark, SF_DIR)
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
+    if sql is None:  # rows-only check (non-SQL-expressible operator)
+        assert len(s_rows) > 0
+        return
 
     con = _duck()
     res = con.sql(sql)
