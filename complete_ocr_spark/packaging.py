@@ -29,3 +29,9 @@ def build_pyfiles_zip(dest_dir: str | None = None) -> str:
                 rel = os.path.join(pkg_name, os.path.relpath(full, pkg_root))
                 zf.write(full, rel)
     return zip_path
+
+
+if __name__ == "__main__":
+    # `python -m complete_ocr_spark.packaging` -> print the zip path for
+    # spark-submit --py-files
+    print(build_pyfiles_zip())

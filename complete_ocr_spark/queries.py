@@ -589,14 +589,65 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+_BUCKET_BITS = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(8)
+)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN scale path: multiprobe sign-LSH — candidates from the query's
+    bucket plus all Hamming-distance-1 buckets, exact cosine rerank, top 10.
+    At 10^12 vectors this prunes the scan to ~9/256 of the table via a
+    bucket-partitioned equi-filter instead of the brute-force full pass."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = list(e.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    qb = sum(2**j for j in range(8) if qv[j] >= 0)
+    probes = [qb] + [qb ^ (1 << j) for j in range(8)]
+    cand = e.withColumn("bucket", similarity.sign_bucket("embedding", 8)).filter(
+        F.col("bucket").isin(probes)
+    )
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    return (
+        cand.select(
+            "vec_id",
+            "bucket",
+            F.round(similarity.cosine(F.col("embedding"), q), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_QB_BITS = " + ".join(
+    f"(CASE WHEN qv[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(8)
+)
+_PROBE_UNION = "\nUNION ALL ".join(
+    f"SELECT xor(b, {1 << j}) AS b FROM qb" for j in range(8)
+)
+SQL_ANN_LSH = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT CAST({_QB_BITS} AS BIGINT) AS b FROM q),
+probes AS (SELECT b FROM qb UNION ALL {_PROBE_UNION}),
+e AS (SELECT vec_id, embedding, CAST({_BUCKET_BITS} AS BIGINT) AS bucket
+      FROM embeddings),
+cand AS (SELECT * FROM e WHERE bucket IN (SELECT b FROM probes)),
+x AS (SELECT vec_id, bucket, CAST(unnest(embedding) AS DOUBLE) AS a,
+             generate_subscripts(embedding, 1) AS i FROM cand),
+y AS (SELECT CAST(unnest(qv) AS DOUBLE) AS bq, generate_subscripts(qv, 1) AS i FROM q),
+d AS (SELECT vec_id, bucket, SUM(a * bq) AS dot, SUM(a * a) AS na
+      FROM x JOIN y USING (i) GROUP BY vec_id, bucket),
+nq AS (SELECT SUM(bq * bq) AS nb FROM y)
+SELECT vec_id, bucket, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM d, nq
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
 def q_lsh_buckets(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucket_counts(e, "embedding", n_bits=8)
 
 
-_BUCKET_BITS = " + ".join(
-    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(8)
-)
 SQL_LSH_BUCKETS = f"""
 SELECT CAST({_BUCKET_BITS} AS BIGINT) AS bucket, COUNT(*) AS n_vecs
 FROM embeddings GROUP BY 1
@@ -862,6 +913,7 @@ REGISTRY: dict[str, tuple] = {
     "q_simhash": (q_simhash, _simhash_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
     "q_ann_topk": (q_ann_topk, SQL_ANN),
+    "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "q_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "q_embed_near_dup": (q_embed_near_dup, SQL_NEAR_DUP),
     "q_docs_span_stats": (q_docs_span_stats, SQL_DOCS_STATS),
