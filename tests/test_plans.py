@@ -1,0 +1,54 @@
+"""Plan-shape regression tests: the physical plans the engine relies on at
+100 TB must not silently degrade (pushdown reaching the scan, broadcast for
+small dims, no Python eval in relational queries, both pipeline shuffles
+present and no more)."""
+
+from __future__ import annotations
+
+from complete_ocr_spark.pipeline import run_extraction
+from complete_ocr_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = _plan(REGISTRY["q01_pricing_summary"][0](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q03_small_dim_broadcast(spark):
+    plan = _plan(REGISTRY["q03_top_orders"][0](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q05_region_nation_broadcast(spark):
+    plan = _plan(REGISTRY["q05_region_revenue"][0](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region sides
+
+
+def test_relational_queries_have_no_python_eval(spark):
+    """Everything outside the extraction kernel must stay JVM-side
+    (whole-stage codegen), per the no-Python-hot-path design rule."""
+    for name, (fn, _sql) in REGISTRY.items():
+        if name in ("q_extract_pipeline", "q_media_frame_sample"):
+            continue  # these intentionally contain the pandas kernels
+        plan = _plan(fn(spark, SF_DIR))
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_pipeline_has_exactly_two_exchanges(spark, docs_df):
+    """SURVEY §3.4: one salt repartition before the kernel, one reassembly
+    shuffle — any extra exchange is a scale regression."""
+    plan = _plan(run_extraction(spark, docs_df))
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_pipeline_scan_prunes_to_used_columns(spark):
+    docs = spark.read.parquet("data/docs_sf0.001.parquet")
+    plan = _plan(run_extraction(spark, docs))
+    # the seed branch reads only doc_id (nested pruning of spans)
+    assert "ReadSchema: struct<doc_id:string>" in plan

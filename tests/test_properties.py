@@ -1,0 +1,49 @@
+"""Pipeline-level properties (SURVEY §5.2.3)."""
+
+from __future__ import annotations
+
+from complete_ocr_spark.oracle import extract_document
+from complete_ocr_spark.pipeline import run_extraction
+from complete_ocr_spark.schemas import DOC_SCHEMA
+from complete_ocr_spark.synth import make_docs
+
+
+def test_output_independent_of_span_array_order(spark):
+    """Reading order comes from the offset field, not array position — a
+    permuted spans array must extract identically (the reference's unsorted
+    os.listdir bug, fixed by contract)."""
+    docs = make_docs(30)
+    rows = [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs]
+    shuffled = [
+        (doc_id, list(reversed(spans)))  # deterministic permutation
+        for doc_id, spans in rows
+    ]
+    a = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in run_extraction(spark, spark.createDataFrame(rows, DOC_SCHEMA)).collect()
+    }
+    b = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in run_extraction(
+            spark, spark.createDataFrame(shuffled, DOC_SCHEMA)
+        ).collect()
+    }
+    assert a == b
+
+
+def test_output_spans_preserve_source_order(spark):
+    """Every output span traces to a source span; source offsets are visited
+    in order (offsets dense asc is asserted elsewhere; here: the text of the
+    oracle equals pipeline even for docs with duplicate content)."""
+    docs = make_docs(10)
+    # duplicate one doc's spans under a new id: identical content must give
+    # identical extraction (pure function of content)
+    clone = dict(docs[3], doc_id="doc-clone")
+    rows = [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in [docs[3], clone]]
+    out = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in run_extraction(spark, spark.createDataFrame(rows, DOC_SCHEMA)).collect()
+    }
+    golden = extract_document(docs[3])
+    assert out[docs[3]["doc_id"]] == out["doc-clone"]
+    assert len(out["doc-clone"]) == len(golden)
