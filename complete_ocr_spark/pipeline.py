@@ -22,6 +22,13 @@ At 100 TB the same plan holds: the explode fan-out is map-side, the kernel
 stage is embarrassingly parallel, AQE coalesces the post-aggregation
 partitions, and the only per-key state is one document's output spans
 (bounded by document size, not table size).
+
+Considered and measured alternative (kept out): skew-splitting the salt —
+only docs with > T spans routed through the repartition, light docs flowing
+scan→kernel shuffle-free. On local inputs the scan-split granularity then
+bounds kernel parallelism and stragglers erase the saved shuffle (±15%,
+within this sandbox's noise); on a cluster with 128MB splits it may win —
+revisit when input sizes justify it.
 """
 
 from __future__ import annotations
