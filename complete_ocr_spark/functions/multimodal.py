@@ -45,18 +45,27 @@ def _seed_bytes(media_ref: str, n: int) -> bytes:
     return bytes(out[:n])
 
 
+def media_meta(media_ref: str) -> tuple[str, int, int, int, int]:
+    """(modality, width, height, n_frames, sample_rate) derived from md5
+    hex segments so a SQL oracle can recompute them:
+    DuckDB ``('0x' || substr(md5(ref), i, 4))::BIGINT`` == ``int(hx[i-1:i+3], 16)``."""
+    hx = hashlib.md5(media_ref.encode()).hexdigest()
+    h1, h2, h3, h4 = (int(hx[i : i + 4], 16) for i in (0, 4, 8, 12))
+    modality = ("image", "audio", "video")[h1 % 3]
+    w, hgt = 32 + h2 % 97, 32 + h3 % 97
+    n_frames = 1 if modality == "image" else 1 + h4 % 12
+    rate = 16000 if modality == "audio" else 0
+    return modality, w, hgt, n_frames, rate
+
+
 def synth_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """media_ref rows -> binary payload + typed metadata (mapInPandas source
     stand-in for an object-store fetch)."""
     for pdf in batches:
         rows = {k: [] for k in ("media_ref", "modality", "width", "height", "n_frames", "sample_rate", "payload")}
         for mr in pdf["media_ref"]:
-            h = int.from_bytes(hashlib.blake2b(mr.encode(), digest_size=8).digest(), "big")
-            modality = ("image", "audio", "video")[h % 3]
-            w, hgt = 32 + h % 97, 32 + (h >> 8) % 97
-            n_frames = 1 if modality == "image" else 1 + (h >> 16) % 12
-            rate = 16000 if modality == "audio" else 0
-            size = w * hgt if modality != "audio" else 2048 + h % 2048
+            modality, w, hgt, n_frames, rate = media_meta(mr)
+            size = w * hgt if modality != "audio" else 2048 + (w * hgt) % 2048
             rows["media_ref"].append(mr)
             rows["modality"].append(modality)
             rows["width"].append(w)

@@ -327,9 +327,9 @@ def q_event_type_matrix(spark, sf_dir):
 
 SQL_MATRIX = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY user_id
 """
 
@@ -364,7 +364,7 @@ WITH g AS (
               THEN 1 ELSE 0 END AS brk
   FROM events),
 s AS (
-  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
   FROM g)
 SELECT user_id, session_id, COUNT(*) AS n_events,
        MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
@@ -683,7 +683,9 @@ FROM d WHERE ROUND(dot / (sqrt(na) * sqrt(nc)), 6) >= 0.1
 # ---------------------------------------------------------------------------
 
 def q_docs_span_stats(spark, sf_dir):
-    docs = spark.read.parquet(_docs_path(sf_dir))
+    # Pinned to DOCS_SF01 (not _docs_path(sf_dir)): the oracle SQL string is
+    # static, so both sides must scan the same committed table at any sf_dir.
+    docs = spark.read.parquet(DOCS_SF01)
     return docs.select(
         "doc_id",
         F.size("spans").alias("n_spans"),
@@ -704,7 +706,8 @@ FROM '{DOCS_SF01}'
 def q_strip_text_blocks(spark, sf_dir):
     """Text-branch boilerplate strip expressed purely in Catalyst expressions
     (no UDF) — proves the heuristic is SQL-expressible and oracle-checkable."""
-    docs = spark.read.parquet(_docs_path(sf_dir))
+    # Pinned to DOCS_SF01 to match the static oracle SQL (see q_docs_span_stats).
+    docs = spark.read.parquet(DOCS_SF01)
     spans = (
         docs.select("doc_id", F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == "text")
@@ -838,8 +841,8 @@ def q_merge_short_spans(spark, sf_dir):
 SQL_MERGE_SHORT = rf"""
 WITH t AS (
   SELECT doc_id, "offset", text,
-         SUM(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 4 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY "offset") AS grp
+         CAST(SUM(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 4 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY "offset") AS BIGINT) AS grp
   FROM '{GOLDEN_SF001}'
   WHERE kind = 'text')
 SELECT doc_id, grp,
@@ -850,11 +853,12 @@ FROM t GROUP BY doc_id, grp
 
 
 def q_media_frame_sample(spark, sf_dir):
-    """Multimodal: binary payload synthesis -> plan-side frame sampling (no
-    SQL oracle — payloads are synthesized in the UDF; driver rows-only check)."""
+    """Multimodal: binary payload synthesis -> plan-side frame sampling.
+    Media metadata (modality, n_frames) is md5-segment-derived
+    (multimodal.media_meta) so the DuckDB oracle recomputes it exactly."""
     from .functions.multimodal import frame_sample, media_table
 
-    docs = spark.read.parquet(_docs_path(sf_dir))
+    docs = spark.read.parquet(DOCS_SF01)
     media = media_table(spark, docs)
     return (
         frame_sample(media, every_k=2)
@@ -862,6 +866,29 @@ def q_media_frame_sample(spark, sf_dir):
         .agg(F.count("*").alias("n_frames_kept"),
              F.countDistinct("media_ref").alias("n_media"))
     )
+
+
+SQL_MEDIA_FRAMES = f"""
+WITH refs AS (
+  SELECT s.media_ref AS media_ref
+  FROM (SELECT unnest(spans) AS s FROM '{DOCS_SF01}')
+  WHERE s.kind = 'media_ref'),
+m AS (
+  SELECT media_ref,
+         CASE (('0x' || substr(md5(media_ref), 1, 4))::BIGINT % 3)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         ('0x' || substr(md5(media_ref), 13, 4))::BIGINT AS h4
+  FROM refs),
+fr AS (
+  SELECT media_ref, modality,
+         CASE WHEN modality = 'image' THEN 1 ELSE 1 + h4 % 12 END AS n_frames
+  FROM m),
+sampled AS (
+  SELECT media_ref, modality, unnest(range(n_frames)) AS frame_idx FROM fr)
+SELECT modality, COUNT(*) AS n_frames_kept, COUNT(DISTINCT media_ref) AS n_media
+FROM sampled WHERE frame_idx % 2 = 0
+GROUP BY modality
+"""
 
 
 def q_extract_pipeline(spark, sf_dir):
@@ -922,7 +949,7 @@ REGISTRY: dict[str, tuple] = {
     "q_page_text": (q_page_text, SQL_PAGE_TEXT),
     "q_hocr_documents": (q_hocr_documents, SQL_HOCR_DOCS),
     "q_merge_short_spans": (q_merge_short_spans, SQL_MERGE_SHORT),
-    "q_media_frame_sample": (q_media_frame_sample, None),
+    "q_media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAMES),
 }
 
 
