@@ -29,6 +29,13 @@ FIGURE_SCORE_THRESHOLD = 0.8
 STRIP_MIN_WORDS = 5          # blocks shorter than this are boilerplate
 STRIP_MAX_LINK_DENSITY = 0.33  # blocks with more anchor-text than this are nav
 
+# --- nested-OCR hierarchy stand-in (engine-defined) ------------------------------
+# DocTR emits blocks -> lines -> words (src/get_nested_ocr.py:278-294); the
+# descriptor stand-in derives lines from word boxes by the same W1 y-gap
+# sessionization and derives blocks by a second, coarser pass over line y1
+# gaps: a new block starts when the gap exceeds this factor x mean line height.
+NESTED_BLOCK_GAP_FACTOR = 3.0
+
 # --- synthetic data -------------------------------------------------------------
 SYNTH_SEED = 42
 

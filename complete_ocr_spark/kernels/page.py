@@ -93,10 +93,9 @@ def _table_hocr(boxes: np.ndarray, det_idx: np.ndarray, tab_box: np.ndarray,
     return "".join(parts)
 
 
-def extract_page_np(descriptor: dict, page: int, media_ref: str) -> list[tuple]:
-    """One page -> output spans [(kind, text, media_ref), ...] in reading order."""
+def _page_arrays(descriptor: dict):
+    """Descriptor -> (boxes, scores, labels, idx) numpy views."""
     dets = descriptor["detections"]
-    glyphs = descriptor["glyphs"]
     n = len(dets)
     boxes = (
         np.array([d["box"] for d in dets], dtype=np.int64).reshape(n, 4)
@@ -105,10 +104,16 @@ def extract_page_np(descriptor: dict, page: int, media_ref: str) -> list[tuple]:
     )
     scores = np.array([d["score"] for d in dets], dtype=np.float64)
     labels = np.array([d["label"] for d in dets])
-    idx = np.arange(n, dtype=np.int64)
+    return boxes, scores, labels, np.arange(n, dtype=np.int64)
 
-    # --- detector stand-in output: table/cell dets score-desc (the FRCNN head
-    # emits score-sorted boxes; see oracle.get_tables_from_page docstring) ----
+
+def _detect_tables(boxes, scores, labels, idx) -> list[tuple[np.ndarray, np.ndarray]]:
+    """P1 threshold -> per-class NMS (O1) -> cell∈table overlap join (J1).
+
+    Returns [(table_box, member_cell_indices), ...]; tables without cells emit
+    nothing (src/pdf_ocr_frcnn_tesseract_ocr.py:141 — len check on tabledata).
+    The FRCNN head emits score-sorted boxes, so the stand-in sorts by
+    (-score, index) first (see oracle.get_tables_from_page docstring)."""
     tc = idx[(labels == "table") | (labels == "cell")]
     tc = tc[np.argsort(-scores[tc], kind="stable")]
     tc = tc[scores[tc] >= DET_THRESHOLD]  # P1
@@ -119,9 +124,7 @@ def extract_page_np(descriptor: dict, page: int, media_ref: str) -> list[tuple]:
     t_keep = t_idx[nms_indices(boxes[t_idx], scores[t_idx], NMS_TABLE_THRESHOLD)]
     c_keep = c_idx[nms_indices(boxes[c_idx], scores[c_idx], NMS_CELL_THRESHOLD)]
 
-    # cell∈table strict-overlap join (J1) — one broadcast matrix for the page
-    tabledata: list[tuple[str, np.ndarray]] = []
-    masked: list[np.ndarray] = []
+    out: list[tuple[np.ndarray, np.ndarray]] = []
     if len(t_keep):
         ov = (
             strict_overlap_matrix(boxes[t_keep], boxes[c_keep])
@@ -130,12 +133,42 @@ def extract_page_np(descriptor: dict, page: int, media_ref: str) -> list[tuple]:
         )
         for ti in range(len(t_keep)):
             members = c_keep[ov[ti]]
-            if len(members) == 0:  # tables without cells emit nothing (:141)
+            if len(members) == 0:
                 continue
-            tab_box = boxes[t_keep[ti]]
-            hocr = _table_hocr(boxes[members], members, tab_box, glyphs)
-            tabledata.append((hocr, tab_box))
-            masked.append(tab_box)
+            out.append((boxes[t_keep[ti]], members))
+    return out
+
+
+def _group_lines(wb: np.ndarray, w_idx: np.ndarray):
+    """W1 y-gap sessionize over y1+y2-sorted word boxes, x-sorted per line.
+
+    Returns [(line_bbox, member_boxes, member_indices), ...]."""
+    order = np.argsort(wb[:, 1] + wb[:, 3], kind="stable")
+    sw, swi = wb[order], w_idx[order]
+    mean_h = int((wb[:, 3] - wb[:, 1]).mean())
+    line_of = gap_sessionize(sw[:, 1], ROW_DETERMINING_THRESHOLD * mean_h)
+    lines = []
+    for li in range(int(line_of[-1]) + 1):
+        m = line_of == li
+        lb, lwi = sw[m], swi[m]
+        xo = np.argsort(lb[:, 0], kind="stable")
+        lb, lwi = lb[xo], lwi[xo]
+        bbox = np.array([lb[:, 0].min(), lb[:, 1].min(), lb[:, 2].max(), lb[:, 3].max()])
+        lines.append((bbox, lb, lwi))
+    return lines
+
+
+def extract_page_np(descriptor: dict, page: int, media_ref: str) -> list[tuple]:
+    """One page -> output spans [(kind, text, media_ref), ...] in reading order."""
+    glyphs = descriptor["glyphs"]
+    boxes, scores, labels, idx = _page_arrays(descriptor)
+
+    tabledata: list[tuple[str, np.ndarray]] = []
+    masked: list[np.ndarray] = []
+    for tab_box, members in _detect_tables(boxes, scores, labels, idx):
+        hocr = _table_hocr(boxes[members], members, tab_box, glyphs)
+        tabledata.append((hocr, tab_box))
+        masked.append(tab_box)
 
     # figures: score >= 0.8, detection order (F2)
     figuredata: list[tuple[str, np.ndarray, int]] = []
@@ -156,17 +189,7 @@ def extract_page_np(descriptor: dict, page: int, media_ref: str) -> list[tuple]:
     line_boxes: list[np.ndarray] = []
     line_markup: list[str] = []
     if len(w_idx):
-        wb = boxes[w_idx]
-        order = np.argsort(wb[:, 1] + wb[:, 3], kind="stable")
-        sw, swi = wb[order], w_idx[order]
-        mean_h = int((wb[:, 3] - wb[:, 1]).mean())
-        line_of = gap_sessionize(sw[:, 1], ROW_DETERMINING_THRESHOLD * mean_h)
-        for li in range(int(line_of[-1]) + 1):
-            m = line_of == li
-            lb, lwi = sw[m], swi[m]
-            xo = np.argsort(lb[:, 0], kind="stable")
-            lb, lwi = lb[xo], lwi[xo]
-            bbox = np.array([lb[:, 0].min(), lb[:, 1].min(), lb[:, 2].max(), lb[:, 3].max()])
+        for bbox, lb, lwi in _group_lines(boxes[w_idx], w_idx):
             text = " ".join(ctc_decode_np(glyphs.get(int(i), ())) for i in lwi)
             line_boxes.append(bbox)
             line_markup.append(
@@ -195,3 +218,30 @@ def extract_page_np(descriptor: dict, page: int, media_ref: str) -> list[tuple]:
         out.extend(pre[li])
         out.append(("text", line_markup[li], None))
     return out
+
+
+def page_text_views_np(descriptor: dict) -> tuple[str, int, int]:
+    """U4 text-view asymmetry: (txt_unmasked, n_words_unmasked, n_words_masked).
+
+    The reference's .txt sink OCRs the UNMASKED page
+    (src/pdf_ocr_frcnn_tesseract_ocr.py:136-138, before the masking at
+    :141-156) while the .hocr sink OCRs the masked one (:169): table-region
+    words appear in .txt only. image_to_string stand-in: newline-joined line
+    texts over ALL words; masked count drops table-overlapping words (U9)."""
+    glyphs = descriptor["glyphs"]
+    boxes, scores, labels, idx = _page_arrays(descriptor)
+    masked = [tab_box for tab_box, _m in _detect_tables(boxes, scores, labels, idx)]
+
+    w_idx = idx[labels == "word"]
+    if not len(w_idx):
+        return "", 0, 0
+    texts = []
+    for _bbox, _lb, lwi in _group_lines(boxes[w_idx], w_idx):
+        texts.append(" ".join(ctc_decode_np(glyphs.get(int(i), ())) for i in lwi))
+    n_unmasked = len(w_idx)
+
+    wm_idx = w_idx
+    if masked:
+        hit = strict_overlap_matrix(boxes[wm_idx], np.stack(masked)).any(axis=1)
+        wm_idx = wm_idx[~hit]
+    return "\n".join(texts), int(n_unmasked), int(len(wm_idx))

@@ -80,6 +80,68 @@ def extract_spans_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
+LAYOUT_SCHEMA = (
+    "doc_id string, offset int, media_ref string, label string, "
+    "x1 int, y1 int, x2 int, y2 int, score double"
+)
+
+_LAYOUT_CLASSES = frozenset(("Text", "Title", "List", "Table", "Figure"))
+_LAYOUT_THRESHOLD = 0.8  # MODEL.ROI_HEADS.SCORE_THRESH_TEST (frcnn entry :120)
+
+
+def layout_regions_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, offset, media_ref) media-span rows -> 5-class layout detector
+    rows (U2, src/pdf_ocr_frcnn_tesseract_ocr.py:119-120). The extraction
+    pipeline itself consumes only Figure (:240-241, bug-compatible); this
+    surfaces the Text/Title/List regions the reference's detector emits."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "offset", "media_ref", "label",
+                               "x1", "y1", "x2", "y2", "score")}
+        for doc_id, off, mref in zip(pdf["doc_id"], pdf["offset"], pdf["media_ref"]):
+            for d in resolve_descriptor(mref)["detections"]:
+                if d["label"] in _LAYOUT_CLASSES and d["score"] >= _LAYOUT_THRESHOLD:
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(off)
+                    out["media_ref"].append(mref)
+                    out["label"].append(d["label"])
+                    for c, v in zip(("x1", "y1", "x2", "y2"), d["box"]):
+                        out[c].append(v)
+                    out["score"].append(d["score"])
+        pdf_out = pd.DataFrame(out)
+        for c in ("offset", "x1", "y1", "x2", "y2"):
+            pdf_out[c] = pdf_out[c].astype("int32")
+        pdf_out["score"] = pdf_out["score"].astype("float64")
+        yield pdf_out
+
+
+PAGE_VIEWS_SCHEMA = (
+    "doc_id string, offset int, media_ref string, txt_unmasked string, "
+    "n_words_unmasked int, n_words_masked int"
+)
+
+
+def page_views_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, offset, media_ref) media-span rows -> the U4 .txt/.hocr
+    asymmetry views (kernels.page.page_text_views_np)."""
+    from ..kernels.page import page_text_views_np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "offset", "media_ref", "txt_unmasked",
+                               "n_words_unmasked", "n_words_masked")}
+        for doc_id, off, mref in zip(pdf["doc_id"], pdf["offset"], pdf["media_ref"]):
+            txt, nu, nm = page_text_views_np(resolve_descriptor(mref))
+            out["doc_id"].append(doc_id)
+            out["offset"].append(off)
+            out["media_ref"].append(mref)
+            out["txt_unmasked"].append(txt)
+            out["n_words_unmasked"].append(nu)
+            out["n_words_masked"].append(nm)
+        pdf_out = pd.DataFrame(out)
+        for c in ("offset", "n_words_unmasked", "n_words_masked"):
+            pdf_out[c] = pdf_out[c].astype("int32")
+        yield pdf_out
+
+
 @F.pandas_udf(_OUT)
 def strip_text_udf(texts: pd.Series) -> pd.Series:
     """text span -> 0 or 1 output spans (boilerplate-stripped plain text)."""

@@ -248,6 +248,25 @@ def get_figures_from_page(detections: list[dict], page: int) -> list[list]:
     return result
 
 
+LAYOUT_CLASSES = ("Text", "Title", "List", "Table", "Figure")
+
+
+def layout_regions(media_ref: str, seed: int = SYNTH_SEED) -> list[tuple]:
+    """The full 5-class layout-detector surface (U2): label_map
+    ``{0: Text, 1: Title, 2: List, 3: Table, 4: Figure}``
+    (src/pdf_ocr_frcnn_tesseract_ocr.py:119) with the model-level score
+    threshold ``MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.8`` (:120). The
+    reference's per-page loop then consumes ONLY Figure (:240-241) — the
+    other classes vanish from its outputs; this view surfaces what its
+    detector actually emits. Detection order preserved."""
+    desc = resolve_descriptor(media_ref, seed)
+    return [
+        (d["label"], d["box"][0], d["box"][1], d["box"][2], d["box"][3], d["score"])
+        for d in desc["detections"]
+        if d["label"] in LAYOUT_CLASSES and d["score"] >= FIGURE_SCORE_THRESHOLD
+    ]
+
+
 # ---------------------------------------------------------------------------
 # page lines: tesseract-hOCR stand-in over the table-masked page
 # ---------------------------------------------------------------------------
@@ -290,8 +309,28 @@ def get_page_lines(detections: list[dict], glyphs: dict, masked_boxes) -> list[d
             f'<span class="ocr_line" title="bbox {bbox[0]} {bbox[1]} {bbox[2]} {bbox[3]}">'
             f"{text}</span>"
         )
-        lines.append({"bbox": bbox, "markup": markup, "pre": []})
+        lines.append(
+            {"bbox": bbox, "markup": markup, "text": text, "n_words": len(lws), "pre": []}
+        )
     return lines
+
+
+def page_text_views(media_ref: str, seed: int = SYNTH_SEED) -> dict:
+    """U4: the reference's ``.txt``/``.hocr`` asymmetry. The .txt sink OCRs
+    the UNMASKED page (src/pdf_ocr_frcnn_tesseract_ocr.py:136-138 runs before
+    the table masking at :141-156), so table-region words appear in .txt; the
+    .hocr sink OCRs the MASKED page (:169), so they do not. Stand-in for
+    ``image_to_string``: newline-joined line texts over ALL word detections,
+    no mask anti-join."""
+    desc = resolve_descriptor(media_ref, seed)
+    masked = [tr["bbox"] for tr in get_tables_from_page(desc["detections"])]
+    unmasked_lines = get_page_lines(desc["detections"], desc["glyphs"], [])
+    masked_lines = get_page_lines(desc["detections"], desc["glyphs"], masked)
+    return {
+        "txt_unmasked": "\n".join(ln["text"] for ln in unmasked_lines),
+        "n_words_unmasked": sum(ln["n_words"] for ln in unmasked_lines),
+        "n_words_masked": sum(ln["n_words"] for ln in masked_lines),
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,23 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS_SF001 = os.path.join(_REPO, "data", "docs_sf0.001.parquet")
 DOCS_SF01 = os.path.join(_REPO, "data", "docs_sf0.01.parquet")
 GOLDEN_SF001 = os.path.join(_REPO, "data", "golden_sf0.001.parquet")
+NESTED_GOLDEN = os.path.join(_REPO, "data", "nested_golden_sf0.001.parquet")
+LAYOUT_GOLDEN = os.path.join(_REPO, "data", "layout_golden_sf0.001.parquet")
+PAGES_GOLDEN = os.path.join(_REPO, "data", "pages_golden_sf0.001.parquet")
+
+
+def _media_spans(spark):
+    """Committed sf0.001 docs -> (doc_id, offset, media_ref) media-span rows."""
+    docs = spark.read.parquet(DOCS_SF001)
+    return (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media_ref")
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -891,6 +908,88 @@ GROUP BY modality
 """
 
 
+def q_nested_hocr(spark, sf_dir):
+    """Nested-OCR pipeline (F3/U3/A7/F7): every media span -> full
+    ocr_page/ocr_carea/ocr_par/ocr_line/ocrx_word hOCR with monotone id
+    counters and per-word x_wconf (src/get_nested_ocr.py:34-134,278-294),
+    plus the per-page .txt content (:293). Oracle side scans the committed
+    golden produced by the ElementTree-based pure-Python transcription —
+    byte-level hash equality on the serialized markup."""
+    from .kernels.nested import NESTED_SCHEMA, nested_batch
+
+    return _media_spans(spark).mapInPandas(nested_batch, schema=NESTED_SCHEMA)
+
+
+SQL_NESTED = f"""
+SELECT doc_id, "offset", media_ref, hocr, page_text, n_blocks, n_lines, n_words
+FROM '{NESTED_GOLDEN}'
+"""
+
+
+def q_layout_classes(spark, sf_dir):
+    """5-class layout detector surface (U2): Text/Title/List/Table/Figure
+    regions with the model-level 0.8 score threshold
+    (src/pdf_ocr_frcnn_tesseract_ocr.py:119-120). The extraction pipeline
+    consumes only Figure (:240-241, bug-compatible) — this view proves the
+    detector emits the other classes and the engine routes them."""
+    from .operators.extract import LAYOUT_SCHEMA, layout_regions_batch
+
+    return _media_spans(spark).mapInPandas(layout_regions_batch, schema=LAYOUT_SCHEMA)
+
+
+SQL_LAYOUT = f"""
+SELECT doc_id, "offset", media_ref, label, x1, y1, x2, y2, score
+FROM '{LAYOUT_GOLDEN}'
+"""
+
+
+def q_page_text_unmasked(spark, sf_dir):
+    """U4 .txt/.hocr asymmetry: the reference's .txt sink OCRs the UNMASKED
+    page (src/pdf_ocr_frcnn_tesseract_ocr.py:136-138) so table-region words
+    appear in it, while the .hocr path drops them via the table mask (:169).
+    n_words_unmasked > n_words_masked exactly where tables overlap text."""
+    from .operators.extract import PAGE_VIEWS_SCHEMA, page_views_batch
+
+    return _media_spans(spark).mapInPandas(page_views_batch, schema=PAGE_VIEWS_SCHEMA)
+
+
+SQL_PAGE_VIEWS = f"""
+SELECT doc_id, "offset", media_ref, txt_unmasked, n_words_unmasked, n_words_masked
+FROM '{PAGES_GOLDEN}'
+"""
+
+
+def q_hocr_title_parse(spark, sf_dir):
+    """F4 hOCR title parsing (src/pdf_ocr_frcnn_tesseract_ocr.py:182-183):
+    line y1 = int(title.split(' ')[2]) of each ocr_line span — pure Catalyst
+    (regexp_extract + split + element_at + cast), no UDF."""
+    g = spark.read.parquet(GOLDEN_SF001)
+    title = F.regexp_extract("text", r'title="([^"]+)"', 1)
+    y1 = F.element_at(F.split(title, " "), 3).cast("int")
+    return (
+        g.filter(F.col("text").startswith('<span class="ocr_line"'))
+        .select("doc_id", y1.alias("line_y1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("line_y1").alias("min_y1"),
+            F.max("line_y1").alias("max_y1"),
+        )
+    )
+
+
+SQL_TITLE_PARSE = f"""
+SELECT doc_id, COUNT(*) AS n_lines,
+       MIN(y1) AS min_y1, MAX(y1) AS max_y1
+FROM (
+  SELECT doc_id,
+         CAST(string_split(regexp_extract(text, 'title="([^"]+)"', 1), ' ')[3] AS INT) AS y1
+  FROM '{GOLDEN_SF001}'
+  WHERE text LIKE '<span class="ocr_line"%')
+GROUP BY doc_id
+"""
+
+
 def q_extract_pipeline(spark, sf_dir):
     """Full extraction pipeline over the committed sf0.001 docs table, exploded
     to flat rows. The oracle side scans the committed golden parquet produced
@@ -950,6 +1049,10 @@ REGISTRY: dict[str, tuple] = {
     "q_hocr_documents": (q_hocr_documents, SQL_HOCR_DOCS),
     "q_merge_short_spans": (q_merge_short_spans, SQL_MERGE_SHORT),
     "q_media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAMES),
+    "q_nested_hocr": (q_nested_hocr, SQL_NESTED),
+    "q_layout_classes": (q_layout_classes, SQL_LAYOUT),
+    "q_page_text_unmasked": (q_page_text_unmasked, SQL_PAGE_VIEWS),
+    "q_hocr_title_parse": (q_hocr_title_parse, SQL_TITLE_PARSE),
 }
 
 

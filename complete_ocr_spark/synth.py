@@ -278,6 +278,21 @@ def resolve_descriptor(media_ref: str, seed: int = SYNTH_SEED) -> dict:
             glyphs[det_idx] = [int(c) for c in expanded[pos:pos + ln]]
             pos += ln
 
+    # --- layout regions (U2): the PubLayNet detector emits 5 classes
+    # (src/pdf_ocr_frcnn_tesseract_ocr.py:119) but the reference consumes only
+    # Figure (:240-241) — Text/Title/List boxes flow through the span model and
+    # must not perturb extraction (golden-tested). Drawn AFTER every other rng
+    # draw so pre-existing descriptors and goldens are bit-identical. Scores
+    # straddle the 0.8 model threshold to exercise the layout filter.
+    n_lay = int(rng.randint(0, 4))
+    for _ in range(n_lay):
+        lab = ("Text", "Title", "List")[int(rng.randint(0, 3))]
+        lx = int(rng.randint(20, max(21, width - 220)))
+        ly = int(rng.randint(20, max(21, height - 140)))
+        lw = int(rng.randint(80, 200))
+        lh = int(rng.randint(20, 120))
+        add(lx, ly, lx + lw, ly + lh, 0.6 + 0.39 * rng.rand(), lab)
+
     return {
         "media_ref": media_ref,
         "width": width,

@@ -1,0 +1,136 @@
+"""Regenerate every committed golden parquet from the pure-Python oracle.
+
+All goldens derive deterministically from the committed docs tables (which in
+turn derive from synth.make_docs under SYNTH_SEED); regenerate everything
+together whenever synth or an oracle changes:
+
+    python3 scripts/gen_goldens.py
+
+Outputs (committed):
+  data/golden_sf0.001.parquet         — FRCNN-pipeline extracted spans
+  data/nested_golden_sf0.001.parquet  — Nested-OCR hOCR/text per media span
+  data/layout_golden_sf0.001.parquet  — 5-class layout detections per page
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from complete_ocr_spark.oracle import extract_document  # noqa: E402
+from complete_ocr_spark.oracle.nested import nested_document  # noqa: E402
+from complete_ocr_spark.oracle.reference_oracle import (  # noqa: E402
+    layout_regions,
+    page_text_views,
+)
+from complete_ocr_spark.synth import make_docs  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(REPO, "data")
+N_DOCS_SF0001 = 100  # docs_sf0.001.parquet row count
+
+
+def _docs():
+    docs = make_docs(N_DOCS_SF0001)
+    # sanity: must match the committed docs table exactly
+    t = pq.read_table(os.path.join(DATA, "docs_sf0.001.parquet"))
+    assert t.num_rows == len(docs), (t.num_rows, len(docs))
+    assert t.column("doc_id").to_pylist() == [d["doc_id"] for d in docs]
+    return docs
+
+
+def gen_extract_golden(docs) -> None:
+    rows = []
+    for d in docs:
+        for s in extract_document(d):
+            rows.append((d["doc_id"], s["offset"], s["kind"], s["text"], s["media_ref"]))
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [r[0] for r in rows],
+            "offset": pa.array([r[1] for r in rows], pa.int32()),
+            "kind": [r[2] for r in rows],
+            "text": [r[3] for r in rows],
+            "media_ref": [r[4] for r in rows],
+        }
+    )
+    pq.write_table(table, os.path.join(DATA, "golden_sf0.001.parquet"))
+    print("golden_sf0.001:", table.num_rows, "rows")
+
+
+def gen_nested_golden(docs) -> None:
+    rows = [r for d in docs for r in nested_document(d)]
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [r["doc_id"] for r in rows],
+            "offset": pa.array([r["offset"] for r in rows], pa.int32()),
+            "media_ref": [r["media_ref"] for r in rows],
+            "hocr": [r["hocr"] for r in rows],
+            "page_text": [r["page_text"] for r in rows],
+            "n_blocks": pa.array([r["n_blocks"] for r in rows], pa.int32()),
+            "n_lines": pa.array([r["n_lines"] for r in rows], pa.int32()),
+            "n_words": pa.array([r["n_words"] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(DATA, "nested_golden_sf0.001.parquet"))
+    print("nested_golden_sf0.001:", table.num_rows, "rows")
+
+
+def gen_layout_golden(docs) -> None:
+    rows = []
+    for d in docs:
+        for s in d["spans"]:
+            if s["kind"] != "media_ref" or s["media_ref"] is None:
+                continue
+            for reg in layout_regions(s["media_ref"]):
+                rows.append((d["doc_id"], s["offset"], s["media_ref"], *reg))
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [r[0] for r in rows],
+            "offset": pa.array([r[1] for r in rows], pa.int32()),
+            "media_ref": [r[2] for r in rows],
+            "label": [r[3] for r in rows],
+            "x1": pa.array([r[4] for r in rows], pa.int32()),
+            "y1": pa.array([r[5] for r in rows], pa.int32()),
+            "x2": pa.array([r[6] for r in rows], pa.int32()),
+            "y2": pa.array([r[7] for r in rows], pa.int32()),
+            "score": pa.array([r[8] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(DATA, "layout_golden_sf0.001.parquet"))
+    print("layout_golden_sf0.001:", table.num_rows, "rows")
+
+
+def gen_pages_golden(docs) -> None:
+    rows = []
+    for d in docs:
+        for s in d["spans"]:
+            if s["kind"] != "media_ref" or s["media_ref"] is None:
+                continue
+            v = page_text_views(s["media_ref"])
+            rows.append((d["doc_id"], s["offset"], s["media_ref"],
+                         v["txt_unmasked"], v["n_words_unmasked"], v["n_words_masked"]))
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [r[0] for r in rows],
+            "offset": pa.array([r[1] for r in rows], pa.int32()),
+            "media_ref": [r[2] for r in rows],
+            "txt_unmasked": [r[3] for r in rows],
+            "n_words_unmasked": pa.array([r[4] for r in rows], pa.int32()),
+            "n_words_masked": pa.array([r[5] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(DATA, "pages_golden_sf0.001.parquet"))
+    print("pages_golden_sf0.001:", table.num_rows, "rows")
+
+
+if __name__ == "__main__":
+    docs = _docs()
+    gen_extract_golden(docs)
+    gen_nested_golden(docs)
+    gen_layout_golden(docs)
+    gen_pages_golden(docs)

@@ -34,7 +34,13 @@ def test_relational_queries_have_no_python_eval(spark):
     """Everything outside the extraction kernel must stay JVM-side
     (whole-stage codegen), per the no-Python-hot-path design rule."""
     for name, (fn, _sql) in REGISTRY.items():
-        if name in ("q_extract_pipeline", "q_media_frame_sample"):
+        if name in (
+            "q_extract_pipeline",
+            "q_media_frame_sample",
+            "q_nested_hocr",
+            "q_layout_classes",
+            "q_page_text_unmasked",
+        ):
             continue  # these intentionally contain the pandas kernels
         plan = _plan(fn(spark, SF_DIR))
         assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, name
