@@ -50,11 +50,46 @@ def _px(norm: np.float32, dim: int) -> int:
     return int(round(float(norm) * dim))
 
 
+def _group_page(desc: dict):
+    """Descriptor -> (lines, block_of): the words->lines->blocks grouping
+    shared by the export and the W5 singular-word kernel. ``lines`` is a list
+    of (line_bbox, member_boxes, member_det_indices, member_scores); empty if
+    the page has no word detections."""
+    dets = desc["detections"]
+    w_rows = [(i, d["box"], d["score"]) for i, d in enumerate(dets) if d["label"] == "word"]
+    if not w_rows:
+        return [], None
+
+    idx = np.array([r[0] for r in w_rows], dtype=np.int64)
+    boxes = np.array([r[1] for r in w_rows], dtype=np.int64)
+    scores = np.array([r[2] for r in w_rows], dtype=np.float64)
+    order = np.argsort(boxes[:, 1] + boxes[:, 3], kind="stable")
+    sb, si, ss = boxes[order], idx[order], scores[order]
+    mean_h = int((boxes[:, 3] - boxes[:, 1]).mean())
+    line_of = gap_sessionize(sb[:, 1], ROW_DETERMINING_THRESHOLD * mean_h)
+
+    # per-line member gather (x-sorted) + line pixel bboxes
+    lines: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+    for li in range(int(line_of[-1]) + 1):
+        m = line_of == li
+        lb, lwi, lsc = sb[m], si[m], ss[m]
+        xo = np.argsort(lb[:, 0], kind="stable")
+        lb, lwi, lsc = lb[xo], lwi[xo], lsc[xo]
+        bbox = np.array([lb[:, 0].min(), lb[:, 1].min(), lb[:, 2].max(), lb[:, 3].max()])
+        lines.append((bbox, lb, lwi, lsc))
+
+    # blocks: coarser gap pass over line y1
+    line_y1 = np.array([ln[0][1] for ln in lines], dtype=np.int64)
+    line_h = np.array([ln[0][3] - ln[0][1] for ln in lines], dtype=np.int64)
+    mean_line_h = int(line_h.mean())
+    block_of = gap_sessionize(line_y1, NESTED_BLOCK_GAP_FACTOR * mean_line_h)
+    return lines, block_of
+
+
 def nested_page_np(desc: dict) -> tuple[str, str, int, int, int]:
     """One descriptor -> (hocr, page_text, n_blocks, n_lines, n_words)."""
     width, height = desc["width"], desc["height"]
-    dets, glyphs = desc["detections"], desc["glyphs"]
-    w_rows = [(i, d["box"], d["score"]) for i, d in enumerate(dets) if d["label"] == "word"]
+    glyphs = desc["glyphs"]
 
     parts = [
         _HEAD,
@@ -63,33 +98,8 @@ def nested_page_np(desc: dict) -> tuple[str, str, int, int, int]:
     page_text_parts: list[str] = []
     n_blocks = n_lines = n_words = 0
 
-    if w_rows:
-        idx = np.array([r[0] for r in w_rows], dtype=np.int64)
-        boxes = np.array([r[1] for r in w_rows], dtype=np.int64)
-        scores = np.array([r[2] for r in w_rows], dtype=np.float64)
-        order = np.argsort(boxes[:, 1] + boxes[:, 3], kind="stable")
-        sb, si, ss = boxes[order], idx[order], scores[order]
-        mean_h = int((boxes[:, 3] - boxes[:, 1]).mean())
-        line_of = gap_sessionize(sb[:, 1], ROW_DETERMINING_THRESHOLD * mean_h)
-
-        # per-line member gather (x-sorted) + line pixel bboxes
-        lines: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
-        for li in range(int(line_of[-1]) + 1):
-            m = line_of == li
-            lb, lwi, lsc = sb[m], si[m], ss[m]
-            xo = np.argsort(lb[:, 0], kind="stable")
-            lb, lwi, lsc = lb[xo], lwi[xo], lsc[xo]
-            bbox = np.array(
-                [lb[:, 0].min(), lb[:, 1].min(), lb[:, 2].max(), lb[:, 3].max()]
-            )
-            lines.append((bbox, lb, lwi, lsc))
-
-        # blocks: coarser gap pass over line y1
-        line_y1 = np.array([ln[0][1] for ln in lines], dtype=np.int64)
-        line_h = np.array([ln[0][3] - ln[0][1] for ln in lines], dtype=np.int64)
-        mean_line_h = int(line_h.mean())
-        block_of = gap_sessionize(line_y1, NESTED_BLOCK_GAP_FACTOR * mean_line_h)
-
+    lines, block_of = _group_page(desc)
+    if lines:
         w32, h32 = np.float32(width), np.float32(height)
 
         def norm4(b) -> tuple:
@@ -156,6 +166,91 @@ def nested_page_np(desc: dict) -> tuple[str, str, int, int, int]:
 
     parts.append("</body></html>")
     return "".join(parts), "".join(page_text_parts), n_blocks, n_lines, n_words
+
+
+SINGULAR_SCHEMA = (
+    "doc_id string, offset int, media_ref string, block_id int, "
+    "div_x1 int, div_y1 int, div_x2 int, div_y2 int, "
+    "par_x1 int, par_y1 int, par_x2 int, par_y2 int, n_lines_final int"
+)
+
+
+def singular_merge_np(desc: dict) -> list[tuple]:
+    """W5 geometric half (engine side of oracle.nested.singular_word_merge):
+    per-block final div/par title bboxes + line counts after the
+    singular-word treatment. Sequential by construction (the experiment
+    mutates the DOM while scanning, :6-32) but page-local — it runs inside
+    the Arrow batch, no shuffle."""
+    width, height = desc["width"], desc["height"]
+    lines, block_of = _group_page(desc)
+    if not lines:
+        return []
+    w32, h32 = np.float32(width), np.float32(height)
+
+    def px4(b):
+        return [
+            int(round(float(np.float32(b[0]) / w32) * width)),
+            int(round(float(np.float32(b[1]) / h32) * height)),
+            int(round(float(np.float32(b[2]) / w32) * width)),
+            int(round(float(np.float32(b[3]) / h32) * height)),
+        ]
+
+    blocks = []
+    doc_lines = []
+    for bi in range(int(block_of[-1]) + 1):
+        members = [lines[k] for k in range(len(lines)) if block_of[k] == bi]
+        bb = [
+            min(ln[0][0] for ln in members), min(ln[0][1] for ln in members),
+            max(ln[0][2] for ln in members), max(ln[0][3] for ln in members),
+        ]
+        pb = px4(bb)
+        blocks.append({"div": list(pb), "par": list(pb)})
+        for bbox, _lb, lwi, _lsc in members:
+            doc_lines.append({"bbox": px4(bbox), "n_words": len(lwi),
+                              "block": bi, "par": bi})
+
+    for k in range(len(blocks)):
+        curr = next((ln for ln in doc_lines if ln["block"] == k), None)
+        if curr is None or curr["n_words"] > 3:
+            continue
+        if k == 0:
+            continue  # prev div is ocr_page; its title parse raises (:18)
+        c = curr["bbox"]
+        d = blocks[k - 1]["div"]
+        p = blocks[k - 1]["par"]
+        blocks[k - 1]["div"] = [min(c[0], d[0]), min(c[1], d[1]),
+                                max(c[2], d[2]), max(c[3], d[3])]
+        blocks[k - 1]["par"] = [min(c[0], p[0]), min(c[1], p[1]),
+                                max(c[2], p[2]), max(c[3], p[3])]
+        i = doc_lines.index(curr)
+        curr["par"] = doc_lines[i - 1]["par"]
+
+    return [
+        (
+            k + 1, *blocks[k]["div"], *blocks[k]["par"],
+            sum(1 for ln in doc_lines if ln["par"] == k),
+        )
+        for k in range(len(blocks))
+    ]
+
+
+def singular_merge_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: media-span rows -> SINGULAR_SCHEMA rows."""
+    cols = ("block_id", "div_x1", "div_y1", "div_x2", "div_y2",
+            "par_x1", "par_y1", "par_x2", "par_y2", "n_lines_final")
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "offset", "media_ref") + cols}
+        for doc_id, off, mref in zip(pdf["doc_id"], pdf["offset"], pdf["media_ref"]):
+            for row in singular_merge_np(resolve_descriptor(mref)):
+                out["doc_id"].append(doc_id)
+                out["offset"].append(off)
+                out["media_ref"].append(mref)
+                for c, v in zip(cols, row):
+                    out[c].append(v)
+        pdf_out = pd.DataFrame(out)
+        for c in ("offset",) + cols:
+            pdf_out[c] = pdf_out[c].astype("int32")
+        yield pdf_out
 
 
 def nested_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

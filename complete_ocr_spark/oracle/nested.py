@@ -265,6 +265,83 @@ def nested_counts(page: dict) -> tuple[int, int, int]:
     return n_blocks, n_lines, n_words
 
 
+def singular_word_merge(page: dict) -> list[dict]:
+    """W5 geometric half: the singular-word DOM treatment
+    (experiments/postprocessing_singular_word_treatment.py:5-46) over a
+    nested page, transcribed element-for-element.
+
+    Semantics notes (all verified against the experiment's code paths):
+
+    * It operates on **whitespace-normalized** titles (F5,
+      experiments/xml2hocr.py:56-62): on the raw export the in-string
+      continuation space runs make ``title.split(";")[0].split(" ")[1:]``
+      contain empty strings, ``map(int, ...)`` raises, and the per-div
+      ``except: continue`` (:35-37) turns the whole pass into a no-op.
+    * For each div whose first following ocr_line has <= 3 word children
+      (:8): union that line's bbox into the PREVIOUS div's and previous
+      ocr_par's titles (:20-28) and move the line after the previous
+      ocr_line (:32). The first content block is always skipped — its
+      previous div is the ocr_page div whose title yields no ints (:18
+      raises before any mutation).
+    * ``insert_after(prev_span)`` does not change flat reading order: the
+      previous ocr_line is document-adjacent to the moved line; only the
+      parent paragraph (and the bboxes) change.
+    * The leftover-decompose loop (:40-44) iterates the children of
+      ``soup.div`` — the ocr_page div, which is empty — so it never runs.
+
+    Returns per-block rows: final div/par bboxes (title ints) and the count
+    of lines whose final parent is that block's paragraph.
+    """
+    width, height = page["width"], page["height"]
+
+    def px4(g):
+        return [
+            int(round(g[0] * width)), int(round(g[1] * height)),
+            int(round(g[2] * width)), int(round(g[3] * height)),
+        ]
+
+    blocks = []
+    doc_lines = []  # flat document order; block = original, par = current parent
+    for k, b in enumerate(page["blocks"]):
+        bb = px4(b["geometry"])
+        blocks.append({"div": list(bb), "par": list(bb)})
+        for ln in b["lines"]:
+            doc_lines.append(
+                {"bbox": px4(ln["geometry"]), "n_words": len(ln["words"]),
+                 "block": k, "par": k}
+            )
+
+    for k in range(len(blocks)):
+        curr = next((ln for ln in doc_lines if ln["block"] == k), None)
+        if curr is None or curr["n_words"] > 3:  # :8 len(find_next("span"))
+            continue
+        if k == 0:
+            continue  # ocr_page div title parse raises before mutation (:18)
+        c = curr["bbox"]
+        d = blocks[k - 1]["div"]
+        p = blocks[k - 1]["par"]
+        blocks[k - 1]["div"] = [min(c[0], d[0]), min(c[1], d[1]),
+                                max(c[2], d[2]), max(c[3], d[3])]  # :20,:24,:27
+        blocks[k - 1]["par"] = [min(c[0], p[0]), min(c[1], p[1]),
+                                max(c[2], p[2]), max(c[3], p[3])]  # :21,:25,:28
+        i = doc_lines.index(curr)
+        curr["par"] = doc_lines[i - 1]["par"]  # :32 insert_after(prev ocr_line)
+
+    out = []
+    for k, b in enumerate(blocks):
+        out.append(
+            {
+                "block_id": k + 1,
+                "div_x1": b["div"][0], "div_y1": b["div"][1],
+                "div_x2": b["div"][2], "div_y2": b["div"][3],
+                "par_x1": b["par"][0], "par_y1": b["par"][1],
+                "par_x2": b["par"][2], "par_y2": b["par"][3],
+                "n_lines_final": sum(1 for ln in doc_lines if ln["par"] == k),
+            }
+        )
+    return out
+
+
 def nested_document(doc: dict, seed: int = SYNTH_SEED) -> list[dict]:
     """Golden rows for one docs row: every media span -> nested hOCR + text."""
     rows = []

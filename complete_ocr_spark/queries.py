@@ -38,6 +38,7 @@ DOCS_SF001 = os.path.join(_REPO, "data", "docs_sf0.001.parquet")
 DOCS_SF01 = os.path.join(_REPO, "data", "docs_sf0.01.parquet")
 GOLDEN_SF001 = os.path.join(_REPO, "data", "golden_sf0.001.parquet")
 NESTED_GOLDEN = os.path.join(_REPO, "data", "nested_golden_sf0.001.parquet")
+SINGULAR_GOLDEN = os.path.join(_REPO, "data", "singular_golden_sf0.001.parquet")
 LAYOUT_GOLDEN = os.path.join(_REPO, "data", "layout_golden_sf0.001.parquet")
 PAGES_GOLDEN = os.path.join(_REPO, "data", "pages_golden_sf0.001.parquet")
 
@@ -959,6 +960,26 @@ FROM '{PAGES_GOLDEN}'
 """
 
 
+def q_singular_word_merge(spark, sf_dir):
+    """W5 geometric half (experiments/postprocessing_singular_word_treatment.py
+    :5-46): blocks whose first line has <= 3 words get that line re-parented
+    into the previous paragraph, with the previous div/par title bboxes
+    unioned to cover it. Runs on whitespace-normalized titles — on the raw
+    export the space runs crash the experiment's int parse and the pass is a
+    no-op (see oracle.nested.singular_word_merge docstring)."""
+    from .kernels.nested import SINGULAR_SCHEMA, singular_merge_batch
+
+    return _media_spans(spark).mapInPandas(singular_merge_batch, schema=SINGULAR_SCHEMA)
+
+
+SQL_SINGULAR = f"""
+SELECT doc_id, "offset", media_ref, block_id,
+       div_x1, div_y1, div_x2, div_y2,
+       par_x1, par_y1, par_x2, par_y2, n_lines_final
+FROM '{SINGULAR_GOLDEN}'
+"""
+
+
 def q_hocr_title_parse(spark, sf_dir):
     """F4 hOCR title parsing (src/pdf_ocr_frcnn_tesseract_ocr.py:182-183):
     line y1 = int(title.split(' ')[2]) of each ocr_line span — pure Catalyst
@@ -1053,6 +1074,7 @@ REGISTRY: dict[str, tuple] = {
     "q_layout_classes": (q_layout_classes, SQL_LAYOUT),
     "q_page_text_unmasked": (q_page_text_unmasked, SQL_PAGE_VIEWS),
     "q_hocr_title_parse": (q_hocr_title_parse, SQL_TITLE_PARSE),
+    "q_singular_word_merge": (q_singular_word_merge, SQL_SINGULAR),
 }
 
 

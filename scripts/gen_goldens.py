@@ -23,7 +23,12 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from complete_ocr_spark.oracle import extract_document  # noqa: E402
-from complete_ocr_spark.oracle.nested import nested_document  # noqa: E402
+from complete_ocr_spark.oracle.nested import (  # noqa: E402
+    build_nested_page,
+    nested_document,
+    singular_word_merge,
+)
+from complete_ocr_spark.synth import resolve_descriptor  # noqa: E402
 from complete_ocr_spark.oracle.reference_oracle import (  # noqa: E402
     layout_regions,
     page_text_views,
@@ -128,9 +133,34 @@ def gen_pages_golden(docs) -> None:
     print("pages_golden_sf0.001:", table.num_rows, "rows")
 
 
+def gen_singular_golden(docs) -> None:
+    cols = ("block_id", "div_x1", "div_y1", "div_x2", "div_y2",
+            "par_x1", "par_y1", "par_x2", "par_y2", "n_lines_final")
+    rows = []
+    for d in docs:
+        for s in d["spans"]:
+            if s["kind"] != "media_ref" or s["media_ref"] is None:
+                continue
+            page = build_nested_page(resolve_descriptor(s["media_ref"]))
+            for r in singular_word_merge(page):
+                rows.append((d["doc_id"], s["offset"], s["media_ref"],
+                             *[r[c] for c in cols]))
+    data = {
+        "doc_id": [r[0] for r in rows],
+        "offset": pa.array([r[1] for r in rows], pa.int32()),
+        "media_ref": [r[2] for r in rows],
+    }
+    for i, c in enumerate(cols):
+        data[c] = pa.array([r[3 + i] for r in rows], pa.int32())
+    pq.write_table(pa.Table.from_pydict(data),
+                   os.path.join(DATA, "singular_golden_sf0.001.parquet"))
+    print("singular_golden_sf0.001:", len(rows), "rows")
+
+
 if __name__ == "__main__":
     docs = _docs()
     gen_extract_golden(docs)
     gen_nested_golden(docs)
     gen_layout_golden(docs)
     gen_pages_golden(docs)
+    gen_singular_golden(docs)

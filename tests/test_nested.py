@@ -63,6 +63,29 @@ def test_nested_ids_monotone_and_hierarchy():
     assert saw_multiline_block
 
 
+def test_singular_merge_kernel_matches_oracle():
+    from complete_ocr_spark.kernels.nested import singular_merge_np
+    from complete_ocr_spark.oracle.nested import singular_word_merge
+
+    cols = ("block_id", "div_x1", "div_y1", "div_x2", "div_y2",
+            "par_x1", "par_y1", "par_x2", "par_y2", "n_lines_final")
+    pages = 0
+    merged_blocks = 0
+    for mr in _media_refs(60):
+        desc = resolve_descriptor(mr)
+        page = build_nested_page(desc)
+        o_rows = [tuple(r[c] for c in cols) for r in singular_word_merge(page)]
+        k_rows = singular_merge_np(desc)
+        assert k_rows == o_rows, mr
+        # line conservation: re-parenting never loses a line
+        orig = [len(b["lines"]) for b in page["blocks"]]
+        assert sum(r[-1] for r in k_rows) == sum(orig)
+        merged_blocks += sum(1 for r, n in zip(k_rows, orig) if r[-1] != n)
+        pages += 1
+    assert pages > 100
+    assert merged_blocks > 0  # the treatment actually fires on the corpus
+
+
 def test_page_views_asymmetry():
     saw_gap = 0
     for mr in _media_refs(60):

@@ -40,6 +40,7 @@ def test_relational_queries_have_no_python_eval(spark):
             "q_nested_hocr",
             "q_layout_classes",
             "q_page_text_unmasked",
+            "q_singular_word_merge",
         ):
             continue  # these intentionally contain the pandas kernels
         plan = _plan(fn(spark, SF_DIR))
