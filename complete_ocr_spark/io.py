@@ -76,17 +76,45 @@ class TableIO:
         return docs.join(F.broadcast(done), "bucket", "left_anti")
 
     # --- write ----------------------------------------------------------
-    def write(self, docs_out: DataFrame) -> None:
-        """Idempotent per-bucket overwrite + lineage append."""
+    def write(self, docs_out: DataFrame,
+              exclude_buckets: DataFrame | None = None) -> dict:
+        """Idempotent per-bucket overwrite + lineage append.
+
+        The extraction DAG executes exactly once (the parquet write); lineage
+        is then computed from the files just written — one cheap scan of the
+        output instead of a second full pipeline execution. The per-bucket
+        lineage rows are collected driver-side (<= n_buckets rows, bounded at
+        any scale) so run stats come for free with no extra action.
+
+        ``exclude_buckets`` (bucket DataFrame) limits lineage to this run's
+        buckets when the output directory already holds completed ones.
+        Returns {'doc_count', 'span_count', 'buckets'} for the written set.
+        """
         out = with_bucket(docs_out, self.n_buckets)
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             out.repartition("bucket")
             .write.mode("overwrite")
-            .partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")  # per-write: robust
+            .partitionBy("bucket")                        # under cloned sessions
             .parquet(self.docs_out_path)
         )
-        lineage_rows(out).write.mode("append").parquet(self.lineage_path)
+        back = self.read_docs_out()
+        if exclude_buckets is not None:
+            back = back.join(F.broadcast(exclude_buckets), "bucket", "left_anti")
+        lin = lineage_rows(back)
+        rows = lin.collect()
+        if rows:
+            (
+                self.spark.createDataFrame(rows, lin.schema)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(self.lineage_path)
+            )
+        return {
+            "doc_count": sum(r["doc_count"] for r in rows),
+            "span_count": sum(r["span_count"] for r in rows),
+            "buckets": len(rows),
+        }
 
     # --- read -----------------------------------------------------------
     def read_docs_out(self) -> DataFrame:
@@ -118,9 +146,12 @@ def run_job(
             for r in pending.select("bucket").distinct().orderBy("bucket").collect()
         ][:fail_after_buckets]
         pending = pending.filter(F.col("bucket").isin(keep))
-    n_pending = pending.count()
-    if n_pending == 0:
+    # limit-1 emptiness probe, not a full count — a complete pre-pass over the
+    # pruned scan at 100 TB just to report a number is an avoidable job; the
+    # real doc count comes from the written lineage below.
+    if pending.isEmpty():
         return {"docs_processed": 0, "skipped": True}
+    done = io.completed_buckets()
     docs_out = run_extraction(spark, pending.drop("bucket"))
-    io.write(docs_out)
-    return {"docs_processed": n_pending, "skipped": False}
+    stats = io.write(docs_out, exclude_buckets=done)
+    return {"docs_processed": stats["doc_count"], "skipped": False}

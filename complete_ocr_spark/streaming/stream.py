@@ -5,23 +5,84 @@ asks for batch + checkpoint restart, which ``complete_ocr_spark.io`` provides.
 This module is the optional streaming form: because every stage is a
 deterministic per-document map (no cross-document state, no event-time
 windows — the W1/W2 session logic is *within* a page), the identical pipeline
-body runs under ``readStream`` with ``foreachBatch`` writing through the same
-idempotent TableIO sink. Checkpointing comes from the streaming engine; the
-lineage table stays the cross-run audit record.
+body runs under ``readStream`` with ``foreachBatch``.
 
-On a real cluster the source would be an Iceberg/Kafka stream of docs rows;
-locally the file source over a parquet directory exercises the same code path
-(tests append parquet files and watch batches commit).
+Exactly-once semantics: foreachBatch is at-least-once — a micro-batch that
+fails after its write but before the checkpoint commit is re-delivered, so a
+plain append would duplicate rows. Here every micro-batch writes with dynamic
+partition overwrite keyed by ``(bucket, batch_id)`` (and lineage by
+``batch_id``): batch content is deterministic, so a re-delivered batch
+replaces its own partitions byte-for-byte — idempotent, no dedupe-on-read
+needed.
+
+Lineage quarantine: streaming lineage rows describe a *slice* of a bucket per
+micro-batch, so they must never satisfy ``TableIO.completed_buckets()`` — a
+bucket would look finished after its first partial slice and batch resume
+would wrongly skip documents. They are therefore written to a separate
+``lineage_stream`` path (with ``batch_id``) that the batch resume path never
+reads; the streamed output lives under ``docs_out_stream``. Promotion to the
+batch table is an explicit full rewrite through ``TableIO.write`` once the
+stream is drained — never an implicit lineage merge.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import os
+
+from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..io import TableIO, lineage_rows, with_bucket
+from ..io import lineage_rows, with_bucket
 from ..pipeline import run_extraction
 from ..schemas import DOC_SCHEMA
+
+
+def stream_paths(out_root: str) -> tuple[str, str]:
+    """(docs_out_stream, lineage_stream) — deliberately distinct from the
+    batch TableIO paths (see lineage-quarantine note in the module doc)."""
+    return (
+        os.path.join(out_root, "docs_out_stream"),
+        os.path.join(out_root, "lineage_stream"),
+    )
+
+
+def make_process_batch(spark: SparkSession, out_root: str, n_buckets: int):
+    """foreachBatch body, exposed for direct re-delivery testing."""
+    docs_path, lineage_path = stream_paths(out_root)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        docs_out = run_extraction(spark, batch_df)
+        out = with_bucket(docs_out, n_buckets)
+        # per-write option, NOT spark.conf.set: foreachBatch executes under a
+        # cloned micro-batch session whose conf snapshot ignores later driver
+        # conf mutations — a session-level setting silently degrades to
+        # static overwrite (wiping prior batches)
+        (
+            out.withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "batch_id")
+            .parquet(docs_path)
+        )
+        # lineage from the files just written (no second DAG execution);
+        # batch_id partition pruning keeps the re-scan to this batch only
+        back = (
+            spark.read.parquet(docs_path)
+            .filter(F.col("batch_id") == int(batch_id))
+            .drop("batch_id")
+        )
+        (
+            lineage_rows(back)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(lineage_path)
+        )
+
+    return process_batch
 
 
 def run_streaming_extraction(
@@ -33,26 +94,14 @@ def run_streaming_extraction(
     max_files_per_trigger: int = 4,
 ) -> StreamingQuery:
     """Stream docs parquet files from ``source_dir``; each micro-batch runs the
-    batch pipeline body and writes through the idempotent sink."""
-    io = TableIO(spark, out_root, n_buckets)
-
+    batch pipeline body and writes idempotently (see module doc)."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-
-    def process_batch(batch_df, batch_id: int) -> None:
-        docs_out = run_extraction(spark, batch_df)
-        out = with_bucket(docs_out, n_buckets)
-        # append (not overwrite): a micro-batch holds a slice of each bucket;
-        # exactly-once comes from the streaming checkpoint (re-delivered
-        # batches are re-run deterministically)
-        out.write.mode("append").partitionBy("bucket").parquet(io.docs_out_path)
-        lineage_rows(out).write.mode("append").parquet(io.lineage_path)
-
     return (
-        stream.writeStream.foreachBatch(process_batch)
+        stream.writeStream.foreachBatch(make_process_batch(spark, out_root, n_buckets))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
