@@ -80,6 +80,39 @@ def extract_spans_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
+def extract_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the media branch only: (doc_id, offset,
+    media_ref) rows -> flat extracted-span rows. The text branch stays
+    JVM-side (functions.stripexpr.stripped_text), so ~80% of span bytes never
+    cross the Python boundary."""
+    for pdf in batches:
+        o_doc: list = []
+        o_off: list = []
+        o_sub: list = []
+        o_kind: list = []
+        o_text: list = []
+        o_ref: list = []
+        for doc_id, mref, off in zip(pdf["doc_id"], pdf["media_ref"], pdf["offset"]):
+            outs = extract_page_np(resolve_descriptor(mref), int(off), mref)
+            for i, (k, t, m) in enumerate(outs):
+                o_doc.append(doc_id)
+                o_off.append(off)
+                o_sub.append(i)
+                o_kind.append(k)
+                o_text.append(t)
+                o_ref.append(m)
+        yield pd.DataFrame(
+            {
+                "doc_id": o_doc,
+                "offset": pd.Series(o_off, dtype="int32"),
+                "sub": pd.Series(o_sub, dtype="int32"),
+                "kind": o_kind,
+                "text": o_text,
+                "media_ref": o_ref,
+            }
+        )
+
+
 LAYOUT_SCHEMA = (
     "doc_id string, offset int, media_ref string, label string, "
     "x1 int, y1 int, x2 int, y2 int, score double"

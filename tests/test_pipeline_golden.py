@@ -28,3 +28,14 @@ def test_pipeline_output_offsets_dense(spark, docs_df):
     for r in run_extraction(spark, docs_df).collect():
         offs = [s["offset"] for s in r["spans"]]
         assert offs == list(range(len(offs)))
+
+
+def test_jvm_text_path_equals_fused_kernel(spark, docs_df):
+    """The Catalyst text branch (functions.stripexpr) is semantics-identical
+    to the Python strip kernel — the documented alternative stays correct."""
+    def canon(df):
+        return {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in df.collect()}
+
+    assert canon(run_extraction(spark, docs_df, text_path="jvm")) == canon(
+        run_extraction(spark, docs_df, text_path="python")
+    )
