@@ -46,6 +46,9 @@ def minhash_lsh_buckets(df: DataFrame, id_col: str, text_col: str,
 
     Signature: per band b, min over words of md5(b || '|' || word). Word-level
     shingles; the md5 hex ordering is the hash order (identical in DuckDB).
+    Single-row bands — the hash-exact oracle form; the tunable
+    precision/recall form is ``minhash_banded_buckets`` (r rows per band:
+    candidate probability s^r per band, 1-(1-s^r)^b overall for Jaccard s).
     """
     words = (
         df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(_words(text_col))).alias("w"))
@@ -62,9 +65,55 @@ def minhash_lsh_buckets(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def minhash_banded_buckets(df: DataFrame, id_col: str, text_col: str,
+                           n_bands: int = 3, n_rows: int = 2) -> DataFrame:
+    """(bands x rows) MinHash-LSH: the standard tunable banding.
+
+    Signature = n_bands*n_rows independent min-hashes (hash i = min over
+    words of md5(i || '|' || w)); band j's bucket key = md5 of its n_rows
+    row-hashes concatenated in hash order. Two docs become candidates in band
+    j iff ALL r row-hashes agree — P(candidate per band) = s^r for Jaccard s,
+    overall 1-(1-s^r)^b: r sharpens precision, b buys recall back, both free
+    parameters at scale (the single-row form has no precision knob). Still
+    one shuffle on (band, band_key).
+    """
+    n_hashes = n_bands * n_rows
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(_words(text_col))).alias("w"),
+    )
+    hashes = words.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i"),
+        F.col("w"),
+    ).withColumn("h", F.md5(F.concat_ws("|", F.col("i").cast("string"), F.col("w"))))
+    sig = hashes.groupBy("doc", "i").agg(F.min("h").alias("mh"))
+    band_key = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s["mh"]
+            ),
+            "|",
+        )
+    )
+    banded = (
+        sig.withColumn("band", (F.col("i") / n_rows).cast("int"))
+        .groupBy("doc", "band")
+        .agg(band_key.alias("band_key"))
+    )
+    return (
+        banded.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash: bit j votes +1/-1 by the high bit of hex digit j of
-    md5(token); signature bit = sign of the vote sum. Output (id, simhash)."""
+    md5(token); signature bit = sign of the vote sum. Output (id, simhash).
+
+    Hash-exact oracle form; at corpus scale use ``simhash64`` — with 10^10+
+    docs a 16-bit space (65k signatures) collides almost everything."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(_words(text_col)).alias("w")
     ).withColumn("h", F.md5("w"))
@@ -82,6 +131,41 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         bit = F.when(F.col(f"v{j}") > 0, 2**j).otherwise(0)
         sim = bit if sim is None else sim + bit
     return votes.select("doc", sim.cast("bigint").alias("simhash"))
+
+
+def _md5_bit(h, b: int):
+    """Bit b of the 128-bit md5: bit (b % 4) of hex digit (b // 4)."""
+    digit_val = F.instr(F.lit("0123456789abcdef"), F.substring(h, b // 4 + 1, 1)) - 1
+    return F.floor(digit_val / F.lit(2 ** (b % 4))) % 2
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over md5 token hashes (bits 0..63 of the digest).
+
+    Emitted as two 32-bit halves (simhash_hi = bits 32..63, simhash_lo =
+    bits 0..31) so the value fits signed BIGINT on both engines. Dedup use:
+    group on (hi, lo) for exact-signature collisions; near-dup probing flips
+    Hamming-neighborhood bits per half. Still one shuffle (the groupBy)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(_words(text_col)).alias("w")
+    ).withColumn("h", F.md5("w"))
+    votes = toks.select(
+        "doc",
+        *[
+            F.when(_md5_bit(F.col("h"), b) == 1, 1).otherwise(-1).alias(f"b{b}")
+            for b in range(64)
+        ],
+    ).groupBy("doc").agg(*[F.sum(f"b{b}").alias(f"v{b}") for b in range(64)])
+    lo = None
+    hi = None
+    for b in range(32):
+        bit_lo = F.when(F.col(f"v{b}") > 0, 2**b).otherwise(0)
+        bit_hi = F.when(F.col(f"v{b + 32}") > 0, 2**b).otherwise(0)
+        lo = bit_lo if lo is None else lo + bit_lo
+        hi = bit_hi if hi is None else hi + bit_hi
+    return votes.select(
+        "doc", hi.cast("bigint").alias("simhash_hi"), lo.cast("bigint").alias("simhash_lo")
+    )
 
 
 def ngram_shingles(text_col: str, n: int = 3):

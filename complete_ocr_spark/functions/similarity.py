@@ -2,17 +2,51 @@
 
 * brute-force cosine top-k: JVM-side ``F.aggregate``/``F.zip_with`` fold — no
   Python, no shuffle beyond the final top-k (a single reduce).
-* sign-LSH bucketing: group vectors by the sign pattern of their leading
-  dimensions — the scale path: candidate pairs only form within a bucket, so
-  the O(n^2) compare becomes a per-bucket (equi-join-able) problem. With a
-  random-hyperplane matrix this is classic SRP-LSH; the deterministic
-  axis-aligned variant keeps the DuckDB oracle exact.
-* embedding-cosine near-dup: bucket join + exact cosine verify.
+* sign-LSH bucketing: group vectors by a sign pattern — the scale path:
+  candidate pairs only form within a bucket, so the O(n^2) compare becomes a
+  per-bucket (equi-join-able) problem. Two variants:
+  - axis-aligned (``sign_bucket``): signs of the leading dimensions —
+    deterministic, trivially oracle-checkable, fixed at <= 2^n_bits buckets;
+  - random-hyperplane SRP (``srp_bucket``): signs of dot products against
+    seeded Gaussian hyperplanes — the production form; bits and table count
+    are free parameters, and the hyperplanes are literal arrays so the
+    DuckDB oracle computes identical buckets.
+* embedding-cosine near-dup: bucket join (single- or multi-table) + exact
+  cosine verify.
+
+Sizing at scale (the recall/size trade, SURVEY.md §8): with b bits the
+expected bucket population is n/2^b, and the within-bucket pair join costs
+~n^2/2^b — so b must GROW with n: b = ceil(log2(n / target_bucket)) keeps
+per-bucket work constant (``suggest_bits``). A pair at angle theta collides
+in one b-bit table with probability (1 - theta/pi)^b, so recall for
+near-dups (theta -> 0) stays ~1 while random pairs vanish; multiple
+independent tables push recall 1 - (1 - p)^T at linear cost in T. The
+axis-aligned variant is kept for hash-exact small-scale oracles; SRP is the
+one to deploy.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
+
+SRP_SEED = 1234
+
+
+def suggest_bits(n_rows: int, target_bucket: int = 64) -> int:
+    """Bits that keep the expected bucket population ~= target_bucket."""
+    return max(8, math.ceil(math.log2(max(n_rows, 1) / target_bucket)))
+
+
+def srp_hyperplanes(dim: int, n_bits: int, table: int = 0,
+                    seed: int = SRP_SEED) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes, rounded to 6 decimals so the SQL
+    oracle embeds bit-identical literals."""
+    rng = np.random.RandomState(seed * 1_000_003 + table)
+    return [[round(float(c), 6) for c in row]
+            for row in rng.standard_normal((n_bits, dim))]
 
 
 def dot(a, b):
@@ -60,6 +94,15 @@ def sign_bucket(vec_col: str, n_bits: int = 8):
     return out.cast("bigint")
 
 
+def srp_bucket(vec_col: str, planes: list[list[float]]):
+    """SRP-LSH bucket: bit j = sign of dot(vec, hyperplane_j)."""
+    out = F.lit(0)
+    for j, h in enumerate(planes):
+        hl = F.array(*[F.lit(float(c)) for c in h])
+        out = out + F.when(dot(F.col(vec_col), hl) >= 0, 2**j).otherwise(0)
+    return out.cast("bigint")
+
+
 def lsh_bucket_counts(df: DataFrame, vec_col: str, n_bits: int = 8) -> DataFrame:
     """Bucket histogram — the partition-size profile of the ANN scale path."""
     return (
@@ -69,9 +112,52 @@ def lsh_bucket_counts(df: DataFrame, vec_col: str, n_bits: int = 8) -> DataFrame
     )
 
 
+def embedding_near_dup_srp(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                           threshold: float = 0.3, n_bits: int = 10,
+                           n_tables: int = 2, seed: int = SRP_SEED) -> DataFrame:
+    """Scale-form near-dup: multi-table SRP-LSH candidates + exact cosine.
+
+    Each table t buckets by ``srp_bucket`` with its own hyperplanes; a pair is
+    a candidate if it collides in ANY table (recall 1 - (1-p)^T for per-table
+    collision probability p = (1 - theta/pi)^n_bits); candidates are
+    deduplicated across tables before the exact verify. ``n_bits`` should be
+    ``suggest_bits(n)`` at deployment — per-bucket pair work stays ~constant
+    as n grows, unlike the fixed-width axis variant.
+    """
+    cands = None
+    for t in range(n_tables):
+        planes = srp_hyperplanes(dim, n_bits, table=t, seed=seed)
+        b = df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            srp_bucket(vec_col, planes).alias("bucket"),
+        )
+        x, y = b.alias("x"), b.alias("y")
+        p = x.join(
+            y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vid") < F.col("y.vid"))
+        ).select(
+            F.col("x.vid").alias("id1"), F.col("y.vid").alias("id2"),
+            F.col("x.v").alias("v1"), F.col("y.v").alias("v2"),
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    uniq = cands.groupBy("id1", "id2").agg(
+        F.first("v1").alias("v1"), F.first("v2").alias("v2")
+    )
+    return (
+        uniq.select(
+            "id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95, n_bits: int = 8) -> DataFrame:
-    """Near-duplicate vector pairs: sign-LSH candidate join + exact cosine."""
+    """Near-duplicate vector pairs: sign-LSH candidate join + exact cosine.
+
+    Axis-aligned buckets — the hash-exact oracle form; at deployment scale
+    prefer ``embedding_near_dup_srp`` with ``suggest_bits(n)`` (fixed 2^8
+    buckets make the within-bucket join O(n^2/256), quadratic again)."""
     b = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),

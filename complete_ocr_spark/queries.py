@@ -558,6 +558,112 @@ SELECT doc, CAST({bits} AS BIGINT) AS simhash FROM votes
 """
 
 
+def q_simhash64(spark, sf_dir):
+    """64-bit SimHash (scale form of q_simhash): signature emitted as two
+    32-bit halves so it fits signed BIGINT on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash64(d, "doc_id", "text")
+
+
+def _simhash64_sql() -> str:
+    def bit(b):
+        return (f"((instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1) "
+                f"// {2 ** (b % 4)}) % 2 = 1")
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN {bit(b)} THEN 1 ELSE -1 END) AS v{b}" for b in range(64)
+    )
+    lo = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32))
+    hi = " + ".join(f"(CASE WHEN v{b + 32} > 0 THEN {2**b} ELSE 0 END)" for b in range(32))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         md5(unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS h
+  FROM documents),
+votes AS (
+  SELECT doc,
+         {votes}
+  FROM toks GROUP BY doc)
+SELECT doc, CAST({hi} AS BIGINT) AS simhash_hi, CAST({lo} AS BIGINT) AS simhash_lo
+FROM votes
+"""
+
+
+def q_minhash_bands(spark, sf_dir):
+    """(bands x rows) MinHash-LSH (3 bands x 2 rows): the tunable banding —
+    candidate probability s^r per band, 1-(1-s^r)^b overall."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_banded_buckets(d, "doc_id", "text", n_bands=3, n_rows=2).select(
+        "band", "band_key", "n_docs", F.element_at("docs", 1).alias("min_doc")
+    )
+
+
+SQL_MINHASH_BANDS = r"""
+WITH words AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS w
+  FROM documents),
+hashes AS (
+  SELECT doc, i, md5(CAST(i AS VARCHAR) || '|' || w) AS h
+  FROM words, (SELECT unnest(range(6)) AS i)),
+sig AS (SELECT doc, i, MIN(h) AS mh FROM hashes GROUP BY doc, i),
+banded AS (
+  SELECT doc, CAST(i // 2 AS INT) AS band,
+         md5(string_agg(mh, '|' ORDER BY i)) AS band_key
+  FROM sig GROUP BY doc, CAST(i // 2 AS INT))
+SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc) AS min_doc
+FROM banded GROUP BY band, band_key HAVING COUNT(*) > 1
+"""
+
+
+_SRP_BITS, _SRP_TABLES, _SRP_DIM, _SRP_THR = 10, 2, 64, 0.2
+
+
+def q_embed_near_dup_srp(spark, sf_dir):
+    """Scale-form near-dup: multi-table random-hyperplane SRP-LSH candidates
+    + exact cosine verify (similarity.embedding_near_dup_srp). Unlike the
+    fixed-256-bucket axis variant, bits/tables are free parameters — size
+    bits with similarity.suggest_bits(n) so per-bucket pair work stays flat
+    as n grows; hyperplanes are seeded literals, identical in the oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_srp(
+        e, "vec_id", "embedding", dim=_SRP_DIM,
+        threshold=_SRP_THR, n_bits=_SRP_BITS, n_tables=_SRP_TABLES,
+    )
+
+
+def _srp_sql() -> str:
+    tables = []
+    for t in range(_SRP_TABLES):
+        planes = similarity.srp_hyperplanes(_SRP_DIM, _SRP_BITS, table=t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({planes[j]} AS DOUBLE[])) >= 0 THEN {2**j} ELSE 0 END)"
+            for j in range(_SRP_BITS)
+        )
+        tables.append(
+            f"b{t} AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM e)"
+        )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT x.vec_id AS id1, y.vec_id AS id2 FROM b{t} x "
+        f"JOIN b{t} y ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
+        for t in range(_SRP_TABLES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+{", ".join(tables)},
+cand AS (SELECT DISTINCT id1, id2 FROM ({unions})),
+pairs AS (
+  SELECT id1, id2, ex.embedding AS e1, ey.embedding AS e2
+  FROM cand JOIN e ex ON ex.vec_id = id1 JOIN e ey ON ey.vec_id = id2),
+u AS (SELECT id1, id2, CAST(unnest(e1) AS DOUBLE) AS a, CAST(unnest(e2) AS DOUBLE) AS c
+      FROM pairs),
+d AS (SELECT id1, id2, SUM(a * c) AS dot, SUM(a * a) AS na, SUM(c * c) AS nc
+      FROM u GROUP BY id1, id2)
+SELECT id1, id2, ROUND(dot / (sqrt(na) * sqrt(nc)), 6) AS cos
+FROM d WHERE ROUND(dot / (sqrt(na) * sqrt(nc)), 6) >= {_SRP_THR}
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
@@ -1058,6 +1164,9 @@ REGISTRY: dict[str, tuple] = {
     "q_fingerprint_groups": (q_fingerprint_groups, SQL_FP),
     "q_minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
     "q_simhash": (q_simhash, _simhash_sql()),
+    "q_simhash64": (q_simhash64, _simhash64_sql()),
+    "q_minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
+    "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
     "q_ann_topk": (q_ann_topk, SQL_ANN),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
