@@ -35,7 +35,11 @@ BENCH_QUERIES = [
     "q_fingerprint_groups",
     "q_ann_topk",
     "q_embed_near_dup",
+    "q_embed_near_dup_srp",
+    "q_simhash64",
+    "q_minhash_bands",
     "q_strip_text_blocks",
+    "q_nested_hocr",
 ]
 
 

@@ -145,14 +145,28 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Emitted as two 32-bit halves (simhash_hi = bits 32..63, simhash_lo =
     bits 0..31) so the value fits signed BIGINT on both engines. Dedup use:
     group on (hi, lo) for exact-signature collisions; near-dup probing flips
-    Hamming-neighborhood bits per half. Still one shuffle (the groupBy)."""
+    Hamming-neighborhood bits per half. Still one shuffle (the groupBy).
+
+    The 16 hex-digit values are projected ONCE per token, so the 64 vote
+    sums are pure arithmetic — the naive per-bit substring/instr form did 64
+    string ops per token and measured ~2x slower at sf0.1."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(_words(text_col)).alias("w")
     ).withColumn("h", F.md5("w"))
-    votes = toks.select(
+    digits = toks.select(
         "doc",
         *[
-            F.when(_md5_bit(F.col("h"), b) == 1, 1).otherwise(-1).alias(f"b{b}")
+            (F.instr(F.lit("0123456789abcdef"), F.substring("h", d + 1, 1)) - 1)
+            .alias(f"d{d}")
+            for d in range(16)
+        ],
+    )
+    votes = digits.select(
+        "doc",
+        *[
+            F.when(
+                F.floor(F.col(f"d{b // 4}") / F.lit(2 ** (b % 4))) % 2 == 1, 1
+            ).otherwise(-1).alias(f"b{b}")
             for b in range(64)
         ],
     ).groupBy("doc").agg(*[F.sum(f"b{b}").alias(f"v{b}") for b in range(64)])
