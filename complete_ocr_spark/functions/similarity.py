@@ -112,6 +112,64 @@ def lsh_bucket_counts(df: DataFrame, vec_col: str, n_bits: int = 8) -> DataFrame
     )
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = SRP_SEED) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids: seeded Gaussian directions,
+    L2-normalized, rounded to 6 decimals (literal-embeddable in the SQL
+    oracle). A production deployment would train these with k-means over a
+    sample; the assignment/probe/rerank plan is identical."""
+    rng = np.random.RandomState((seed * 7_000_003) % (2**32))
+    c = rng.standard_normal((n_cells, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return [[round(float(x), 6) for x in row] for row in c]
+
+
+def ivf_cell(vec_col: str, cents: list[list[float]]):
+    """Cell id (1-based) = argmax over centroids of round(dot(v, c), 6).
+
+    The rounding makes the argmax engine-portable: Spark's sequential
+    ``aggregate`` fold and an oracle's unordered SUM can differ in the last
+    ulp, but not at 1e-6 — both engines then pick the same first maximum."""
+    dots = F.array(
+        *[
+            F.round(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])), 6)
+            for c in cents
+        ]
+    )
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ann_ivf_topk(df: DataFrame, id_col: str, vec_col: str,
+                 query_vec: list[float], cents: list[list[float]],
+                 n_probe: int = 4, k: int = 10) -> DataFrame:
+    """IVF ANN: assign rows to coarse cells, scan only the query's n_probe
+    nearest cells, exact cosine rerank. At 10^12 vectors the cell id is a
+    partition column: probing reads n_probe/n_cells of the table via
+    partition pruning instead of a full scan; cells are independent so the
+    assignment is one narrow map and the rerank shuffles only candidates."""
+    def pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    order = sorted(
+        range(len(cents)), key=lambda j: (-round(pydot(query_vec, cents[j]), 6), j)
+    )
+    probe_cells = [j + 1 for j in order[:n_probe]]  # 1-based like array_position
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.withColumn("cell", ivf_cell(vec_col, cents))
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            "cell",
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_srp(df: DataFrame, id_col: str, vec_col: str, dim: int,
                            threshold: float = 0.3, n_bits: int = 10,
                            n_tables: int = 2, seed: int = SRP_SEED) -> DataFrame:

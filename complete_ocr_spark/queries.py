@@ -767,6 +767,55 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+_IVF_CELLS, _IVF_PROBE = 16, 4
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the coarse-quantizer scale path beside multiprobe sign-LSH):
+    argmax-cell assignment against 16 literal centroids, probe the query's 4
+    nearest cells (1/4 of the table via cell pruning at scale), exact cosine
+    rerank. Rounded dots make the argmax engine-portable."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = list(e.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
+    return similarity.ann_ivf_topk(
+        e, "vec_id", "embedding", qv, cents, n_probe=_IVF_PROBE, k=10
+    )
+
+
+def _ivf_sql() -> str:
+    cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
+
+    def cdot(c):
+        return (f"ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"CAST({c} AS DOUBLE[])), 6)")
+
+    dots_list = ", ".join(cdot(c) for c in cents)
+    qprobe = "\n    UNION ALL ".join(
+        f"SELECT {j + 1} AS cell, (SELECT {cdot(c)} FROM embeddings WHERE vec_id = 0) AS d"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+WITH cells AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(dl, list_max(dl)) AS INT) AS cell
+  FROM (SELECT vec_id, embedding, [{dots_list}] AS dl FROM embeddings)),
+qcells AS (
+  SELECT cell FROM ({qprobe}) ORDER BY d DESC, cell LIMIT {_IVF_PROBE}),
+cand AS (SELECT * FROM cells WHERE cell IN (SELECT cell FROM qcells)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+x AS (SELECT vec_id, cell, CAST(unnest(embedding) AS DOUBLE) AS a,
+             generate_subscripts(embedding, 1) AS i FROM cand),
+y AS (SELECT CAST(unnest(qv) AS DOUBLE) AS b, generate_subscripts(qv, 1) AS i FROM q),
+d AS (SELECT vec_id, cell, SUM(a * b) AS dot, SUM(a * a) AS na
+      FROM x JOIN y USING (i) GROUP BY vec_id, cell),
+nq AS (SELECT SUM(b * b) AS nb FROM y)
+SELECT vec_id, cell, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM d, nq
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
 def q_lsh_buckets(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucket_counts(e, "embedding", n_bits=8)
@@ -1170,6 +1219,7 @@ REGISTRY: dict[str, tuple] = {
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
     "q_ann_topk": (q_ann_topk, SQL_ANN),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
+    "q_ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
     "q_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "q_embed_near_dup": (q_embed_near_dup, SQL_NEAR_DUP),
     "q_docs_span_stats": (q_docs_span_stats, SQL_DOCS_STATS),

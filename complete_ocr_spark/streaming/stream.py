@@ -85,6 +85,22 @@ def make_process_batch(spark: SparkSession, out_root: str, n_buckets: int):
     return process_batch
 
 
+def finalize_stream(spark: SparkSession, out_root: str, n_buckets: int = 32) -> dict:
+    """Promote a DRAINED stream's output into the batch table.
+
+    Bucket-level completion is only true once the stream has consumed all
+    input (availableNow query terminated); this is therefore an explicit full
+    rewrite of the streamed rows through ``TableIO.write`` — batch lineage
+    then marks the buckets complete and ``run_job`` resumes past them. Never
+    merge stream lineage into batch lineage directly: its rows describe
+    per-micro-batch slices, not whole buckets (module doc)."""
+    from ..io import TableIO
+
+    docs_path, _ = stream_paths(out_root)
+    streamed = spark.read.parquet(docs_path).drop("bucket", "batch_id")
+    return TableIO(spark, out_root, n_buckets).write(streamed)
+
+
 def run_streaming_extraction(
     spark: SparkSession,
     source_dir: str,

@@ -80,6 +80,15 @@ def test_streaming_equals_batch_and_is_idempotent(spark, tmp_path):
         run_extraction(spark, spark.createDataFrame(rows, schema=DOC_SCHEMA))
     )
 
+    # --- finalize: promote drained stream output to the batch table -------
+    from complete_ocr_spark.streaming.stream import finalize_stream
+
+    stats = finalize_stream(spark, out_root, n_buckets=4)
+    assert stats["doc_count"] == 40
+    all_df = spark.createDataFrame(rows, schema=DOC_SCHEMA)
+    r = run_job(spark, all_df, out_root, n_buckets=4)
+    assert r == {"docs_processed": 0, "skipped": True}  # batch resumes past it
+
 
 def test_stream_lineage_never_marks_batch_buckets_complete(spark, tmp_path):
     """Half-streamed data must not let a later batch run skip documents:
