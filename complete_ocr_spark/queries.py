@@ -1166,6 +1166,46 @@ GROUP BY doc_id
 """
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal feature-extraction UDF, checked on its SQL-computable
+    surface: payload size and typed metadata are md5-derivable
+    (multimodal.media_meta), so the oracle recomputes them exactly; the
+    decoded luma statistics remain covered by tests/test_multimodal.py
+    (payload bytes are a keystream no SQL engine should reimplement)."""
+    from .functions.multimodal import FEATURE_SCHEMA, extract_features_batch, media_table
+
+    docs = spark.read.parquet(DOCS_SF01)
+    feats = media_table(spark, docs).mapInPandas(
+        extract_features_batch, schema=FEATURE_SCHEMA
+    )
+    return feats.select("media_ref", "modality", "n_bytes")
+
+
+SQL_MEDIA_FEATURES = f"""
+WITH refs AS (
+  SELECT s.media_ref AS media_ref
+  FROM (SELECT unnest(spans) AS s FROM '{DOCS_SF01}')
+  WHERE s.kind = 'media_ref'),
+m AS (
+  SELECT media_ref,
+         ('0x' || substr(md5(media_ref), 1, 4))::BIGINT AS h1,
+         ('0x' || substr(md5(media_ref), 5, 4))::BIGINT AS h2,
+         ('0x' || substr(md5(media_ref), 9, 4))::BIGINT AS h3,
+         ('0x' || substr(md5(media_ref), 13, 4))::BIGINT AS h4
+  FROM refs),
+meta AS (
+  SELECT media_ref,
+         CASE (h1 % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         32 + h2 % 97 AS w, 32 + h3 % 97 AS hh,
+         CASE WHEN h1 % 3 = 0 THEN 1 ELSE 1 + h4 % 12 END AS nf
+  FROM m)
+SELECT media_ref, modality,
+       CAST(LEAST((CASE WHEN modality = 'audio' THEN 2048 + (w * hh) % 2048
+                        ELSE w * hh END) * nf, 65536) AS INT) AS n_bytes
+FROM meta
+"""
+
+
 def q_extract_pipeline(spark, sf_dir):
     """Full extraction pipeline over the committed sf0.001 docs table, exploded
     to flat rows. The oracle side scans the committed golden parquet produced
@@ -1229,6 +1269,7 @@ REGISTRY: dict[str, tuple] = {
     "q_hocr_documents": (q_hocr_documents, SQL_HOCR_DOCS),
     "q_merge_short_spans": (q_merge_short_spans, SQL_MERGE_SHORT),
     "q_media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAMES),
+    "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "q_nested_hocr": (q_nested_hocr, SQL_NESTED),
     "q_layout_classes": (q_layout_classes, SQL_LAYOUT),
     "q_page_text_unmasked": (q_page_text_unmasked, SQL_PAGE_VIEWS),

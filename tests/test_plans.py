@@ -37,6 +37,7 @@ def test_relational_queries_have_no_python_eval(spark):
         if name in (
             "q_extract_pipeline",
             "q_media_frame_sample",
+            "q_media_features",
             "q_nested_hocr",
             "q_layout_classes",
             "q_page_text_unmasked",
