@@ -1,0 +1,62 @@
+"""Dedup-operator invariants: byte-identical documents must collide in every
+signature scheme (exact fingerprint, banded MinHash, SimHash-16/64, SRP)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from complete_ocr_spark.functions import dedup, similarity
+
+
+def _docs(spark):
+    base = (
+        "spark shuffles partitioned batches of vectorized arrow pages "
+        "through catalyst while the reader prunes nested columns"
+    )
+    other = "a completely different document about table detection and ocr lines"
+    rows = [("a", base), ("b", base), ("c", other), ("d", other + " extended")]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_duplicates_collide_everywhere(spark):
+    d = _docs(spark)
+
+    groups = dedup.exact_dup_groups(d, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == "a"
+
+    banded = dedup.minhash_banded_buckets(d, "doc_id", "text", n_bands=3, n_rows=2)
+    ab = [r for r in banded.collect() if set(r["docs"]) >= {"a", "b"}]
+    assert len(ab) == 3  # identical docs collide in EVERY band
+
+    s64 = {r["doc"]: (r["simhash_hi"], r["simhash_lo"])
+           for r in dedup.simhash64(d, "doc_id", "text").collect()}
+    assert s64["a"] == s64["b"]
+    assert s64["a"] != s64["c"]
+    for hi, lo in s64.values():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+    s16 = {r["doc"]: r["simhash"] for r in dedup.simhash16(d, "doc_id", "text").collect()}
+    assert s16["a"] == s16["b"]
+
+
+def test_srp_identical_vectors_share_every_bucket(spark):
+    vecs = [(0, [1.0, -2.0, 0.5, 3.0]), (1, [1.0, -2.0, 0.5, 3.0]),
+            (2, [-1.0, 2.0, -0.5, -3.0])]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    for table in range(2):
+        planes = similarity.srp_hyperplanes(4, 6, table=table)
+        b = {r["vec_id"]: r["bucket"] for r in
+             df.select("vec_id", similarity.srp_bucket("embedding", planes).alias("bucket")).collect()}
+        assert b[0] == b[1]
+        # the negated vector lands in the complementary bucket
+        assert b[2] == (2**6 - 1) ^ b[0]
+    pairs = similarity.embedding_near_dup_srp(
+        df, "vec_id", "embedding", dim=4, threshold=0.99, n_bits=6, n_tables=2
+    ).collect()
+    assert [(r["id1"], r["id2"]) for r in pairs] == [(0, 1)]
+
+
+def test_suggest_bits_grows_with_data():
+    assert similarity.suggest_bits(10**3) == 8
+    assert similarity.suggest_bits(10**6, target_bucket=64) == 14
+    assert similarity.suggest_bits(10**12, target_bucket=64) == 34

@@ -2,10 +2,32 @@
 
 from __future__ import annotations
 
+import pytest
+
 from complete_ocr_spark.oracle import extract_document
 from complete_ocr_spark.pipeline import run_extraction
 from complete_ocr_spark.schemas import DOC_SCHEMA
 from complete_ocr_spark.synth import make_docs
+
+DEGENERATE_DOCS = [
+    ("doc-empty", []),
+    ("doc-null-text", [("text", None, None, 0)]),
+    ("doc-unknown-kind", [("mystery", "x", None, 0)]),
+    ("doc-null-mref", [("media_ref", None, None, 0)]),
+    ("doc-all-boilerplate", [("text", '<div class="nav"><a href="#">home</a></div>', None, 0)]),
+]
+
+
+@pytest.mark.parametrize("text_path", ["python", "jvm"])
+def test_degenerate_docs_stay_present_with_empty_spans(spark, text_path):
+    """Both text paths: empty/null/unknown/all-boilerplate docs must yield a
+    PRESENT output row with spans=[] (seed-union), never vanish or crash."""
+    df = spark.createDataFrame(DEGENERATE_DOCS, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in run_extraction(spark, df, text_path=text_path).collect()
+    }
+    assert out == {doc_id: [] for doc_id, _ in DEGENERATE_DOCS}
 
 
 def test_output_independent_of_span_array_order(spark):
