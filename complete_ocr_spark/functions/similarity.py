@@ -181,23 +181,32 @@ def embedding_near_dup_srp(df: DataFrame, id_col: str, vec_col: str, dim: int,
     deduplicated across tables before the exact verify. ``n_bits`` should be
     ``suggest_bits(n)`` at deployment — per-bucket pair work stays ~constant
     as n grows, unlike the fixed-width axis variant.
+
+    Join shape: all T buckets are computed in ONE scan (posexplode to
+    (table, bucket) rows) and candidates come from a single self-equi-join on
+    that composite key — T separate self-joins would scan the table 2T times.
     """
-    cands = None
-    for t in range(n_tables):
-        planes = srp_hyperplanes(dim, n_bits, table=t, seed=seed)
-        b = df.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("v"),
-            srp_bucket(vec_col, planes).alias("bucket"),
-        )
-        x, y = b.alias("x"), b.alias("y")
-        p = x.join(
-            y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vid") < F.col("y.vid"))
-        ).select(
-            F.col("x.vid").alias("id1"), F.col("y.vid").alias("id2"),
-            F.col("x.v").alias("v1"), F.col("y.v").alias("v2"),
-        )
-        cands = p if cands is None else cands.unionByName(p)
+    all_buckets = F.array(
+        *[
+            srp_bucket(vec_col, srp_hyperplanes(dim, n_bits, table=t, seed=seed))
+            for t in range(n_tables)
+        ]
+    )
+    b = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(all_buckets).alias("tbl", "bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cands = x.join(
+        y,
+        (F.col("x.tbl") == F.col("y.tbl"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.vid") < F.col("y.vid")),
+    ).select(
+        F.col("x.vid").alias("id1"), F.col("y.vid").alias("id2"),
+        F.col("x.v").alias("v1"), F.col("y.v").alias("v2"),
+    )
     uniq = cands.groupBy("id1", "id2").agg(
         F.first("v1").alias("v1"), F.first("v2").alias("v2")
     )
