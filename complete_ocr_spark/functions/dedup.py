@@ -133,12 +133,6 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("doc", sim.cast("bigint").alias("simhash"))
 
 
-def _md5_bit(h, b: int):
-    """Bit b of the 128-bit md5: bit (b % 4) of hex digit (b // 4)."""
-    digit_val = F.instr(F.lit("0123456789abcdef"), F.substring(h, b // 4 + 1, 1)) - 1
-    return F.floor(digit_val / F.lit(2 ** (b % 4))) % 2
-
-
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over md5 token hashes (bits 0..63 of the digest).
 

@@ -61,13 +61,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _docs_path(sf_dir: str) -> str:
-    """Synth docs parquet matching the sf of sf_dir (committed; deterministic)."""
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    cand = os.path.join(_REPO, "data", f"docs_{sf}.parquet")
-    return cand if os.path.exists(cand) else DOCS_SF01
-
-
 def _us(col):
     """Epoch microseconds from a (possibly NTZ) timestamp; session TZ is UTC so
     this matches DuckDB's epoch_us on the naive value."""

@@ -48,6 +48,22 @@ def test_relational_queries_have_no_python_eval(spark):
         assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, name
 
 
+def test_srp_near_dup_is_single_pass_per_join_side(spark):
+    """Multi-table SRP candidates: all T buckets from ONE posexplode, so the
+    plan holds exactly 2 vector scans (the self-join sides) — T separate
+    per-table joins would scan 2T times."""
+    plan = _plan(REGISTRY["q_embed_near_dup_srp"][0](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_ivf_topk_is_scan_plus_take_ordered(spark):
+    """IVF probe: narrow cell filter + TakeOrderedAndProject — no shuffle
+    before the top-k reduce."""
+    plan = _plan(REGISTRY["q_ann_ivf_topk"][0](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1]
+
+
 def test_pipeline_has_exactly_two_exchanges(spark, docs_df):
     """SURVEY §3.4: one salt repartition before the kernel, one reassembly
     shuffle — any extra exchange is a scale regression."""
