@@ -18,6 +18,34 @@ DEGENERATE_DOCS = [
 ]
 
 
+def test_mega_doc_extracts_exactly(spark):
+    """Skew food: one 8,000-span doc (~25x the synth long-tail p99) next to a
+    tiny doc. The salt repartition spreads its spans across partitions and
+    the reassembly collect_list stays bounded by the doc itself — output must
+    equal the oracle exactly, offsets dense."""
+    spans = []
+    for off in range(8000):
+        if off % 5 == 0:
+            spans.append(("media_ref", None, f"synth://page/mega/{off}", off))
+        else:
+            spans.append(("text", "<p>" + "alpha beta gamma delta epsilon " * 3 + "</p>", None, off))
+    rows = [("doc-mega", spans), ("doc-tiny", [("text", "<p>one two three four five six</p>", None, 0)])]
+    out = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in run_extraction(spark, spark.createDataFrame(rows, DOC_SCHEMA)).collect()
+    }
+    golden = extract_document(
+        {"doc_id": "doc-mega",
+         "spans": [dict(zip(("kind", "text", "media_ref", "offset"), s)) for s in spans]}
+    )
+    assert out["doc-mega"] == [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in golden
+    ]
+    assert len(out["doc-tiny"]) == 1
+    offs = [s[3] for s in out["doc-mega"]]
+    assert offs == list(range(len(offs)))
+
+
 @pytest.mark.parametrize("text_path", ["python", "jvm"])
 def test_degenerate_docs_stay_present_with_empty_spans(spark, text_path):
     """Both text paths: empty/null/unknown/all-boilerplate docs must yield a
