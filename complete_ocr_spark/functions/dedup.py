@@ -176,6 +176,52 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str,
+                          max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs (Manku-style): 64-bit signature split into four
+    16-bit bands; by pigeonhole, any pair within Hamming distance 3 agrees
+    EXACTLY on at least one band, so candidates come from a single
+    equi-join on (band, value) — one shuffle, never all-pairs — and the
+    verify is popcount of the signature XOR. At 10^10 docs each band table
+    holds n rows over 2^16..2^64 keys; band width trades candidate volume
+    against the guaranteed max_hamming (4 bands of 16 bits <=> distance 3)."""
+    sig = simhash64(df, id_col, text_col)
+    bands = sig.select(
+        "doc", "simhash_hi", "simhash_lo",
+        F.posexplode(
+            F.array(
+                F.col("simhash_lo") % 65536,
+                F.floor(F.col("simhash_lo") / 65536),
+                F.col("simhash_hi") % 65536,
+                F.floor(F.col("simhash_hi") / 65536),
+            )
+        ).alias("band", "value"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.value") == F.col("y.value"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc1"), F.col("y.doc").alias("doc2"),
+            F.col("x.simhash_hi").alias("h1"), F.col("x.simhash_lo").alias("l1"),
+            F.col("y.simhash_hi").alias("h2"), F.col("y.simhash_lo").alias("l2"),
+        )
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        + F.bit_count(F.col("l1").bitwiseXOR(F.col("l2")))
+    ).cast("int")
+    return (
+        cand.select("doc1", "doc2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_shingles(text_col: str, n: int = 3):
     """n-word shingles as an array column; docs with < n words get none."""
     w = _words(text_col)

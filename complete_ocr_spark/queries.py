@@ -581,6 +581,39 @@ FROM votes
 """
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup (Manku banding): 4x16-bit band equi-join guarantees
+    every pair within Hamming distance 3 becomes a candidate; popcount-XOR
+    verify. One shuffle, never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def _simhash_near_dup_sql() -> str:
+    sig = _simhash64_sql().strip().rstrip()
+    # reuse the signature CTE body: wrap the full simhash64 statement
+    return f"""
+WITH sig AS ({sig}),
+bands AS (
+  SELECT doc, simhash_hi, simhash_lo, band,
+         CASE band WHEN 0 THEN simhash_lo % 65536
+                   WHEN 1 THEN simhash_lo // 65536
+                   WHEN 2 THEN simhash_hi % 65536
+                   ELSE simhash_hi // 65536 END AS value
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)),
+cand AS (
+  SELECT DISTINCT x.doc AS doc1, y.doc AS doc2,
+         x.simhash_hi AS h1, x.simhash_lo AS l1,
+         y.simhash_hi AS h2, y.simhash_lo AS l2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.value = y.value AND x.doc < y.doc)
+SELECT doc1, doc2,
+       CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3
+"""
+
+
 def q_minhash_bands(spark, sf_dir):
     """(bands x rows) MinHash-LSH (3 bands x 2 rows): the tunable banding —
     candidate probability s^r per band, 1-(1-s^r)^b overall."""
@@ -1247,6 +1280,7 @@ REGISTRY: dict[str, tuple] = {
     "q_minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
     "q_simhash": (q_simhash, _simhash_sql()),
     "q_simhash64": (q_simhash64, _simhash64_sql()),
+    "q_simhash_near_dup": (q_simhash_near_dup, _simhash_near_dup_sql()),
     "q_minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),

@@ -38,6 +38,9 @@ def test_exact_duplicates_collide_everywhere(spark):
     s16 = {r["doc"]: r["simhash"] for r in dedup.simhash16(d, "doc_id", "text").collect()}
     assert s16["a"] == s16["b"]
 
+    ham = dedup.simhash_hamming_pairs(d, "doc_id", "text", max_hamming=3).collect()
+    assert {(r["doc1"], r["doc2"], r["hamming"]) for r in ham} >= {("a", "b", 0)}
+
 
 def test_srp_identical_vectors_share_every_bucket(spark):
     vecs = [(0, [1.0, -2.0, 0.5, 3.0]), (1, [1.0, -2.0, 0.5, 3.0]),
