@@ -158,8 +158,15 @@ def _group_lines(wb: np.ndarray, w_idx: np.ndarray):
     return lines
 
 
-def extract_page_np(descriptor: dict, page: int, media_ref: str) -> list[tuple]:
-    """One page -> output spans [(kind, text, media_ref), ...] in reading order."""
+def extract_page_np(descriptor: dict, page: int, media_ref: str,
+                    variant: str = "src") -> list[tuple]:
+    """One page -> output spans [(kind, text, media_ref), ...] in reading order.
+
+    ``variant="src"`` = Current Version semantics (figure detection on the
+    unmasked page, src/pdf_ocr_frcnn_tesseract_ocr.py:159); ``"optimized"`` =
+    optimized_code/main.py:84-106, where the detector sees the table-masked
+    array — figures overlapping a masked table are suppressed and numbering
+    runs over the survivors."""
     glyphs = descriptor["glyphs"]
     boxes, scores, labels, idx = _page_arrays(descriptor)
 
@@ -173,6 +180,9 @@ def extract_page_np(descriptor: dict, page: int, media_ref: str) -> list[tuple]:
     # figures: score >= 0.8, detection order (F2)
     figuredata: list[tuple[str, np.ndarray, int]] = []
     f_idx = idx[(labels == "Figure") & (scores >= FIGURE_SCORE_THRESHOLD)]
+    if variant == "optimized" and masked and len(f_idx):
+        hit = strict_overlap_matrix(boxes[f_idx], np.stack(masked)).any(axis=1)
+        f_idx = f_idx[~hit]
     for fn, fi in enumerate(f_idx):
         b = boxes[fi]
         name = f"/Cropped_Images/figure_{page}_{fn}.jpg"

@@ -41,76 +41,69 @@ FLAT_SCHEMA = (
 )
 
 
-def extract_spans_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (doc_id, kind, text, media_ref, offset) span rows ->
-    flat extracted-span rows. Unknown kinds and null payloads emit nothing."""
-    for pdf in batches:
-        o_doc: list = []
-        o_off: list = []
-        o_sub: list = []
-        o_kind: list = []
-        o_text: list = []
-        o_ref: list = []
-        for doc_id, kind, text, mref, off in zip(
-            pdf["doc_id"], pdf["kind"], pdf["text"], pdf["media_ref"], pdf["offset"]
-        ):
-            if kind == "text":
-                s = strip_blocks(text)
-                outs = [] if s is None else [("text", s, None)]
-            elif kind == "media_ref" and mref is not None:
-                outs = extract_page_np(resolve_descriptor(mref), int(off), mref)
-            else:
-                outs = []
-            for i, (k, t, m) in enumerate(outs):
-                o_doc.append(doc_id)
-                o_off.append(off)
-                o_sub.append(i)
-                o_kind.append(k)
-                o_text.append(t)
-                o_ref.append(m)
-        yield pd.DataFrame(
-            {
-                "doc_id": o_doc,
-                "offset": pd.Series(o_off, dtype="int32"),
-                "sub": pd.Series(o_sub, dtype="int32"),
-                "kind": o_kind,
-                "text": o_text,
-                "media_ref": o_ref,
-            }
-        )
+def _flat_frame(rows: list) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "offset": pd.Series([r[1] for r in rows], dtype="int32"),
+            "sub": pd.Series([r[2] for r in rows], dtype="int32"),
+            "kind": [r[3] for r in rows],
+            "text": [r[4] for r in rows],
+            "media_ref": [r[5] for r in rows],
+        }
+    )
 
 
-def extract_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel for the media branch only: (doc_id, offset,
+def make_extract_spans_batch(variant: str = "src"):
+    """mapInPandas kernel factory: (doc_id, kind, text, media_ref, offset)
+    span rows -> flat extracted-span rows. Unknown kinds and null payloads
+    emit nothing. ``variant`` selects the reference entry point's figure
+    semantics (see kernels.page.extract_page_np)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list = []
+            for doc_id, kind, text, mref, off in zip(
+                pdf["doc_id"], pdf["kind"], pdf["text"], pdf["media_ref"], pdf["offset"]
+            ):
+                if kind == "text":
+                    s = strip_blocks(text)
+                    outs = [] if s is None else [("text", s, None)]
+                elif kind == "media_ref" and mref is not None:
+                    outs = extract_page_np(
+                        resolve_descriptor(mref), int(off), mref, variant
+                    )
+                else:
+                    outs = []
+                rows.extend(
+                    (doc_id, off, i, k, t, m) for i, (k, t, m) in enumerate(outs)
+                )
+            yield _flat_frame(rows)
+
+    return fn
+
+
+def make_extract_media_batch(variant: str = "src"):
+    """mapInPandas kernel factory for the media branch only: (doc_id, offset,
     media_ref) rows -> flat extracted-span rows. The text branch stays
     JVM-side (functions.stripexpr.stripped_text), so ~80% of span bytes never
     cross the Python boundary."""
-    for pdf in batches:
-        o_doc: list = []
-        o_off: list = []
-        o_sub: list = []
-        o_kind: list = []
-        o_text: list = []
-        o_ref: list = []
-        for doc_id, mref, off in zip(pdf["doc_id"], pdf["media_ref"], pdf["offset"]):
-            outs = extract_page_np(resolve_descriptor(mref), int(off), mref)
-            for i, (k, t, m) in enumerate(outs):
-                o_doc.append(doc_id)
-                o_off.append(off)
-                o_sub.append(i)
-                o_kind.append(k)
-                o_text.append(t)
-                o_ref.append(m)
-        yield pd.DataFrame(
-            {
-                "doc_id": o_doc,
-                "offset": pd.Series(o_off, dtype="int32"),
-                "sub": pd.Series(o_sub, dtype="int32"),
-                "kind": o_kind,
-                "text": o_text,
-                "media_ref": o_ref,
-            }
-        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list = []
+            for doc_id, mref, off in zip(pdf["doc_id"], pdf["media_ref"], pdf["offset"]):
+                outs = extract_page_np(resolve_descriptor(mref), int(off), mref, variant)
+                rows.extend(
+                    (doc_id, off, i, k, t, m) for i, (k, t, m) in enumerate(outs)
+                )
+            yield _flat_frame(rows)
+
+    return fn
+
+
+extract_spans_batch = make_extract_spans_batch()
+extract_media_batch = make_extract_media_batch()
 
 
 LAYOUT_SCHEMA = (

@@ -230,14 +230,25 @@ def get_hocr_from_table_response(tableresponse: dict, glyphs: dict) -> list:
 # figures (src/pdf_ocr_frcnn_tesseract_ocr.py:235-257)
 # ---------------------------------------------------------------------------
 
-def get_figures_from_page(detections: list[dict], page: int) -> list[list]:
+def get_figures_from_page(detections: list[dict], page: int,
+                          masked_boxes: list | None = None) -> list[list]:
     """Figure detections with score >= 0.8 (model-level threshold,
     src/pdf_ocr_frcnn_tesseract_ocr.py:118-120), in detection order; hOCR img
-    tag per :249 (including the doubled slash of ``'../' + '/Cropped_…'``)."""
+    tag per :249 (including the doubled slash of ``'../' + '/Cropped_…'``).
+
+    ``masked_boxes`` models the ``optimized_code`` variant: there the
+    detector runs on the in-memory array AFTER tables were painted over
+    (optimized_code/main.py:84-106), so figures overlapping a masked table
+    region are destroyed before detection — the stand-in suppresses them,
+    and figure numbering runs over the survivors only. The ``src/`` entry
+    point re-reads the unmasked file instead
+    (src/pdf_ocr_frcnn_tesseract_ocr.py:159) — pass None."""
     result = []
     figure_count = 0
     for d in detections:
         if d["label"] == "Figure" and d["score"] >= FIGURE_SCORE_THRESHOLD:
+            if masked_boxes and any(do_overlap(d["box"], mb) for mb in masked_boxes):
+                continue
             x1, y1, x2, y2 = d["box"]
             name = f"/Cropped_Images/figure_{page}_{figure_count}.jpg"
             imagehocr = (
@@ -337,9 +348,15 @@ def page_text_views(media_ref: str, seed: int = SYNTH_SEED) -> dict:
 # page assembly: the as-of positional merge (J2)
 # ---------------------------------------------------------------------------
 
-def extract_page(media_ref: str, page: int, seed: int = SYNTH_SEED) -> list[dict]:
+def extract_page(media_ref: str, page: int, seed: int = SYNTH_SEED,
+                 variant: str = "src") -> list[dict]:
     """Full per-page extraction — the reference's per-page body
     (src/pdf_ocr_frcnn_tesseract_ocr.py:123-204) over a synthetic descriptor.
+
+    ``variant="src"`` pins the Current Version semantics (figure detection
+    re-reads the unmasked image, :159); ``variant="optimized"`` pins
+    optimized_code/main.py:84-106, where figure detection runs on the
+    table-masked array, so figures under table masks vanish.
 
     Returns output spans (kind, text, media_ref) in reading order.
     """
@@ -348,12 +365,14 @@ def extract_page(media_ref: str, page: int, seed: int = SYNTH_SEED) -> list[dict
 
     tableresponses = get_tables_from_page(detections)
     tabledata = [get_hocr_from_table_response(tr, glyphs) for tr in tableresponses]
-    figuredata = get_figures_from_page(detections, page)
-
-    # tables are masked before the page OCR (:140-156); figures are NOT
-    # (storeMaskedImages=False at :160, and figure detection re-reads the
-    # unmasked image at :159)
     masked = [tr["bbox"] for tr in tableresponses]
+    figuredata = get_figures_from_page(
+        detections, page, masked_boxes=masked if variant == "optimized" else None
+    )
+
+    # tables are masked before the page OCR (:140-156); in "src" figures are
+    # NOT (storeMaskedImages=False at :160, and figure detection re-reads the
+    # unmasked image at :159)
     lines = get_page_lines(detections, glyphs, masked)
 
     # insert each table before the first ocr_line whose y1 strictly exceeds
@@ -416,7 +435,8 @@ def strip_text_span(text: str) -> str | None:
 # whole document
 # ---------------------------------------------------------------------------
 
-def extract_document(doc: dict, seed: int = SYNTH_SEED) -> list[dict]:
+def extract_document(doc: dict, seed: int = SYNTH_SEED,
+                     variant: str = "src") -> list[dict]:
     """Golden output span sequence for one docs row: spans processed in offset
     order, dense output offsets reassigned (SURVEY.md §3.4)."""
     out: list[dict] = []
@@ -426,7 +446,7 @@ def extract_document(doc: dict, seed: int = SYNTH_SEED) -> list[dict]:
             if stripped is not None:
                 out.append({"kind": "text", "text": stripped, "media_ref": None})
         else:
-            out.extend(extract_page(span["media_ref"], span["offset"], seed))
+            out.extend(extract_page(span["media_ref"], span["offset"], seed, variant))
     return [
         {
             "kind": s["kind"],

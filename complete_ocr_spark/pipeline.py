@@ -36,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions.stripexpr import stripped_text
-from .operators.extract import FLAT_SCHEMA, extract_media_batch, extract_spans_batch
+from .operators.extract import (
+    FLAT_SCHEMA,
+    make_extract_media_batch,
+    make_extract_spans_batch,
+)
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
@@ -62,7 +66,8 @@ def _seed(docs: DataFrame) -> DataFrame:
 
 def extract_flat(spark: SparkSession, docs: DataFrame,
                  n_partitions: int | None = None,
-                 text_path: str = "python") -> DataFrame:
+                 text_path: str = "python",
+                 variant: str = "src") -> DataFrame:
     """docs -> flat extracted-span rows (doc_id, offset, sub, kind, text,
     media_ref), including one null seed row per doc.
 
@@ -89,7 +94,9 @@ def extract_flat(spark: SparkSession, docs: DataFrame,
     )
     if text_path == "python":
         exploded = explode_spans(docs).repartition(n_partitions, "doc_id", "offset")
-        flat = exploded.mapInPandas(extract_spans_batch, schema=FLAT_SCHEMA)
+        flat = exploded.mapInPandas(
+            make_extract_spans_batch(variant), schema=FLAT_SCHEMA
+        )
         return flat.unionByName(_seed(docs))
 
     exploded = explode_spans(docs)
@@ -112,7 +119,7 @@ def extract_flat(spark: SparkSession, docs: DataFrame,
         )
         .select("doc_id", "offset", "media_ref")
         .repartition(n_partitions, "doc_id", "offset")
-        .mapInPandas(extract_media_batch, schema=FLAT_SCHEMA)
+        .mapInPandas(make_extract_media_batch(variant), schema=FLAT_SCHEMA)
     )
     return text.unionByName(media).unionByName(_seed(docs))
 
@@ -142,6 +149,10 @@ def run_extraction(
     docs: DataFrame,
     n_partitions: int | None = None,
     text_path: str = "python",
+    variant: str = "src",
 ) -> DataFrame:
-    """docs(doc_id, spans) -> docs_out(doc_id, spans) with extracted content."""
-    return reassemble(extract_flat(spark, docs, n_partitions, text_path))
+    """docs(doc_id, spans) -> docs_out(doc_id, spans) with extracted content.
+
+    ``variant``: "src" (Current Version figure semantics) or "optimized"
+    (optimized_code's figure-detect-on-masked-array semantics)."""
+    return reassemble(extract_flat(spark, docs, n_partitions, text_path, variant))

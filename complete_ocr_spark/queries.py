@@ -37,6 +37,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS_SF001 = os.path.join(_REPO, "data", "docs_sf0.001.parquet")
 DOCS_SF01 = os.path.join(_REPO, "data", "docs_sf0.01.parquet")
 GOLDEN_SF001 = os.path.join(_REPO, "data", "golden_sf0.001.parquet")
+GOLDEN_OPT_SF001 = os.path.join(_REPO, "data", "golden_opt_sf0.001.parquet")
 NESTED_GOLDEN = os.path.join(_REPO, "data", "nested_golden_sf0.001.parquet")
 SINGULAR_GOLDEN = os.path.join(_REPO, "data", "singular_golden_sf0.001.parquet")
 LAYOUT_GOLDEN = os.path.join(_REPO, "data", "layout_golden_sf0.001.parquet")
@@ -1255,6 +1256,30 @@ SELECT doc_id, "offset", kind, text, media_ref FROM '{GOLDEN_SF001}'
 """
 
 
+def q_extract_pipeline_opt(spark, sf_dir):
+    """The optimized_code entry point's semantics (optimized_code/main.py:
+    84-106): figure detection runs on the table-masked array, so figures
+    under table masks vanish and numbering shifts — a real semantic fork
+    between the reference's two live versions, pinned against its own
+    golden."""
+    from .pipeline import run_extraction
+
+    docs = spark.read.parquet(DOCS_SF001)
+    out = run_extraction(spark, docs, variant="optimized")
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+SQL_EXTRACT_OPT = f"""
+SELECT doc_id, "offset", kind, text, media_ref FROM '{GOLDEN_OPT_SF001}'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1292,6 +1317,7 @@ REGISTRY: dict[str, tuple] = {
     "q_docs_span_stats": (q_docs_span_stats, SQL_DOCS_STATS),
     "q_strip_text_blocks": (q_strip_text_blocks, SQL_STRIP),
     "q_extract_pipeline": (q_extract_pipeline, SQL_EXTRACT),
+    "q_extract_pipeline_opt": (q_extract_pipeline_opt, SQL_EXTRACT_OPT),
     "q_page_text": (q_page_text, SQL_PAGE_TEXT),
     "q_hocr_documents": (q_hocr_documents, SQL_HOCR_DOCS),
     "q_merge_short_spans": (q_merge_short_spans, SQL_MERGE_SHORT),

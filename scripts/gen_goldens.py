@@ -49,10 +49,11 @@ def _docs():
     return docs
 
 
-def gen_extract_golden(docs) -> None:
+def gen_extract_golden(docs, variant: str = "src",
+                       fname: str = "golden_sf0.001.parquet") -> None:
     rows = []
     for d in docs:
-        for s in extract_document(d):
+        for s in extract_document(d, variant=variant):
             rows.append((d["doc_id"], s["offset"], s["kind"], s["text"], s["media_ref"]))
     table = pa.Table.from_pydict(
         {
@@ -63,8 +64,8 @@ def gen_extract_golden(docs) -> None:
             "media_ref": [r[4] for r in rows],
         }
     )
-    pq.write_table(table, os.path.join(DATA, "golden_sf0.001.parquet"))
-    print("golden_sf0.001:", table.num_rows, "rows")
+    pq.write_table(table, os.path.join(DATA, fname))
+    print(f"{fname}:", table.num_rows, "rows")
 
 
 def gen_nested_golden(docs) -> None:
@@ -160,6 +161,7 @@ def gen_singular_golden(docs) -> None:
 if __name__ == "__main__":
     docs = _docs()
     gen_extract_golden(docs)
+    gen_extract_golden(docs, variant="optimized", fname="golden_opt_sf0.001.parquet")
     gen_nested_golden(docs)
     gen_layout_golden(docs)
     gen_pages_golden(docs)

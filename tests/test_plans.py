@@ -36,6 +36,7 @@ def test_relational_queries_have_no_python_eval(spark):
     for name, (fn, _sql) in REGISTRY.items():
         if name in (
             "q_extract_pipeline",
+            "q_extract_pipeline_opt",
             "q_media_frame_sample",
             "q_media_features",
             "q_nested_hocr",
