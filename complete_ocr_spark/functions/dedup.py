@@ -16,6 +16,8 @@ Hashes are md5-based so the DuckDB oracle computes bit-identical values.
 
 from __future__ import annotations
 
+from itertools import combinations
+
 from pyspark.sql import DataFrame, functions as F
 
 N_BANDS = 4
@@ -176,26 +178,64 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_band_combos(n_blocks: int = 4, max_hamming: int = 3) -> list[tuple[int, ...]]:
+    """Manku block-combination banding law (SURVEY.md §8).
+
+    Split the 64-bit signature into ``n_blocks`` equal blocks. A pair within
+    Hamming distance ``max_hamming`` differs in at most ``max_hamming``
+    blocks, so it agrees EXACTLY on some combination of
+    ``n_blocks - max_hamming`` blocks — banding on ALL C(n_blocks,
+    n_blocks - max_hamming) such combinations guarantees every true pair
+    becomes a candidate. Wider keys cut collisions: each band key carries
+    ``64 * (n_blocks - max_hamming) / n_blocks`` bits, so expected random
+    candidates per band fall from n^2/2^16 (4 blocks, 16-bit keys) to
+    n^2/2^40 (8 blocks, 5-block 40-bit keys) — the difference between an
+    infeasible and a routine join output at 10^10 docs.
+    """
+    if 64 % n_blocks or 32 % (64 // n_blocks):
+        raise ValueError("blocks must evenly tile each 32-bit signature half")
+    k = n_blocks - max_hamming
+    if k < 1:
+        raise ValueError("need n_blocks > max_hamming for a pigeonhole guarantee")
+    return list(combinations(range(n_blocks), k))
+
+
+def _block_value(i: int, width: int):
+    """Bits [i*width, (i+1)*width) of the (hi, lo) signature as a bigint."""
+    shift = i * width
+    half = F.col("simhash_lo") if shift < 32 else F.col("simhash_hi")
+    return F.floor(half / F.lit(2 ** (shift % 32))) % F.lit(2**width)
+
+
+def simhash_band_keys(n_blocks: int = 4, max_hamming: int = 3):
+    """Array of band keys over (simhash_hi, simhash_lo) columns: key of combo
+    (i_0 < ... < i_{k-1}) = sum_j value(block i_j) * 2^(width*j)."""
+    width = 64 // n_blocks
+    keys = []
+    for combo in simhash_band_combos(n_blocks, max_hamming):
+        key = F.lit(0).cast("bigint")
+        for j, i in enumerate(combo):
+            key = key + _block_value(i, width) * F.lit(2 ** (width * j))
+        keys.append(key)
+    return F.array(*keys)
+
+
 def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str,
-                          max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs (Manku-style): 64-bit signature split into four
-    16-bit bands; by pigeonhole, any pair within Hamming distance 3 agrees
-    EXACTLY on at least one band, so candidates come from a single
-    equi-join on (band, value) — one shuffle, never all-pairs — and the
-    verify is popcount of the signature XOR. At 10^10 docs each band table
-    holds n rows over 2^16..2^64 keys; band width trades candidate volume
-    against the guaranteed max_hamming (4 bands of 16 bits <=> distance 3)."""
+                          max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
+    """SimHash near-dup pairs (Manku-style): 64-bit signature banded on block
+    COMBINATIONS (``simhash_band_combos``); by pigeonhole any pair within
+    ``max_hamming`` agrees exactly on at least one band, so candidates come
+    from a single equi-join on (band, value) — one shuffle, never all-pairs —
+    and the verify is popcount of the signature XOR. The verify makes the
+    final pair set banding-independent: every (n_blocks, max_hamming) choice
+    returns exactly the pairs with Hamming <= max_hamming. n_blocks=4 keeps
+    the original 4x16-bit geometry (one band per block); n_blocks=8 gives
+    C(8,5)=56 bands of 40-bit keys — same guarantee, ~2^24x fewer random
+    collisions per band, the geometry to deploy at 10^10 docs."""
     sig = simhash64(df, id_col, text_col)
     bands = sig.select(
         "doc", "simhash_hi", "simhash_lo",
-        F.posexplode(
-            F.array(
-                F.col("simhash_lo") % 65536,
-                F.floor(F.col("simhash_lo") / 65536),
-                F.col("simhash_hi") % 65536,
-                F.floor(F.col("simhash_hi") / 65536),
-            )
-        ).alias("band", "value"),
+        F.posexplode(simhash_band_keys(n_blocks, max_hamming)).alias("band", "value"),
     )
     x, y = bands.alias("x"), bands.alias("y")
     cand = (

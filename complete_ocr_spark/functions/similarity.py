@@ -95,11 +95,15 @@ def sign_bucket(vec_col: str, n_bits: int = 8):
 
 
 def srp_bucket(vec_col: str, planes: list[list[float]]):
-    """SRP-LSH bucket: bit j = sign of dot(vec, hyperplane_j)."""
+    """SRP-LSH bucket: bit j = sign of dot(vec, hyperplane_j).
+
+    The dot is rounded to 6 decimals before the sign test (as ``ivf_cell``
+    does) so a product within one ulp of zero cannot flip a bit on one engine
+    but not the other — the SQL oracle rounds identically."""
     out = F.lit(0)
     for j, h in enumerate(planes):
         hl = F.array(*[F.lit(float(c)) for c in h])
-        out = out + F.when(dot(F.col(vec_col), hl) >= 0, 2**j).otherwise(0)
+        out = out + F.when(F.round(dot(F.col(vec_col), hl), 6) >= 0, 2**j).otherwise(0)
     return out.cast("bigint")
 
 

@@ -26,11 +26,16 @@ def _plain(block: Column) -> Column:
 
 
 def _link_chars(block: Column) -> Column:
-    """Total collapsed anchor-text length: `sum(len(" ".join(m.split())))`."""
+    """Total collapsed anchor-text length: `sum(len(" ".join(m.split())))`.
+
+    Collapse BEFORE trim (mirroring ``_plain``): Spark ``trim`` strips only
+    ASCII spaces, so trimming first leaves a leading/trailing tab/newline to
+    be collapsed into a counted space — ``"\\tfoo bar"`` would score 8 where
+    the Python kernel's ``len(" ".join(m.split()))`` scores 7."""
     return F.aggregate(
         F.transform(
             F.regexp_extract_all(block, F.lit(_A_RE), 1),
-            lambda m: F.length(F.regexp_replace(F.trim(m), r"\s+", " ")),
+            lambda m: F.length(F.trim(F.regexp_replace(m, r"\s+", " "))),
         ),
         F.lit(0),
         lambda acc, x: acc + x,

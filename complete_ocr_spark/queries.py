@@ -582,26 +582,55 @@ FROM votes
 """
 
 
+_SH_MAX_HAMMING = 3
+
+
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup (Manku banding): 4x16-bit band equi-join guarantees
     every pair within Hamming distance 3 becomes a candidate; popcount-XOR
     verify. One shuffle, never all-pairs."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_hamming_pairs(d, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_hamming_pairs(
+        d, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, n_blocks=4
+    )
 
 
-def _simhash_near_dup_sql() -> str:
+def q_simhash_near_dup_mb(spark, sf_dir):
+    """Multi-block Manku banding (the 10^10-doc geometry): 8 blocks of 8
+    bits, banded on all C(8,5)=56 five-block combinations — 40-bit band keys
+    give the same <=3-Hamming guarantee at n^2/2^40 random candidates per
+    band instead of n^2/2^16. The popcount verify makes the final pair set
+    identical to q_simhash_near_dup (banding-independent)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(
+        d, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, n_blocks=8
+    )
+
+
+def _simhash_near_dup_sql(n_blocks: int = 4) -> str:
+    """Generated from dedup.simhash_band_combos — the SAME constants the Spark
+    query bands on, so changing the geometry cannot desync the oracle."""
     sig = _simhash64_sql().strip().rstrip()
-    # reuse the signature CTE body: wrap the full simhash64 statement
+    combos = dedup.simhash_band_combos(n_blocks, _SH_MAX_HAMMING)
+    width = 64 // n_blocks
+
+    def block(i: int) -> str:
+        shift = i * width
+        half = "simhash_lo" if shift < 32 else "simhash_hi"
+        return f"(({half} // {2 ** (shift % 32)}) % {2**width})"
+
+    arms = "\n                   ".join(
+        f"WHEN {b} THEN "
+        + " + ".join(f"{block(i)} * {2 ** (width * j)}" for j, i in enumerate(combo))
+        for b, combo in enumerate(combos)
+    )
     return f"""
 WITH sig AS ({sig}),
 bands AS (
   SELECT doc, simhash_hi, simhash_lo, band,
-         CASE band WHEN 0 THEN simhash_lo % 65536
-                   WHEN 1 THEN simhash_lo // 65536
-                   WHEN 2 THEN simhash_hi % 65536
-                   ELSE simhash_hi // 65536 END AS value
-  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)),
+         CASE band {arms}
+         END AS value
+  FROM sig, (SELECT unnest(range({len(combos)})) AS band)),
 cand AS (
   SELECT DISTINCT x.doc AS doc1, y.doc AS doc2,
          x.simhash_hi AS h1, x.simhash_lo AS l1,
@@ -611,32 +640,39 @@ cand AS (
 SELECT doc1, doc2,
        CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS INT) AS hamming
 FROM cand
-WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 3
+WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= {_SH_MAX_HAMMING}
 """
 
 
+_MB_BANDS, _MB_ROWS = 3, 2  # single source of truth for query AND oracle SQL
+
+
 def q_minhash_bands(spark, sf_dir):
-    """(bands x rows) MinHash-LSH (3 bands x 2 rows): the tunable banding —
-    candidate probability s^r per band, 1-(1-s^r)^b overall."""
+    """(bands x rows) MinHash-LSH (_MB_BANDS x _MB_ROWS): the tunable banding
+    — candidate probability s^r per band, 1-(1-s^r)^b overall."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_banded_buckets(d, "doc_id", "text", n_bands=3, n_rows=2).select(
-        "band", "band_key", "n_docs", F.element_at("docs", 1).alias("min_doc")
-    )
+    return dedup.minhash_banded_buckets(
+        d, "doc_id", "text", n_bands=_MB_BANDS, n_rows=_MB_ROWS
+    ).select("band", "band_key", "n_docs", F.element_at("docs", 1).alias("min_doc"))
 
 
-SQL_MINHASH_BANDS = r"""
+def _minhash_bands_sql() -> str:
+    """Generated from the same (_MB_BANDS, _MB_ROWS) constants as the query —
+    changing the Python parameters cannot silently desync the oracle."""
+    n_hashes = _MB_BANDS * _MB_ROWS
+    return rf"""
 WITH words AS (
   SELECT doc_id AS doc,
          unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS w
   FROM documents),
 hashes AS (
   SELECT doc, i, md5(CAST(i AS VARCHAR) || '|' || w) AS h
-  FROM words, (SELECT unnest(range(6)) AS i)),
+  FROM words, (SELECT unnest(range({n_hashes})) AS i)),
 sig AS (SELECT doc, i, MIN(h) AS mh FROM hashes GROUP BY doc, i),
 banded AS (
-  SELECT doc, CAST(i // 2 AS INT) AS band,
+  SELECT doc, CAST(i // {_MB_ROWS} AS INT) AS band,
          md5(string_agg(mh, '|' ORDER BY i)) AS band_key
-  FROM sig GROUP BY doc, CAST(i // 2 AS INT))
+  FROM sig GROUP BY doc, CAST(i // {_MB_ROWS} AS INT))
 SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc) AS min_doc
 FROM banded GROUP BY band, band_key HAVING COUNT(*) > 1
 """
@@ -663,8 +699,8 @@ def _srp_sql() -> str:
     for t in range(_SRP_TABLES):
         planes = similarity.srp_hyperplanes(_SRP_DIM, _SRP_BITS, table=t)
         bits = " + ".join(
-            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-            f"CAST({planes[j]} AS DOUBLE[])) >= 0 THEN {2**j} ELSE 0 END)"
+            f"(CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({planes[j]} AS DOUBLE[])), 6) >= 0 THEN {2**j} ELSE 0 END)"
             for j in range(_SRP_BITS)
         )
         tables.append(
@@ -919,7 +955,10 @@ def q_strip_text_blocks(spark, sf_dir):
     link_chars = F.aggregate(
         F.transform(
             F.regexp_extract_all("block", F.lit(r"(?s)<a\b[^>]*>(.*?)</a>"), 1),
-            lambda m: F.length(F.regexp_replace(F.trim(m), r"\s+", " ")),
+            # collapse before trim: Spark trim strips only ASCII spaces, so
+            # tab/newline-edged anchors must be collapsed first (see
+            # functions.stripexpr._link_chars)
+            lambda m: F.length(F.trim(F.regexp_replace(m, r"\s+", " "))),
         ),
         F.lit(0),
         lambda acc, x: acc + x,
@@ -948,7 +987,7 @@ scored AS (
          trim(regexp_replace(regexp_replace(block, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS plain,
          COALESCE(list_sum(list_transform(
              regexp_extract_all(block, '(?s)<a\b[^>]*>(.*?)</a>', 1),
-             m -> length(regexp_replace(trim(m), '\s+', ' ', 'g')))), 0) AS link_chars
+             m -> length(trim(regexp_replace(m, '\s+', ' ', 'g'))))), 0) AS link_chars
   FROM blocks)
 SELECT doc_id, "offset", plain
 FROM scored
@@ -1305,8 +1344,9 @@ REGISTRY: dict[str, tuple] = {
     "q_minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
     "q_simhash": (q_simhash, _simhash_sql()),
     "q_simhash64": (q_simhash64, _simhash64_sql()),
-    "q_simhash_near_dup": (q_simhash_near_dup, _simhash_near_dup_sql()),
-    "q_minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
+    "q_simhash_near_dup": (q_simhash_near_dup, _simhash_near_dup_sql(4)),
+    "q_simhash_near_dup_mb": (q_simhash_near_dup_mb, _simhash_near_dup_sql(8)),
+    "q_minhash_bands": (q_minhash_bands, _minhash_bands_sql()),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
     "q_ann_topk": (q_ann_topk, SQL_ANN),

@@ -63,3 +63,34 @@ def test_suggest_bits_grows_with_data():
     assert similarity.suggest_bits(10**3) == 8
     assert similarity.suggest_bits(10**6, target_bucket=64) == 14
     assert similarity.suggest_bits(10**12, target_bucket=64) == 34
+
+def test_simhash_band_combos_law():
+    """C(n_blocks, n_blocks - max_hamming) combinations; defaults reproduce
+    the original one-band-per-block 4x16 geometry."""
+    assert dedup.simhash_band_combos(4, 3) == [(0,), (1,), (2,), (3,)]
+    assert len(dedup.simhash_band_combos(8, 3)) == 56  # C(8,5)
+    assert all(len(c) == 5 for c in dedup.simhash_band_combos(8, 3))
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.simhash_band_combos(3, 3)  # blocks must tile the halves
+    with pytest.raises(ValueError):
+        dedup.simhash_band_combos(4, 4)  # no block left to pigeonhole
+
+
+def test_simhash_banding_is_result_invariant(spark):
+    """The popcount verify makes the final pair set banding-independent:
+    every (n_blocks, max_hamming=3) geometry returns exactly the pairs at
+    Hamming distance <= 3."""
+    d = _docs(spark)
+
+    def pairs(n_blocks):
+        return {
+            (r["doc1"], r["doc2"], r["hamming"])
+            for r in dedup.simhash_hamming_pairs(
+                d, "doc_id", "text", max_hamming=3, n_blocks=n_blocks
+            ).collect()
+        }
+
+    assert pairs(4) == pairs(8)
+    assert ("a", "b", 0) in pairs(8)

@@ -39,3 +39,25 @@ def test_jvm_text_path_equals_fused_kernel(spark, docs_df):
     assert canon(run_extraction(spark, docs_df, text_path="jvm")) == canon(
         run_extraction(spark, docs_df, text_path="python")
     )
+
+
+def test_jvm_text_path_counts_tab_edged_anchors_like_python(spark):
+    """ADVICE r2: Spark trim strips only ASCII spaces, so anchor text with
+    leading/trailing tab/newline must be whitespace-collapsed BEFORE the trim
+    or the JVM link-density count drifts from len(" ".join(m.split()))."""
+    from complete_ocr_spark.schemas import DOC_SCHEMA
+
+    # plain = "aa foo bar bb cc dd ee x" (24 chars); python counts the anchor
+    # as 7 chars (7/24 = 0.29, kept) while trim-before-collapse counted 9
+    # (9/24 = 0.375, dropped) — the fixture flips on the 0.33 gate
+    block = 'aa <a href="x">\tfoo bar\n</a> bb cc dd ee x'
+    rows = [("t1", [("text", block, None, 0)])]
+    df = spark.createDataFrame(rows, schema=DOC_SCHEMA)
+
+    def canon(out):
+        return {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in out.collect()}
+
+    jvm = canon(run_extraction(spark, df, text_path="jvm"))
+    py = canon(run_extraction(spark, df, text_path="python"))
+    assert jvm == py
+    assert len(py["t1"]) == 1  # density exactly at the 0.33 boundary: kept
