@@ -174,6 +174,73 @@ def ann_ivf_topk(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def ann_ivf_topk_broadcast(df: DataFrame, id_col: str, vec_col: str,
+                           query_vec: list[float], cents: list[list[float]],
+                           n_probe: int = 4, k: int = 10) -> DataFrame:
+    """Scale-safe IVF ANN: centroids as DATA, not plan literals.
+
+    ``ann_ivf_topk`` embeds every centroid coefficient as an ``F.lit`` — fine
+    as the sf oracle anchor, but at a real IVF (4k-65k cells x 768 dims) the
+    expression tree is millions of nodes and plan compilation dies before any
+    data is read. Here the centroid table is a small DataFrame collapsed to
+    ONE row holding array<struct<cell,cvec>> and broadcast cross-joined onto
+    every vector row (BroadcastNestedLoopJoin of a 1-row side — no row
+    multiplication, no shuffle). Cell assignment is then an array fold over
+    that DATA column: argmax via array_max of struct(dot, -cell), which
+    reproduces ``ivf_cell``'s first-maximum tie-break (lowest cell wins). The
+    plan node count is CONSTANT in the number of centroids.
+
+    Against the row-explosion alternative (broadcast equi-join to n x C rows
+    + min_by/window argmax): that plan re-shuffles n rows on id for the
+    group-back; this one never leaves the scan stage. Bound: the single
+    broadcast row holds C x dim doubles (4k x 768 = 25 MB — within default
+    broadcast limits; a 65k-cell deployment shards the fold or pre-assigns
+    cells at write time and partition-prunes, per the module docstring).
+
+    Same probe/rerank semantics as ``ann_ivf_topk``: rounded dots keep the
+    assignment engine-portable; returns identical rows."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(j + 1, [float(x) for x in c]) for j, c in enumerate(cents)],
+        "cell int, cvec array<double>",
+    )
+    carr = cdf.select(
+        F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("cents")
+    )
+
+    def pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    order = sorted(
+        range(len(cents)), key=lambda j: (-round(pydot(query_vec, cents[j]), 6), j)
+    )
+    probe_cells = [j + 1 for j in order[:n_probe]]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.round(dot(F.col("v"), c["cvec"]), 6).alias("d"),
+                (-c["cell"]).alias("negcell"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(carr))
+        .withColumn("cell", (-best["negcell"]).cast("int"))
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            "vec_id", "cell", F.round(cosine(F.col("v"), q), 6).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_srp(df: DataFrame, id_col: str, vec_col: str, dim: int,
                            threshold: float = 0.3, n_bits: int = 10,
                            n_tables: int = 2, seed: int = SRP_SEED) -> DataFrame:
@@ -186,9 +253,16 @@ def embedding_near_dup_srp(df: DataFrame, id_col: str, vec_col: str, dim: int,
     ``suggest_bits(n)`` at deployment — per-bucket pair work stays ~constant
     as n grows, unlike the fixed-width axis variant.
 
-    Join shape: all T buckets are computed in ONE scan (posexplode to
-    (table, bucket) rows) and candidates come from a single self-equi-join on
-    that composite key — T separate self-joins would scan the table 2T times.
+    Join shape: all T buckets are computed in ONE scan per side (posexplode
+    to (table, bucket) rows) and candidates come from a single self-equi-join
+    on that composite key — T separate self-joins would scan the table 2T
+    times. The exploded rows carry ONLY (vid, tbl, bucket): shuffling the
+    vectors through the candidate join would move T x dim doubles per side
+    per row (and re-move them for every multi-table duplicate candidate);
+    instead candidates are deduplicated as bare id pairs and the two vectors
+    are joined back ONCE per surviving pair. At scale the candidate set is
+    tiny relative to n, so AQE turns those fetch joins into broadcasts and
+    the vector payload never shuffles at all.
     """
     all_buckets = F.array(
         *[
@@ -198,24 +272,25 @@ def embedding_near_dup_srp(df: DataFrame, id_col: str, vec_col: str, dim: int,
     )
     b = df.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
         F.posexplode(all_buckets).alias("tbl", "bucket"),
     )
     x, y = b.alias("x"), b.alias("y")
-    cands = x.join(
-        y,
-        (F.col("x.tbl") == F.col("y.tbl"))
-        & (F.col("x.bucket") == F.col("y.bucket"))
-        & (F.col("x.vid") < F.col("y.vid")),
-    ).select(
-        F.col("x.vid").alias("id1"), F.col("y.vid").alias("id2"),
-        F.col("x.v").alias("v1"), F.col("y.v").alias("v2"),
+    cands = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .select(F.col("x.vid").alias("id1"), F.col("y.vid").alias("id2"))
+        .distinct()
     )
-    uniq = cands.groupBy("id1", "id2").agg(
-        F.first("v1").alias("v1"), F.first("v2").alias("v2")
-    )
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    v1 = base.select(F.col("vid").alias("id1"), F.col("v").alias("v1"))
+    v2 = base.select(F.col("vid").alias("id2"), F.col("v").alias("v2"))
     return (
-        uniq.select(
+        cands.join(v1, "id1").join(v2, "id2")
+        .select(
             "id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos")
         )
         .filter(F.col("cos") >= threshold)

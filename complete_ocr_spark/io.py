@@ -89,6 +89,13 @@ class TableIO:
         ``exclude_buckets`` (bucket DataFrame) limits lineage to this run's
         buckets when the output directory already holds completed ones.
         Returns {'doc_count', 'span_count', 'buckets'} for the written set.
+
+        Lineage is written with per-bucket dynamic overwrite (not append): a
+        second write over the same root replaces each touched bucket's
+        lineage row instead of stacking duplicate rows with possibly
+        different checksums — write is idempotent at the lineage level too.
+        A write that produced no files (empty input) short-circuits before
+        the read-back, which could not infer a schema.
         """
         out = with_bucket(docs_out, self.n_buckets)
         (
@@ -98,6 +105,12 @@ class TableIO:
             .partitionBy("bucket")                        # under cloned sessions
             .parquet(self.docs_out_path)
         )
+        if not any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(self.docs_out_path)
+            for f in files
+        ):
+            return {"doc_count": 0, "span_count": 0, "buckets": 0}
         back = self.read_docs_out()
         if exclude_buckets is not None:
             back = back.join(F.broadcast(exclude_buckets), "bucket", "left_anti")
@@ -106,8 +119,9 @@ class TableIO:
         if rows:
             (
                 self.spark.createDataFrame(rows, lin.schema)
-                .coalesce(1)
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
                 .parquet(self.lineage_path)
             )
         return {

@@ -879,6 +879,19 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_ivf_bcast(spark, sf_dir):
+    """Scale-safe IVF (similarity.ann_ivf_topk_broadcast): centroids as a
+    broadcast 1-row DataFrame, argmax as an array fold over that data column
+    — constant plan size in the number of centroids, zero shuffle before the
+    top-k. Same oracle rows as q_ann_ivf_topk (identical semantics)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = list(e.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
+    return similarity.ann_ivf_topk_broadcast(
+        e, "vec_id", "embedding", qv, cents, n_probe=_IVF_PROBE, k=10
+    )
+
+
 def q_lsh_buckets(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucket_counts(e, "embedding", n_bits=8)
@@ -1352,6 +1365,7 @@ REGISTRY: dict[str, tuple] = {
     "q_ann_topk": (q_ann_topk, SQL_ANN),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "q_ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
+    "q_ann_ivf_bcast": (q_ann_ivf_bcast, _ivf_sql()),
     "q_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "q_embed_near_dup": (q_embed_near_dup, SQL_NEAR_DUP),
     "q_docs_span_stats": (q_docs_span_stats, SQL_DOCS_STATS),

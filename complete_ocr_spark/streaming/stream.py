@@ -85,7 +85,8 @@ def make_process_batch(spark: SparkSession, out_root: str, n_buckets: int):
     return process_batch
 
 
-def finalize_stream(spark: SparkSession, out_root: str, n_buckets: int = 32) -> dict:
+def finalize_stream(spark: SparkSession, out_root: str, n_buckets: int = 32,
+                    allow_overwrite: bool = False) -> dict:
     """Promote a DRAINED stream's output into the batch table.
 
     Bucket-level completion is only true once the stream has consumed all
@@ -93,12 +94,41 @@ def finalize_stream(spark: SparkSession, out_root: str, n_buckets: int = 32) -> 
     rewrite of the streamed rows through ``TableIO.write`` — batch lineage
     then marks the buckets complete and ``run_job`` resumes past them. Never
     merge stream lineage into batch lineage directly: its rows describe
-    per-micro-batch slices, not whole buckets (module doc)."""
-    from ..io import TableIO
+    per-micro-batch slices, not whole buckets (module doc).
+
+    Guard: if the root's BATCH table already holds completed buckets that the
+    streamed docs also hash into, the dynamic overwrite would silently drop
+    those batch documents while lineage keeps marking the bucket complete —
+    resume would skip them forever. Promotion therefore refuses when the
+    streamed bucket set intersects ``completed_buckets()`` unless the caller
+    passes ``allow_overwrite=True`` (legitimate when re-finalizing the same
+    drained stream: the rewrite is then byte-identical)."""
+    from ..io import TableIO, with_bucket
 
     docs_path, _ = stream_paths(out_root)
-    streamed = spark.read.parquet(docs_path).drop("bucket", "batch_id")
-    return TableIO(spark, out_root, n_buckets).write(streamed)
+    # recompute buckets for the TARGET n_buckets — the stream may have been
+    # written with a different bucket count
+    streamed = with_bucket(
+        spark.read.parquet(docs_path).drop("bucket", "batch_id"), n_buckets
+    )
+    io = TableIO(spark, out_root, n_buckets)
+    done = io.completed_buckets()
+    if done is not None and not allow_overwrite:
+        clash = (
+            streamed.select("bucket").distinct()
+            .join(F.broadcast(done), "bucket", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"finalize_stream: batch table at {out_root} already has "
+                f"completed lineage for bucket {clash[0]['bucket']} that the "
+                "streamed rows also hash into; promoting would overwrite "
+                "batch documents. Pass allow_overwrite=True only if re-"
+                "finalizing the same drained stream."
+            )
+    return io.write(streamed.drop("bucket"))
 
 
 def run_streaming_extraction(

@@ -50,11 +50,19 @@ def test_relational_queries_have_no_python_eval(spark):
 
 
 def test_srp_near_dup_is_single_pass_per_join_side(spark):
-    """Multi-table SRP candidates: all T buckets from ONE posexplode, so the
-    plan holds exactly 2 vector scans (the self-join sides) — T separate
-    per-table joins would scan 2T times."""
-    plan = _plan(REGISTRY["q_embed_near_dup_srp"][0](spark, SF_DIR))
-    assert plan.count("Scan parquet") == 2, plan
+    """Multi-table SRP candidates: all T buckets from ONE posexplode per join
+    side (T separate per-table joins would scan 2T times), plus one
+    vector-fetch scan per pair side — 4 scans total. The candidate self-join
+    must shuffle only (vid, tbl, bucket): no embedding column may survive
+    below the bucket equi-join's exchange."""
+    df = REGISTRY["q_embed_near_dup_srp"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 4, plan
+    # the candidate join's exchanges hash on (tbl, bucket); the projected
+    # row there must be the narrow (vid, tbl, bucket) — not the vector
+    for seg in plan.split("Exchange hashpartitioning(tbl")[1:]:
+        first_project = seg.split("Project [", 1)[1].split("]", 1)[0]
+        assert "embedding" not in first_project, first_project
 
 
 def test_ivf_topk_is_scan_plus_take_ordered(spark):
@@ -77,3 +85,29 @@ def test_pipeline_scan_prunes_to_used_columns(spark):
     plan = _plan(run_extraction(spark, docs))
     # the seed branch reads only doc_id (nested pruning of spans)
     assert "ReadSchema: struct<doc_id:string>" in plan
+
+
+def test_ivf_bcast_centroids_are_data_not_plan_literals(spark):
+    """Scale-safe IVF: the centroid table must enter the plan as broadcast
+    DATA (one array row), so plan size is constant in n_cells — only the
+    query vector itself is a literal."""
+    plan = _plan(REGISTRY["q_ann_ivf_bcast"][0](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert len(plan) < 30_000, f"plan grew with centroid count: {len(plan)} chars"
+
+
+def test_plan_size_guard_on_literal_heavy_queries(spark):
+    """Regression bound on plan string size for the queries that embed
+    literals or wide generated expressions — a parameter bump that explodes
+    Catalyst compilation must fail here, not at a 100 TB submit."""
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    bounds = {
+        "q_ann_ivf_topk": 200_000,      # oracle anchor: 16 cells x 64 dims of literals
+        "q_embed_near_dup_srp": 150_000,  # 2 tables x 10 bits of hyperplane literals
+        "q_simhash64": 120_000,           # 64-wide vote aggregation
+        "q_simhash_near_dup_mb": 400_000,  # 56 generated band keys over the 64-wide agg
+        "q_ann_ivf_bcast": 30_000,        # constant in n_cells by design
+    }
+    for name, bound in bounds.items():
+        plan = _plan(REGISTRY[name][0](spark, SF_DIR))
+        assert len(plan) < bound, f"{name}: plan {len(plan)} chars >= {bound}"

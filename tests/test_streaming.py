@@ -120,3 +120,58 @@ def test_stream_lineage_never_marks_batch_buckets_complete(spark, tmp_path):
     assert r2 == {"docs_processed": 0, "skipped": True}
     # streamed artifacts untouched by the batch write
     assert spark.read.parquet(docs_path).count() == 15
+
+
+def test_finalize_refuses_to_clobber_batch_buckets(spark, tmp_path):
+    """ADVICE r2: batch-then-finalize must not silently drop batch docs whose
+    buckets the streamed data also hashes into."""
+    import pytest
+
+    from complete_ocr_spark.streaming.stream import finalize_stream
+
+    docs = make_docs(30)
+    rows = _rows(docs)
+    out_root = str(tmp_path / "out")
+
+    # batch job first: all buckets complete in batch lineage
+    all_df = spark.createDataFrame(rows, schema=DOC_SCHEMA)
+    assert run_job(spark, all_df, out_root, n_buckets=4)["docs_processed"] == 30
+
+    # then a stream writes (a subset of) the same docs into the same root
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows[:10], schema=DOC_SCHEMA).write.parquet(src + "/f1")
+    q = run_streaming_extraction(
+        spark, source_dir=src + "/*", out_root=out_root,
+        checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    q.awaitTermination(300)
+
+    with pytest.raises(ValueError, match="completed lineage"):
+        finalize_stream(spark, out_root, n_buckets=4)
+    # batch table untouched by the refused promotion
+    assert TableIO(spark, out_root, 4).read_docs_out().count() == 30
+
+    # explicit override still promotes (rewrites the streamed buckets)
+    stats = finalize_stream(spark, out_root, n_buckets=4, allow_overwrite=True)
+    assert stats["buckets"] > 0
+
+
+def test_double_write_keeps_single_lineage_row_per_bucket(spark, docs_df, tmp_path):
+    """ADVICE r2: lineage uses per-bucket dynamic overwrite, so writing the
+    same root twice without exclude_buckets cannot stack duplicate rows."""
+    d = str(tmp_path / "twice_lineage")
+    run_job(spark, docs_df, d, n_buckets=4)
+    io = TableIO(spark, d, 4)
+    first = {r["bucket"]: r["checksum"] for r in io.read_lineage().collect()}
+    io.write(run_extraction(spark, docs_df))  # second write, no exclude
+    lin = io.read_lineage()
+    assert lin.groupBy("bucket").count().filter("count > 1").count() == 0
+    assert {r["bucket"]: r["checksum"] for r in lin.collect()} == first
+
+
+def test_write_of_empty_frame_short_circuits(spark, docs_df, tmp_path):
+    """An empty write returns zeros instead of leaving an unreadable path."""
+    io = TableIO(spark, str(tmp_path / "empty"), 4)
+    empty = run_extraction(spark, docs_df).filter("doc_id = 'no-such-doc'")
+    assert io.write(empty) == {"doc_count": 0, "span_count": 0, "buckets": 0}
