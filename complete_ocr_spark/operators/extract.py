@@ -111,33 +111,58 @@ LAYOUT_SCHEMA = (
     "x1 int, y1 int, x2 int, y2 int, score double"
 )
 
-_LAYOUT_CLASSES = frozenset(("Text", "Title", "List", "Table", "Figure"))
+# label_map configs the reference runs the same detector boundary under
+# (notebooks/nested_ocr.ipynb cells 1-3); the synthetic detector emits class
+# INDICES 0..4 surfaced as PubLayNet names, and an alternate config relabels
+# index i to its map's (min_key + i) entry — the model-swap is config-level,
+# the UDF boundary and plan are identical.
+LAYOUT_LABEL_MAPS: dict[str, dict[int, str]] = {
+    "publaynet": {0: "Text", 1: "Title", 2: "List", 3: "Table", 4: "Figure"},
+    "hjdataset": {1: "Page Frame", 2: "Row", 3: "Title Region", 4: "Text Region",
+                  5: "Title", 6: "Subtitle", 7: "Other"},
+    "primalayout": {1: "TextRegion", 2: "ImageRegion", 3: "TableRegion",
+                    4: "MathsRegion", 5: "SeparatorRegion", 6: "OtherRegion"},
+}
+_PUBLAYNET_INDEX = {v: k for k, v in LAYOUT_LABEL_MAPS["publaynet"].items()}
+_LAYOUT_CLASSES = frozenset(_PUBLAYNET_INDEX)
 _LAYOUT_THRESHOLD = 0.8  # MODEL.ROI_HEADS.SCORE_THRESH_TEST (frcnn entry :120)
 
 
-def layout_regions_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(doc_id, offset, media_ref) media-span rows -> 5-class layout detector
-    rows (U2, src/pdf_ocr_frcnn_tesseract_ocr.py:119-120). The extraction
+def make_layout_regions_batch(config: str = "publaynet"):
+    """mapInPandas kernel factory: (doc_id, offset, media_ref) media-span rows
+    -> layout detector rows (U2, src/pdf_ocr_frcnn_tesseract_ocr.py:119-120)
+    under the given label_map config (LAYOUT_LABEL_MAPS). The extraction
     pipeline itself consumes only Figure (:240-241, bug-compatible); this
-    surfaces the Text/Title/List regions the reference's detector emits."""
-    for pdf in batches:
-        out = {k: [] for k in ("doc_id", "offset", "media_ref", "label",
-                               "x1", "y1", "x2", "y2", "score")}
-        for doc_id, off, mref in zip(pdf["doc_id"], pdf["offset"], pdf["media_ref"]):
-            for d in resolve_descriptor(mref)["detections"]:
-                if d["label"] in _LAYOUT_CLASSES and d["score"] >= _LAYOUT_THRESHOLD:
-                    out["doc_id"].append(doc_id)
-                    out["offset"].append(off)
-                    out["media_ref"].append(mref)
-                    out["label"].append(d["label"])
-                    for c, v in zip(("x1", "y1", "x2", "y2"), d["box"]):
-                        out[c].append(v)
-                    out["score"].append(d["score"])
-        pdf_out = pd.DataFrame(out)
-        for c in ("offset", "x1", "y1", "x2", "y2"):
-            pdf_out[c] = pdf_out[c].astype("int32")
-        pdf_out["score"] = pdf_out["score"].astype("float64")
-        yield pdf_out
+    surfaces the other regions the reference's detector emits."""
+    label_map = LAYOUT_LABEL_MAPS[config]
+    base = min(label_map)  # PubLayNet is 0-based, HJDataset/PrimaLayout 1-based
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "offset", "media_ref", "label",
+                                   "x1", "y1", "x2", "y2", "score")}
+            for doc_id, off, mref in zip(pdf["doc_id"], pdf["offset"], pdf["media_ref"]):
+                for d in resolve_descriptor(mref)["detections"]:
+                    if d["label"] in _LAYOUT_CLASSES and d["score"] >= _LAYOUT_THRESHOLD:
+                        out["doc_id"].append(doc_id)
+                        out["offset"].append(off)
+                        out["media_ref"].append(mref)
+                        out["label"].append(
+                            label_map[base + _PUBLAYNET_INDEX[d["label"]]]
+                        )
+                        for c, v in zip(("x1", "y1", "x2", "y2"), d["box"]):
+                            out[c].append(v)
+                        out["score"].append(d["score"])
+            pdf_out = pd.DataFrame(out)
+            for c in ("offset", "x1", "y1", "x2", "y2"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            pdf_out["score"] = pdf_out["score"].astype("float64")
+            yield pdf_out
+
+    return fn
+
+
+layout_regions_batch = make_layout_regions_batch()
 
 
 PAGE_VIEWS_SCHEMA = (

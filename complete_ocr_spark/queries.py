@@ -1178,6 +1178,108 @@ FROM '{LAYOUT_GOLDEN}'
 """
 
 
+def q_layout_classes_prima(spark, sf_dir):
+    """U2 under the reference's PrimaLayout label_map config
+    (notebooks/nested_ocr.ipynb cell 3): same detector boundary and
+    threshold, labels relabeled through the configured 1-based map — proves
+    the label set is configuration, not code. Oracle: the committed golden's
+    PubLayNet labels remapped by the same table."""
+    from .operators.extract import LAYOUT_SCHEMA, make_layout_regions_batch
+
+    return _media_spans(spark).mapInPandas(
+        make_layout_regions_batch("primalayout"), schema=LAYOUT_SCHEMA
+    )
+
+
+def _layout_prima_sql() -> str:
+    from .operators.extract import LAYOUT_LABEL_MAPS
+
+    pub = LAYOUT_LABEL_MAPS["publaynet"]
+    prima = LAYOUT_LABEL_MAPS["primalayout"]
+    base = min(prima)
+    arms = " ".join(
+        f"WHEN '{pub[i]}' THEN '{prima[base + i]}'" for i in sorted(pub)
+    )
+    return f"""
+SELECT doc_id, "offset", media_ref,
+       CASE label {arms} END AS label,
+       x1, y1, x2, y2, score
+FROM '{LAYOUT_GOLDEN}'
+"""
+
+
+_SPATIAL_BAND = 256  # y-band height; boxes span y in [0, ~2200] -> ~9 bands
+
+
+def q_spatial_band_join(spark, sf_dir):
+    """J1's corpus-scale form (SURVEY §2.3): overlapping region pairs via
+    y-band bucketize -> equi-join on (doc_id, offset, band) -> residual
+    rect-overlap predicate. The page-local kernel (kernels/boxes.py) gathers
+    a page into one Python call; this form never gathers — boxes explode to
+    the bands they span, candidates come from a shuffled equi-join, and the
+    exact overlap check runs as a residual filter, so it scales to corpora
+    where a single page set no longer fits an executor and to cross-page
+    region analytics. An overlapping pair always shares at least one band
+    (y-interval overlap => band-range intersection), so the banding loses
+    nothing; distinct() collapses pairs spanning several shared bands."""
+    g = spark.read.parquet(LAYOUT_GOLDEN)
+    boxes = g.select("doc_id", "offset", "label", "x1", "y1", "x2", "y2")
+    banded = boxes.withColumn(
+        "band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("y1") / _SPATIAL_BAND),
+                F.floor(F.col("y2") / _SPATIAL_BAND),
+            )
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ident = ("label", "x1", "y1", "x2", "y2")
+    lt = F.struct(*[F.col(f"a.{c}") for c in ident]) < F.struct(
+        *[F.col(f"b.{c}") for c in ident]
+    )
+    inter = (
+        F.least(F.col("a.x2"), F.col("b.x2")) - F.greatest(F.col("a.x1"), F.col("b.x1"))
+    ) * (
+        F.least(F.col("a.y2"), F.col("b.y2")) - F.greatest(F.col("a.y1"), F.col("b.y1"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.offset") == F.col("b.offset"))
+            & (F.col("a.band") == F.col("b.band"))
+            & lt
+            & (F.col("a.x1") < F.col("b.x2")) & (F.col("b.x1") < F.col("a.x2"))
+            & (F.col("a.y1") < F.col("b.y2")) & (F.col("b.y1") < F.col("a.y2")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.offset").alias("offset"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("a.x1").alias("ax1"), F.col("a.y1").alias("ay1"),
+            F.col("b.x1").alias("bx1"), F.col("b.y1").alias("by1"),
+            inter.cast("bigint").alias("inter_area"),
+        )
+        .distinct()
+    )
+
+
+SQL_SPATIAL = f"""
+WITH b AS (SELECT * FROM '{LAYOUT_GOLDEN}')
+SELECT DISTINCT a.doc_id AS doc_id, a."offset" AS "offset",
+       a.label AS label_a, c.label AS label_b,
+       a.x1 AS ax1, a.y1 AS ay1, c.x1 AS bx1, c.y1 AS by1,
+       CAST((least(a.x2, c.x2) - greatest(a.x1, c.x1))
+            * (least(a.y2, c.y2) - greatest(a.y1, c.y1)) AS BIGINT) AS inter_area
+FROM b a JOIN b c
+  ON a.doc_id = c.doc_id AND a."offset" = c."offset"
+ AND (a.label, a.x1, a.y1, a.x2, a.y2) < (c.label, c.x1, c.y1, c.x2, c.y2)
+ AND a.x1 < c.x2 AND c.x1 < a.x2 AND a.y1 < c.y2 AND c.y1 < a.y2
+"""
+
+
 def q_page_text_unmasked(spark, sf_dir):
     """U4 .txt/.hocr asymmetry: the reference's .txt sink OCRs the UNMASKED
     page (src/pdf_ocr_frcnn_tesseract_ocr.py:136-138) so table-region words
@@ -1379,6 +1481,8 @@ REGISTRY: dict[str, tuple] = {
     "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "q_nested_hocr": (q_nested_hocr, SQL_NESTED),
     "q_layout_classes": (q_layout_classes, SQL_LAYOUT),
+    "q_spatial_band_join": (q_spatial_band_join, SQL_SPATIAL),
+    "q_layout_classes_prima": (q_layout_classes_prima, _layout_prima_sql()),
     "q_page_text_unmasked": (q_page_text_unmasked, SQL_PAGE_VIEWS),
     "q_hocr_title_parse": (q_hocr_title_parse, SQL_TITLE_PARSE),
     "q_singular_word_merge": (q_singular_word_merge, SQL_SINGULAR),

@@ -41,6 +41,7 @@ def test_relational_queries_have_no_python_eval(spark):
             "q_media_features",
             "q_nested_hocr",
             "q_layout_classes",
+            "q_layout_classes_prima",
             "q_page_text_unmasked",
             "q_singular_word_merge",
         ):
@@ -111,3 +112,10 @@ def test_plan_size_guard_on_literal_heavy_queries(spark):
     for name, bound in bounds.items():
         plan = _plan(REGISTRY[name][0](spark, SF_DIR))
         assert len(plan) < bound, f"{name}: plan {len(plan)} chars >= {bound}"
+
+
+def test_spatial_band_join_is_equi_join_not_cartesian(spark):
+    """The y-band join must hash on (doc_id, offset, band) with the overlap
+    predicate residual — never a nested-loop/cartesian pair blowup."""
+    plan = _plan(REGISTRY["q_spatial_band_join"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
