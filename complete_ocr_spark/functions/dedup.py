@@ -135,7 +135,8 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("doc", sim.cast("bigint").alias("simhash"))
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(df: DataFrame, id_col: str, text_col: str,
+              impl: str = "pandas") -> DataFrame:
     """64-bit SimHash over md5 token hashes (bits 0..63 of the digest).
 
     Emitted as two 32-bit halves (simhash_hi = bits 32..63, simhash_lo =
@@ -143,9 +144,31 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     group on (hi, lo) for exact-signature collisions; near-dup probing flips
     Hamming-neighborhood bits per half. Still one shuffle (the groupBy).
 
-    The 16 hex-digit values are projected ONCE per token, so the 64 vote
-    sums are pure arithmetic — the naive per-bit substring/instr form did 64
-    string ops per token and measured ~2x slower at sf0.1."""
+    Two bit-identical implementations, A/B-measured at sf0.1 (interleaved
+    best-of-3, BASELINE.md §simhash64 A/B):
+
+    * ``impl="pandas"`` (default): Arrow-batched numpy kernel
+      (kernels.simhash) — one pass per document, per-task token vote cache,
+      measured ~5x faster; zero shuffles (the Catalyst form pays one for its
+      vote groupBy).
+    * ``impl="catalyst"``: pure-JVM vote aggregation — the oracle-anchor
+      form (its SQL transcription IS the DuckDB oracle) and the fallback if
+      a deployment must stay Python-free. The 16 hex-digit values are
+      projected ONCE per token; the naive per-bit substring/instr form did
+      64 string ops per token and measured ~2x slower still.
+    """
+    if impl == "pandas":
+        from ..kernels.simhash import simhash64_batch
+
+        # carry the caller's id type through (doc_id is string in the docs
+        # table but bigint in the driver's documents table)
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("text")
+        ).mapInPandas(
+            simhash64_batch,
+            schema=f"doc {id_type}, simhash_hi bigint, simhash_lo bigint",
+        )
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(_words(text_col)).alias("w")
     ).withColumn("h", F.md5("w"))

@@ -94,3 +94,26 @@ def test_simhash_banding_is_result_invariant(spark):
 
     assert pairs(4) == pairs(8)
     assert ("a", "b", 0) in pairs(8)
+
+
+def test_simhash64_pandas_kernel_matches_catalyst(spark):
+    """The numpy kernel and the Catalyst vote aggregation are bit-identical —
+    including empty tokens kept by split() and repeated-token vote weights."""
+    rows = [
+        ("a", "Spark  shuffles\tpartitioned batches"),
+        ("b", " leading and trailing  "),
+        ("c", ""),
+        ("d", "repeat repeat repeat distinct"),
+        ("e", "MiXeD CaSe UPPER lower"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def sig(impl):
+        return {
+            r["doc"]: (r["simhash_hi"], r["simhash_lo"])
+            for r in dedup.simhash64(d, "doc_id", "text", impl=impl).collect()
+        }
+
+    cat, pan = sig("catalyst"), sig("pandas")
+    assert cat == pan
+    assert len(cat) == 5
