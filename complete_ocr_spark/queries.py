@@ -610,10 +610,10 @@ def q_simhash_near_dup_mb(spark, sf_dir):
     )
 
 
-def _simhash_near_dup_sql(n_blocks: int = 4) -> str:
-    """Generated from dedup.simhash_band_combos — the SAME constants the Spark
-    query bands on, so changing the geometry cannot desync the oracle."""
-    sig = _simhash64_sql().strip().rstrip()
+def _band_arms_sql(n_blocks: int) -> tuple[str, int]:
+    """(CASE arms over `band`, n_bands) generated from dedup.simhash_band_combos
+    — the SAME constants the Spark queries band on, so changing the geometry
+    cannot desync an oracle."""
     combos = dedup.simhash_band_combos(n_blocks, _SH_MAX_HAMMING)
     width = 64 // n_blocks
 
@@ -627,13 +627,19 @@ def _simhash_near_dup_sql(n_blocks: int = 4) -> str:
         + " + ".join(f"{block(i)} * {2 ** (width * j)}" for j, i in enumerate(combo))
         for b, combo in enumerate(combos)
     )
+    return arms, len(combos)
+
+
+def _simhash_near_dup_sql(n_blocks: int = 4) -> str:
+    sig = _simhash64_sql().strip().rstrip()
+    arms, n_bands = _band_arms_sql(n_blocks)
     return f"""
 WITH sig AS ({sig}),
 bands AS (
   SELECT doc, simhash_hi, simhash_lo, band,
          CASE band {arms}
          END AS value
-  FROM sig, (SELECT unnest(range({len(combos)})) AS band)),
+  FROM sig, (SELECT unnest(range({n_bands})) AS band)),
 cand AS (
   SELECT DISTINCT x.doc AS doc1, y.doc AS doc2,
          x.simhash_hi AS h1, x.simhash_lo AS l1,
@@ -648,6 +654,62 @@ WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= {_SH_MAX_HAMMING}
 
 
 _MB_BANDS, _MB_ROWS = 3, 2  # single source of truth for query AND oracle SQL
+
+
+_SD_BATCHES = 3  # deterministic micro-batch assignment for the oracle form
+
+
+def q_stream_dedup_flags(spark, sf_dir):
+    """Incremental (streaming) dedup semantics in oracle-checkable batch form:
+    docs are assigned to deterministic arrival batches (md5(doc_id) % k) and
+    each doc is flagged iff a doc that arrived STRICTLY earlier — prior
+    batch, or same batch with smaller id — is within Hamming distance 3 of
+    its SimHash-64. This is exactly the per-micro-batch join the streaming
+    path runs (streaming.dedup_stream.near_dup_flags); the live foreachBatch
+    machinery (signature table, idempotent re-delivery, checkpoint restart)
+    is exercised by tests/test_streaming_dedup.py."""
+    from .streaming.dedup_stream import near_dup_flags
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.simhash64(d, "doc_id", "text").withColumn(
+        "batch_id",
+        F.conv(F.substring(F.md5(F.col("doc").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % _SD_BATCHES,
+    )
+    return near_dup_flags(sigs, sigs, max_hamming=_SH_MAX_HAMMING, n_blocks=4)
+
+
+def _stream_dedup_sql() -> str:
+    sig = _simhash64_sql().strip()
+    arms, n_bands = _band_arms_sql(4)
+    return f"""
+WITH sig0 AS ({sig}),
+sig AS (
+  SELECT doc, simhash_hi, simhash_lo,
+         ('0x' || substr(md5(CAST(doc AS VARCHAR)), 1, 4))::BIGINT % {_SD_BATCHES} AS batch_id
+  FROM sig0),
+bands AS (
+  SELECT doc, batch_id, simhash_hi, simhash_lo, band,
+         CASE band {arms}
+         END AS value
+  FROM sig, (SELECT unnest(range({n_bands})) AS band)),
+m AS (
+  SELECT DISTINCT n.doc AS doc, n.batch_id AS batch_id,
+         c.doc AS dup_of, c.batch_id AS dup_batch,
+         CAST(bit_count(xor(n.simhash_hi, c.simhash_hi))
+              + bit_count(xor(n.simhash_lo, c.simhash_lo)) AS INT) AS hamming
+  FROM bands n JOIN bands c
+    ON n.band = c.band AND n.value = c.value
+   AND (c.batch_id < n.batch_id OR (c.batch_id = n.batch_id AND c.doc < n.doc))
+  WHERE bit_count(xor(n.simhash_hi, c.simhash_hi))
+        + bit_count(xor(n.simhash_lo, c.simhash_lo)) <= {_SH_MAX_HAMMING}),
+r AS (
+  SELECT doc, batch_id, dup_of, dup_batch, hamming,
+         ROW_NUMBER() OVER (PARTITION BY doc
+                            ORDER BY hamming, dup_of, dup_batch) AS rn
+  FROM m)
+SELECT doc, batch_id, dup_of, dup_batch, hamming FROM r WHERE rn = 1
+"""
 
 
 def q_minhash_bands(spark, sf_dir):
@@ -1464,6 +1526,7 @@ REGISTRY: dict[str, tuple] = {
     "q_simhash64": (q_simhash64, _simhash64_sql()),
     "q_simhash_near_dup": (q_simhash_near_dup, _simhash_near_dup_sql(4)),
     "q_simhash_near_dup_mb": (q_simhash_near_dup_mb, _simhash_near_dup_sql(8)),
+    "q_stream_dedup_flags": (q_stream_dedup_flags, _stream_dedup_sql()),
     "q_minhash_bands": (q_minhash_bands, _minhash_bands_sql()),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),

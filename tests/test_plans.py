@@ -49,6 +49,7 @@ def test_relational_queries_have_no_python_eval(spark):
             "q_simhash64",
             "q_simhash_near_dup",
             "q_simhash_near_dup_mb",
+            "q_stream_dedup_flags",
         ):
             continue  # these intentionally contain the pandas kernels
         plan = _plan(fn(spark, SF_DIR))

@@ -1,0 +1,98 @@
+"""Incremental streaming dedup: a near-dup arriving in a later micro-batch is
+detected against an earlier batch's corpus; within-batch order breaks ties;
+re-delivery and checkpoint restart are idempotent."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from complete_ocr_spark.streaming.dedup_stream import (
+    dedup_paths,
+    make_dedup_batch,
+    near_dup_flags,
+    read_flags,
+    run_streaming_dedup,
+)
+
+SCHEMA = "doc_id bigint, text string"
+BASE = ("spark shuffles partitioned batches of vectorized arrow pages "
+        "through catalyst while the reader prunes nested columns")
+UNIQ1 = "a completely different document about table detection and ocr lines"
+UNIQ2 = "the quick brown fox jumps over the lazy dog near the river bank"
+
+
+def _flags(spark, out_root):
+    return {
+        r["doc"]: (r["dup_of"], r["dup_batch"], r["hamming"], r["batch_id"])
+        for r in read_flags(spark, out_root).collect()
+    }
+
+
+def _run(spark, src, out_root, ckpt):
+    q = run_streaming_dedup(
+        spark, source_dir=src + "/*", out_root=out_root,
+        checkpoint_dir=ckpt, schema=SCHEMA,
+    )
+    q.awaitTermination(300)
+
+
+def test_cross_batch_and_within_batch_dedup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    # batch 0: the seed corpus
+    spark.createDataFrame([(1, BASE), (2, UNIQ1)], SCHEMA).coalesce(1).write.parquet(src + "/f1")
+    _run(spark, src, out_root, ckpt)
+    assert _flags(spark, out_root) == {}
+
+    # batch 1: doc 3 repeats batch 0's doc 1 (cross-batch dup); docs 4/5 are
+    # identical within the batch (within-batch order flags only the later id)
+    spark.createDataFrame(
+        [(3, BASE), (4, UNIQ2), (5, UNIQ2)], SCHEMA
+    ).coalesce(1).write.parquet(src + "/f2")
+    _run(spark, src, out_root, ckpt)
+    got = _flags(spark, out_root)
+    assert got == {3: (1, 0, 0, 1), 5: (4, 1, 0, 1)}
+
+    # signature table holds every doc regardless of flagging
+    sig_path, _ = dedup_paths(out_root)
+    sigs = spark.read.parquet(sig_path)
+    assert sigs.count() == 5
+    assert sigs.groupBy("doc").count().filter("count > 1").count() == 0
+
+    # --- re-delivery: re-running committed batch 1 changes nothing ---------
+    pb = make_dedup_batch(spark, out_root)
+    pb(spark.createDataFrame([(3, BASE), (4, UNIQ2), (5, UNIQ2)], SCHEMA), 1)
+    assert _flags(spark, out_root) == got
+    assert spark.read.parquet(sig_path).count() == 5
+
+    # --- checkpoint restart: only the new file is processed ----------------
+    # doc 6 repeats UNIQ1 (batch 0's doc 2) — detected across a restart
+    spark.createDataFrame([(6, UNIQ1)], SCHEMA).coalesce(1).write.parquet(src + "/f3")
+    _run(spark, src, out_root, ckpt)
+    got3 = _flags(spark, out_root)
+    assert got3 == {3: (1, 0, 0, 1), 5: (4, 1, 0, 1), 6: (2, 0, 0, 2)}
+    assert spark.read.parquet(sig_path).count() == 6
+
+
+def test_near_dup_flags_picks_minimum_match(spark):
+    """dup_of is the earlier match with the smallest (hamming, id); docs with
+    no earlier match (incl. the very first copy) are never flagged."""
+    rows = [(10, 0, 5, 5), (11, 0, 5, 5), (20, 1, 5, 5), (21, 1, 9999, 5)]
+    sigs = spark.createDataFrame(
+        rows, "doc bigint, batch_id bigint, simhash_hi bigint, simhash_lo bigint"
+    )
+    got = {
+        r["doc"]: (r["dup_of"], r["dup_batch"], r["hamming"])
+        for r in near_dup_flags(sigs, sigs).collect()
+    }
+    # 11 matches 10 in-batch; 20 matches 10 and 11 -> min id 10; 21 shares a
+    # band value with nothing within hamming 3 except... hi differs by 9999^5
+    assert got[11] == (10, 0, 0)
+    assert got[20] == (10, 0, 0)
+    assert 10 not in got
+    assert 21 not in got  # hamming(9999, 5) > 3 despite sharing lo bands
