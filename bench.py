@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "q_minhash_bands",
     "q_strip_text_blocks",
     "q_nested_hocr",
+    "q_simhash_near_dup_mb",
+    "q_stream_dedup_flags",
+    "q_ann_ivf_bcast",
 ]
 
 

@@ -117,3 +117,12 @@ def test_simhash64_pandas_kernel_matches_catalyst(spark):
     cat, pan = sig("catalyst"), sig("pandas")
     assert cat == pan
     assert len(cat) == 5
+
+
+def test_simhash16_is_projection_of_simhash64(spark):
+    d = _docs(spark)
+    cat = {r["doc"]: r["simhash"]
+           for r in dedup.simhash16(d, "doc_id", "text", impl="catalyst").collect()}
+    pan = {r["doc"]: r["simhash"]
+           for r in dedup.simhash16(d, "doc_id", "text", impl="pandas").collect()}
+    assert cat == pan
