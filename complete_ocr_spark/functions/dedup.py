@@ -303,6 +303,77 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def dup_clusters(df: DataFrame, id_col: str, text_col: str,
+                 max_hamming: int = 3, n_blocks: int = 4,
+                 max_iters: int = 20) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the SimHash near-dup pair
+    graph — the step that turns pairwise matches into "keep one document per
+    duplicate cluster" for a training corpus.
+
+    Algorithm: min-label propagation. Every doc in a pair starts labeled with
+    itself; each iteration replaces a doc's label by the minimum over itself
+    and its neighbors' labels; at fixpoint the label is the component's
+    minimum doc id (the canonical representative). Near-dup components are
+    near-cliques, so the loop converges in O(component diameter) ~ 2-3
+    iterations; each iteration is one equi-join + one aggregation (two
+    shuffles) — the same primitive loop as large-scale connected-components
+    (Kiveris et al.'s large-star/small-star refines the SAME iteration for
+    skewed web graphs). ``localCheckpoint`` truncates the growing lineage per
+    iteration, and a ``limit(1)`` probe stops at convergence — this operator
+    is deliberately EAGER (iterative fixpoint is not single-pass SQL; the
+    DuckDB oracle uses a recursive CTE).
+
+    Returns (doc, cluster, n_members) for every doc that has at least one
+    near-dup edge; cluster = min doc id of its component.
+    """
+    pairs = simhash_hamming_pairs(df, id_col, text_col, max_hamming, n_blocks)
+    return connected_components(pairs.select("doc1", "doc2"), max_iters)
+
+
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected (doc1, doc2) edge list; see
+    ``dup_clusters``. Returns (doc, cluster, n_members)."""
+    sym = edges.union(
+        edges.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("doc1").alias("doc")).distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.doc2 == labels.doc)
+            .groupBy(sym.doc1.alias("doc"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("doc"), F.col("label").alias("cluster"), "n_members")
+    )
+
+
 def ngram_shingles(text_col: str, n: int = 3):
     """n-word shingles as an array column; docs with < n words get none."""
     w = _words(text_col)

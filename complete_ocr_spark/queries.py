@@ -656,6 +656,35 @@ WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= {_SH_MAX_HAMMING}
 _MB_BANDS, _MB_ROWS = 3, 2  # single source of truth for query AND oracle SQL
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup clusters (connected components over the SimHash <=3-Hamming
+    pair graph) via iterative min-label propagation — the "one representative
+    per duplicate cluster" pipeline step. Deliberately eager (fixpoint loop
+    with localCheckpoint per iteration); the oracle is a DuckDB recursive
+    CTE computing min-reachable-id over the same pair set."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dup_clusters(
+        d, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, n_blocks=4
+    )
+
+
+def _dup_clusters_sql() -> str:
+    pair_sql = _simhash_near_dup_sql(4).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+ed AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+       UNION SELECT doc2, doc1 FROM pairs),
+conn(a, b) AS (
+  SELECT a, b FROM ed
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN ed e ON c.b = e.a),
+lab AS (SELECT a AS doc, LEAST(a, MIN(b)) AS cluster FROM conn GROUP BY a),
+sz AS (SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY cluster)
+SELECT doc, lab.cluster AS cluster, n_members
+FROM lab JOIN sz ON lab.cluster = sz.cluster
+"""
+
+
 _SD_BATCHES = 3  # deterministic micro-batch assignment for the oracle form
 
 
@@ -1527,6 +1556,7 @@ REGISTRY: dict[str, tuple] = {
     "q_simhash_near_dup": (q_simhash_near_dup, _simhash_near_dup_sql(4)),
     "q_simhash_near_dup_mb": (q_simhash_near_dup_mb, _simhash_near_dup_sql(8)),
     "q_stream_dedup_flags": (q_stream_dedup_flags, _stream_dedup_sql()),
+    "q_dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
     "q_minhash_bands": (q_minhash_bands, _minhash_bands_sql()),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),

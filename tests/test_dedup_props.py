@@ -126,3 +126,21 @@ def test_simhash16_is_projection_of_simhash64(spark):
     pan = {r["doc"]: r["simhash"]
            for r in dedup.simhash16(d, "doc_id", "text", impl="pandas").collect()}
     assert cat == pan
+
+
+def test_connected_components_propagates_across_hops(spark):
+    """A chain a-b-c must collapse to one cluster labeled by its minimum id
+    (multi-hop propagation), separate components stay separate."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6), (9, 8), (8, 7), (7, 4)],
+        "doc1 bigint, doc2 bigint",
+    )
+    got = {
+        r["doc"]: (r["cluster"], r["n_members"])
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        5: (5, 2), 6: (5, 2),
+        4: (4, 4), 7: (4, 4), 8: (4, 4), 9: (4, 4),
+    }
