@@ -472,6 +472,44 @@ FROM b
 """
 
 
+def q_quality_sample(spark, sf_dir):
+    """Deterministic quality-stratified downsampling — the corpus-curation
+    step after scoring: high-quality docs kept at 100%, mid at 50%, low at
+    10%, with the keep decision an md5 threshold on the doc id so the sample
+    is reproducible, join-free, and identically computable by the oracle
+    (no RNG state, no global pass — scales as a pure map)."""
+    q = q_quality(spark, sf_dir)
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    band = (
+        F.when(F.col("quality") >= 0.9, "high")
+        .when(F.col("quality") >= 0.7, "mid")
+        .otherwise("low")
+    )
+    rate = F.when(F.col("quality") >= 0.9, 100).when(F.col("quality") >= 0.7, 50).otherwise(10)
+    return (
+        q.withColumn("band", band)
+        .filter(h < rate)
+        .select("doc_id", "band", "quality")
+    )
+
+
+def _quality_sample_sql() -> str:
+    return f"""
+WITH scored AS ({SQL_QUALITY})
+SELECT doc_id,
+       CASE WHEN quality >= 0.9 THEN 'high'
+            WHEN quality >= 0.7 THEN 'mid' ELSE 'low' END AS band,
+       quality
+FROM scored
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      < CASE WHEN quality >= 0.9 THEN 100
+             WHEN quality >= 0.7 THEN 50 ELSE 10 END
+"""
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -984,6 +1022,45 @@ def q_ann_ivf_bcast(spark, sf_dir):
     return similarity.ann_ivf_topk_broadcast(
         e, "vec_id", "embedding", qv, cents, n_probe=_IVF_PROBE, k=10
     )
+
+
+def q_ann_recall(spark, sf_dir):
+    """Index-quality evidence: recall@10 of the two ANN scale paths
+    (multiprobe sign-LSH, broadcast IVF) against the exact brute-force
+    top-10 — the measurement that justifies probe/cell parameters before a
+    10^12-vector deployment."""
+    exact = q_ann_topk(spark, sf_dir).select("vec_id")
+    probes = {
+        "lsh_multiprobe": q_ann_lsh_topk(spark, sf_dir).select("vec_id"),
+        "ivf_broadcast": q_ann_ivf_bcast(spark, sf_dir).select("vec_id"),
+    }
+    parts = [
+        df.join(exact, "vec_id", "left_semi")
+        .agg(
+            F.lit(name).alias("method"),
+            F.count("*").alias("n_hits"),
+            F.round(F.count("*") / 10.0, 6).alias("recall"),
+        )
+        for name, df in probes.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH exact AS (SELECT vec_id FROM ({SQL_ANN})),
+lsh AS (SELECT vec_id FROM ({SQL_ANN_LSH})),
+ivf AS (SELECT vec_id FROM ({_ivf_sql()}))
+SELECT 'lsh_multiprobe' AS method, COUNT(*) AS n_hits,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM lsh WHERE vec_id IN (SELECT vec_id FROM exact)
+UNION ALL
+SELECT 'ivf_broadcast', COUNT(*), ROUND(COUNT(*) / 10.0, 6)
+FROM ivf WHERE vec_id IN (SELECT vec_id FROM exact)
+"""
 
 
 def q_lsh_buckets(spark, sf_dir):
@@ -1557,6 +1634,8 @@ REGISTRY: dict[str, tuple] = {
     "q_simhash_near_dup_mb": (q_simhash_near_dup_mb, _simhash_near_dup_sql(8)),
     "q_stream_dedup_flags": (q_stream_dedup_flags, _stream_dedup_sql()),
     "q_dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
+    "q_ann_recall": (q_ann_recall, _ann_recall_sql()),
+    "q_quality_sample": (q_quality_sample, _quality_sample_sql()),
     "q_minhash_bands": (q_minhash_bands, _minhash_bands_sql()),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
