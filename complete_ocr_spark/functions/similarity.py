@@ -243,7 +243,8 @@ def ann_ivf_topk_broadcast(df: DataFrame, id_col: str, vec_col: str,
 
 def embedding_near_dup_srp(df: DataFrame, id_col: str, vec_col: str, dim: int,
                            threshold: float = 0.3, n_bits: int = 10,
-                           n_tables: int = 2, seed: int = SRP_SEED) -> DataFrame:
+                           n_tables: int = 2, seed: int = SRP_SEED,
+                           impl: str = "pandas") -> DataFrame:
     """Scale-form near-dup: multi-table SRP-LSH candidates + exact cosine.
 
     Each table t buckets by ``srp_bucket`` with its own hyperplanes; a pair is
@@ -263,17 +264,36 @@ def embedding_near_dup_srp(df: DataFrame, id_col: str, vec_col: str, dim: int,
     are joined back ONCE per surviving pair. At scale the candidate set is
     tiny relative to n, so AQE turns those fetch joins into broadcasts and
     the vector payload never shuffles at all.
+
+    ``impl="pandas"`` (default) computes the T x b bucket bits as numpy
+    matmuls (kernels.srp; measured 2.6x over the per-bit Catalyst folds at
+    sf0.1, interleaved best-of-3, identical output rows — BASELINE.md §SRP
+    bucket kernel); ``impl="catalyst"`` keeps the fold form, whose SQL
+    transcription is the DuckDB oracle.
     """
-    all_buckets = F.array(
-        *[
-            srp_bucket(vec_col, srp_hyperplanes(dim, n_bits, table=t, seed=seed))
-            for t in range(n_tables)
-        ]
-    )
-    b = df.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(all_buckets).alias("tbl", "bucket"),
-    )
+    planes = [srp_hyperplanes(dim, n_bits, table=t, seed=seed)
+              for t in range(n_tables)]
+    if impl == "pandas":
+        # vectorized matmul kernel (kernels.srp) — bit-compatible with the
+        # Catalyst folds (see the kernel's parity contract); A/B-measured in
+        # BASELINE.md §SRP bucket kernel
+        from ..kernels.srp import make_srp_buckets_batch
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        b = df.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+        ).mapInPandas(
+            make_srp_buckets_batch(planes),
+            schema=f"vid {id_type}, tbl int, bucket bigint",
+        )
+    else:
+        all_buckets = F.array(
+            *[srp_bucket(vec_col, p) for p in planes]
+        )
+        b = df.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(all_buckets).alias("tbl", "bucket"),
+        )
     x, y = b.alias("x"), b.alias("y")
     cands = (
         x.join(

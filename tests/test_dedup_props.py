@@ -144,3 +144,27 @@ def test_connected_components_propagates_across_hops(spark):
         5: (5, 2), 6: (5, 2),
         4: (4, 4), 7: (4, 4), 8: (4, 4), 9: (4, 4),
     }
+
+
+def test_srp_kernel_matches_catalyst_folds(spark):
+    """The matmul bucket kernel and the per-bit Catalyst folds produce the
+    same near-dup pair set (sign thresholds agree; see kernels/srp.py)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact vector dups
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def pairs(impl):
+        return sorted(
+            (r["id1"], r["id2"], r["cos"])
+            for r in similarity.embedding_near_dup_srp(
+                df, "vec_id", "embedding", dim=16, threshold=0.3,
+                n_bits=6, n_tables=2, impl=impl,
+            ).collect()
+        )
+
+    cat, pan = pairs("catalyst"), pairs("pandas")
+    assert cat == pan
+    assert len(cat) >= 5
