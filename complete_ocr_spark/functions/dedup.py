@@ -279,7 +279,14 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str,
         F.posexplode(simhash_band_keys(n_blocks, max_hamming)).alias("band", "value"),
     )
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    ham = (
+        F.bit_count(F.col("x.simhash_hi").bitwiseXOR(F.col("y.simhash_hi")))
+        + F.bit_count(F.col("x.simhash_lo").bitwiseXOR(F.col("y.simhash_lo")))
+    ).cast("int")
+    # verify BEFORE distinct: the popcount is a per-row map, so junk
+    # candidates (the n^2/2^key_bits term) die before the dedup shuffle —
+    # only true pairs (x the <= n_bands bands they co-match in) get shuffled
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -288,18 +295,10 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         .select(
             F.col("x.doc").alias("doc1"), F.col("y.doc").alias("doc2"),
-            F.col("x.simhash_hi").alias("h1"), F.col("x.simhash_lo").alias("l1"),
-            F.col("y.simhash_hi").alias("h2"), F.col("y.simhash_lo").alias("l2"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    ham = (
-        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-        + F.bit_count(F.col("l1").bitwiseXOR(F.col("l2")))
-    ).cast("int")
-    return (
-        cand.select("doc1", "doc2", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
