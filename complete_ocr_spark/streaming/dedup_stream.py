@@ -19,13 +19,14 @@ Join shape is the same banded Manku equi-join as the batch operator
 shuffle per micro-batch, never all-pairs, and the corpus side reads only the
 signature table (16 bytes/doc), never the corpus text.
 
-Idempotence / restart: signatures and flags are both written with dynamic
-partition overwrite keyed by ``batch_id``; a re-delivered batch k recomputes
-from ``signatures[batch_id < k]`` (its own failed partial write is excluded
-by the filter) and replaces exactly its own partitions. At 10^12 docs the
-signature table partitions by a bucket of the band value instead of scanning
-whole; the per-batch join cost is |batch| x corpus collisions, not corpus
-size.
+Idempotence / restart: signatures, flags, and the band index are written
+with dynamic partition overwrite keyed by ``batch_id`` (the index also by
+``vb``); a re-delivered batch k recomputes from partitions with
+``batch_id < k`` (its own failed partial write is excluded by the filter)
+and replaces exactly its own partitions. The corpus probe reads the BAND
+INDEX partition-pruned to the vb buckets the batch's own band values hash
+into (``make_dedup_batch``), so per-batch read cost tracks the batch size,
+not the corpus size, and the join cost is |batch| x corpus collisions.
 """
 
 from __future__ import annotations
@@ -38,11 +39,17 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions.dedup import simhash64, simhash_band_keys
 
 
-def dedup_paths(out_root: str) -> tuple[str, str]:
-    """(signatures, dup_flags) parquet roots, both partitioned by batch_id."""
+N_VALUE_BUCKETS = 16  # band-index partition fan-out; see make_dedup_batch
+
+
+def dedup_paths(out_root: str) -> tuple[str, str, str]:
+    """(signatures, dup_flags, band_index) parquet roots. signatures/dup_flags
+    partition by batch_id; band_index by (batch_id, vb) — vb = pmod(band
+    value, N_VALUE_BUCKETS) is the probe-pruning key (module doc)."""
     return (
         os.path.join(out_root, "signatures"),
         os.path.join(out_root, "dup_flags"),
+        os.path.join(out_root, "band_index"),
     )
 
 
@@ -80,8 +87,20 @@ def near_dup_flags(new_sigs: DataFrame, corpus_sigs: DataFrame,
 
     Returns (doc, batch_id, dup_of, dup_batch, hamming) — one row per flagged
     doc, ``dup_of`` = the earlier match minimizing (hamming, doc id)."""
-    n = _bands(new_sigs, n_blocks, max_hamming).alias("n")
-    c = _bands(corpus_sigs, n_blocks, max_hamming).alias("c")
+    return _flags_from_bands(
+        _bands(new_sigs, n_blocks, max_hamming),
+        _bands(corpus_sigs, n_blocks, max_hamming),
+        max_hamming,
+    )
+
+
+def _flags_from_bands(new_bands: DataFrame, corpus_bands: DataFrame,
+                      max_hamming: int) -> DataFrame:
+    """The banded equi-join + popcount verify + min-match pick, over
+    pre-banded rows (doc, batch_id, simhash_hi, simhash_lo, band, value)."""
+    cols = ["doc", "batch_id", "simhash_hi", "simhash_lo", "band", "value"]
+    n = new_bands.select(cols).alias("n")
+    c = corpus_bands.select(cols).alias("c")
     earlier = (F.col("c.batch_id") < F.col("n.batch_id")) | (
         (F.col("c.batch_id") == F.col("n.batch_id"))
         & (F.col("c.doc") < F.col("n.doc"))
@@ -121,21 +140,39 @@ def near_dup_flags(new_sigs: DataFrame, corpus_sigs: DataFrame,
 
 def make_dedup_batch(spark: SparkSession, out_root: str,
                      id_col: str = "doc_id", text_col: str = "text",
-                     max_hamming: int = 3, n_blocks: int = 4):
-    """foreachBatch body, exposed for direct re-delivery testing."""
-    sig_path, flag_path = dedup_paths(out_root)
+                     max_hamming: int = 3, n_blocks: int = 4,
+                     n_value_buckets: int = N_VALUE_BUCKETS):
+    """foreachBatch body, exposed for direct re-delivery testing.
+
+    The corpus side of the probe is the BAND INDEX (Manku stores one table
+    per band), partitioned by (batch_id, vb = pmod(value, n_value_buckets)):
+    a micro-batch lists the <= n_value_buckets vb partitions its own band
+    values hash into and the corpus scan partition-prunes to exactly those —
+    per-batch read cost tracks |batch| x corpus/n_value_buckets instead of
+    the whole signature corpus. Size n_value_buckets ~ the corpus partition
+    count at deployment (a small batch then touches a sliver); 16 here keeps
+    the sandbox's file count sane."""
+    sig_path, flag_path, band_path = dedup_paths(out_root)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         sigs = simhash64(batch_df, id_col, text_col).withColumn(
             "batch_id", F.lit(bid)
         )
-        if os.path.exists(sig_path):
-            prior = spark.read.parquet(sig_path).filter(F.col("batch_id") < bid)
-            corpus = prior.unionByName(sigs)
+        new_bands = _bands(sigs, n_blocks, max_hamming).withColumn(
+            "vb", F.pmod(F.col("value"), F.lit(n_value_buckets)).cast("int")
+        )
+        # bounded driver read: at most n_value_buckets values
+        touched = [r["vb"] for r in new_bands.select("vb").distinct().collect()]
+        if os.path.exists(band_path):
+            prior_bands = (
+                spark.read.parquet(band_path)
+                .filter((F.col("batch_id") < bid) & F.col("vb").isin(touched))
+            )
+            corpus_bands = prior_bands.unionByName(new_bands)
         else:
-            corpus = sigs
-        flags = near_dup_flags(sigs, corpus, max_hamming, n_blocks)
+            corpus_bands = new_bands
+        flags = _flags_from_bands(new_bands, corpus_bands, max_hamming)
         # flags may be empty for a batch; write signatures first so the flag
         # write's partition column is still recorded via an explicit lit
         (
@@ -144,6 +181,13 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(sig_path)
+        )
+        (
+            new_bands.repartition("vb")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "vb")
+            .parquet(band_path)
         )
         (
             flags.withColumn("batch_id", F.lit(bid))  # restore after groupBy

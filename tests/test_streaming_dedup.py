@@ -59,7 +59,7 @@ def test_cross_batch_and_within_batch_dedup(spark, tmp_path):
     assert got == {3: (1, 0, 0, 1), 5: (4, 1, 0, 1)}
 
     # signature table holds every doc regardless of flagging
-    sig_path, _ = dedup_paths(out_root)
+    sig_path, _, band_path = dedup_paths(out_root)
     sigs = spark.read.parquet(sig_path)
     assert sigs.count() == 5
     assert sigs.groupBy("doc").count().filter("count > 1").count() == 0
@@ -96,3 +96,34 @@ def test_near_dup_flags_picks_minimum_match(spark):
     assert got[20] == (10, 0, 0)
     assert 10 not in got
     assert 21 not in got  # hamming(9999, 5) > 3 despite sharing lo bands
+
+
+def test_band_index_probe_is_partition_pruned(spark, tmp_path):
+    """The corpus side of a micro-batch probe must scan only the vb
+    partitions the batch's own band values hash into (PartitionFilters on
+    the band_index read), not the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from complete_ocr_spark.streaming.dedup_stream import _bands
+    from complete_ocr_spark.functions.dedup import simhash64
+
+    src_rows = [(i, f"corpus document number {i} with words {i % 7}") for i in range(1, 40)]
+    out_root = str(tmp_path / "out")
+    pb = make_dedup_batch(spark, out_root)
+    pb(spark.createDataFrame(src_rows, SCHEMA), 0)
+
+    _, _, band_path = dedup_paths(out_root)
+    new = spark.createDataFrame([(100, BASE)], SCHEMA)
+    sigs = simhash64(new, "doc_id", "text").withColumn("batch_id", F.lit(1))
+    nb = _bands(sigs, 4, 3).withColumn("vb", F.pmod("value", F.lit(16)).cast("int"))
+    touched = [r["vb"] for r in nb.select("vb").distinct().collect()]
+    pruned = spark.read.parquet(band_path).filter(
+        (F.col("batch_id") < 1) & F.col("vb").isin(touched)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "vb" in plan.split("PartitionFilters")[1][:200], plan
+    # pruned read is a strict subset of the corpus partitions when the batch
+    # touches fewer than all vb buckets
+    n_all = spark.read.parquet(band_path).select("vb").distinct().count()
+    if len(touched) < n_all:
+        assert pruned.select("vb").distinct().count() <= len(touched)
