@@ -241,6 +241,89 @@ def ann_ivf_topk_broadcast(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def ivf_train_kmeans(df: DataFrame, id_col: str, vec_col: str,
+                     cents0: list[list[float]], n_iters: int = 2) -> DataFrame:
+    """Train the IVF coarse quantizer: Lloyd k-means iterations as a LAZY
+    DataFrame chain (no driver collect between iterations).
+
+    Per iteration: (1) assign each vector to its argmax-dot cell against the
+    CURRENT centroid table — centroids stay data (the broadcast 1-row array
+    of ``ann_ivf_topk_broadcast``), so plan size is constant in n_cells;
+    (2) new centroid = per-dimension mean of its members, empty cells keep
+    their previous centroid.
+
+    Engine-portable arithmetic (so a SQL oracle reproduces it bit-for-bit):
+    dots are rounded to 6 decimals before the argmax (as ``ivf_cell``);
+    member coordinates are rounded to 6 decimals and summed as
+    DECIMAL(28,6) — exact and order-independent, unlike a float sum — then
+    divided and re-rounded, so the means cannot drift between engines.
+
+    Returns the flattened final centroid table (cell, dim, coord, n_members)
+    with dim 1-based and n_members from the assignment that produced the
+    final means. Two shuffles per iteration (the mean groupBy + the grid
+    join), each over n x dim narrow rows — the standard distributed-Lloyd
+    cost; at 10^12 vectors you train on a sample, which is one filter."""
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cents = spark.createDataFrame(
+        [
+            (j + 1, d + 1, float(c))
+            for j, vec in enumerate(cents0)
+            for d, c in enumerate(vec)
+        ],
+        "cell int, dim int, coord double",
+    )
+    out = None
+    for _ in range(n_iters):
+        carr = (
+            cents.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "coord"))).alias("s"))
+            .select("cell", F.transform("s", lambda x: x["coord"]).alias("cvec"))
+        )
+        one = carr.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("cents")
+        )
+        best = F.array_max(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    F.round(dot(F.col("v"), c["cvec"]), 6).alias("d"),
+                    (-c["cell"]).alias("negcell"),
+                ),
+            )
+        )
+        assigned = (
+            base.join(F.broadcast(one))
+            .withColumn("cell", (-best["negcell"]).cast("int"))
+            .select("vid", "v", "cell")
+        )
+        ex = assigned.select(
+            "cell", F.posexplode("v").alias("pos", "raw")
+        ).select(
+            "cell",
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("raw").cast("double"), 6).alias("mcoord"),
+        )
+        sums = ex.groupBy("cell", "dim").agg(
+            F.round(
+                F.sum(F.col("mcoord").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("new_coord"),
+            F.count("*").alias("n_members"),
+        )
+        out = (
+            cents.join(sums, ["cell", "dim"], "left")
+            .select(
+                "cell", "dim",
+                F.coalesce("new_coord", "coord").alias("coord"),
+                F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            )
+        )
+        cents = out.select("cell", "dim", "coord")
+    return out
+
+
 def embedding_near_dup_srp(df: DataFrame, id_col: str, vec_col: str, dim: int,
                            threshold: float = 0.3, n_bits: int = 10,
                            n_tables: int = 2, seed: int = SRP_SEED,

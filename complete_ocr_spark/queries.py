@@ -1024,6 +1024,68 @@ def q_ann_ivf_bcast(spark, sf_dir):
     )
 
 
+_KM_CELLS, _KM_ITERS = 8, 2
+
+
+def q_ivf_train(spark, sf_dir):
+    """Distributed k-means training of the IVF coarse quantizer (2 Lloyd
+    iterations, 8 cells) — the step the IVF docstrings defer to deployment,
+    closed as a lazy DataFrame chain with engine-portable arithmetic
+    (similarity.ivf_train_kmeans). Oracle: the same iterations as generated
+    chained CTEs."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents0 = similarity.ivf_centroids(_SRP_DIM, _KM_CELLS)
+    return similarity.ivf_train_kmeans(
+        e, "vec_id", "embedding", cents0, n_iters=_KM_ITERS
+    )
+
+
+def _kmeans_sql() -> str:
+    cents0 = similarity.ivf_centroids(_SRP_DIM, _KM_CELLS)
+    vals = ", ".join(
+        f"({j + 1}, {d + 1}, {c})"
+        for j, vec in enumerate(cents0)
+        for d, c in enumerate(vec)
+    )
+    ctes = [
+        f"c0(cell, dim, coord) AS (SELECT * FROM (VALUES {vals}))",
+        """ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS raw,
+         ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS mcoord
+  FROM embeddings)""",
+    ]
+    prev = "c0"
+    for i in range(1, _KM_ITERS + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT x.vec_id, c.cell, ROUND(SUM(x.raw * c.coord), 6) AS dt
+  FROM ex x JOIN {prev} c USING (dim)
+  GROUP BY x.vec_id, c.cell)""")
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, cell) AS rn
+    FROM d{i})
+  WHERE rn = 1)""")
+        ctes.append(f"""m{i} AS (
+  SELECT cell, dim,
+         ROUND(CAST(SUM(CAST(mcoord AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS coord,
+         COUNT(*) AS n_members
+  FROM a{i} JOIN ex USING (vec_id)
+  GROUP BY cell, dim)""")
+        ctes.append(f"""c{i} AS (
+  SELECT p.cell, p.dim,
+         COALESCE(m.coord, p.coord) AS coord,
+         COALESCE(m.n_members, 0) AS n_members
+  FROM {prev} p LEFT JOIN m{i} m ON m.cell = p.cell AND m.dim = p.dim)""")
+        prev = f"c{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT cell, CAST(dim AS INT) AS dim, coord, n_members FROM {prev}
+"""
+
+
 def q_ann_recall(spark, sf_dir):
     """Index-quality evidence: recall@10 of the two ANN scale paths
     (multiprobe sign-LSH, broadcast IVF) against the exact brute-force
@@ -1635,6 +1697,7 @@ REGISTRY: dict[str, tuple] = {
     "q_stream_dedup_flags": (q_stream_dedup_flags, _stream_dedup_sql()),
     "q_dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
     "q_ann_recall": (q_ann_recall, _ann_recall_sql()),
+    "q_ivf_train": (q_ivf_train, _kmeans_sql()),
     "q_quality_sample": (q_quality_sample, _quality_sample_sql()),
     "q_minhash_bands": (q_minhash_bands, _minhash_bands_sql()),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),

@@ -168,3 +168,23 @@ def test_srp_kernel_matches_catalyst_folds(spark):
     cat, pan = pairs("catalyst"), pairs("pandas")
     assert cat == pan
     assert len(cat) >= 5
+
+
+def test_ivf_train_kmeans_invariants(spark):
+    """Memberships partition the input; trained centroids move toward their
+    members (non-empty cells differ from the seeded init)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents0 = similarity.ivf_centroids(8, 4)
+    out = similarity.ivf_train_kmeans(df, "vec_id", "embedding", cents0, n_iters=2)
+    rows_out = out.collect()
+    assert len(rows_out) == 4 * 8
+    n_total = sum(r["n_members"] for r in rows_out if r["dim"] == 1)
+    assert n_total == 60
+    init = {(j + 1, d + 1): c for j, v in enumerate(cents0) for d, c in enumerate(v)}
+    moved = [r for r in rows_out if r["n_members"] > 0
+             and abs(r["coord"] - init[(r["cell"], r["dim"])]) > 1e-9]
+    assert moved  # training moved the populated cells
