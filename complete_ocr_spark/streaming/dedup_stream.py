@@ -156,8 +156,14 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
-        sigs = simhash64(batch_df, id_col, text_col).withColumn(
-            "batch_id", F.lit(bid)
+        # localCheckpoint: the signature kernel output feeds FOUR consumers
+        # (touched-bucket probe, both flag-join sides, two writes) and Spark
+        # does not reuse exchanges across them — materialize the batch-sized
+        # result once instead of re-running the kernel per consumer
+        sigs = (
+            simhash64(batch_df, id_col, text_col)
+            .withColumn("batch_id", F.lit(bid))
+            .localCheckpoint()
         )
         new_bands = _bands(sigs, n_blocks, max_hamming).withColumn(
             "vb", F.pmod(F.col("value"), F.lit(n_value_buckets)).cast("int")
