@@ -131,7 +131,9 @@ def simhash16(df: DataFrame, id_col: str, text_col: str,
         for j in range(16):
             p = 4 * j + 3
             half = F.col("simhash_lo") if p < 32 else F.col("simhash_hi")
-            bit = (F.floor(half / F.lit(2 ** (p % 32))) % 2) * F.lit(2**j)
+            bit = F.shiftright(half.cast("bigint"), p % 32).bitwiseAND(
+                F.lit(1)
+            ) * F.lit(2**j)
             sim = bit if sim is None else sim + bit
         return s.select("doc", sim.cast("bigint").alias("simhash"))
     toks = df.select(
@@ -242,10 +244,13 @@ def simhash_band_combos(n_blocks: int = 4, max_hamming: int = 3) -> list[tuple[i
 
 
 def _block_value(i: int, width: int):
-    """Bits [i*width, (i+1)*width) of the (hi, lo) signature as a bigint."""
+    """Bits [i*width, (i+1)*width) of the (hi, lo) signature as a bigint —
+    integer shift+mask (no double round-trip, valid for any half width)."""
     shift = i * width
     half = F.col("simhash_lo") if shift < 32 else F.col("simhash_hi")
-    return F.floor(half / F.lit(2 ** (shift % 32))) % F.lit(2**width)
+    return F.shiftright(half.cast("bigint"), shift % 32).bitwiseAND(
+        F.lit(2**width - 1)
+    )
 
 
 def simhash_band_keys(n_blocks: int = 4, max_hamming: int = 3):
@@ -366,6 +371,13 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would return wrong clusters (a >max_iters-
+        # diameter chain keeps intermediate labels) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
     return (
         labels.join(sizes, "label")

@@ -142,14 +142,11 @@ def ivf_cell(vec_col: str, cents: list[list[float]]):
     return F.array_position(dots, F.array_max(dots)).cast("int")
 
 
-def ann_ivf_topk(df: DataFrame, id_col: str, vec_col: str,
-                 query_vec: list[float], cents: list[list[float]],
-                 n_probe: int = 4, k: int = 10) -> DataFrame:
-    """IVF ANN: assign rows to coarse cells, scan only the query's n_probe
-    nearest cells, exact cosine rerank. At 10^12 vectors the cell id is a
-    partition column: probing reads n_probe/n_cells of the table via
-    partition pruning instead of a full scan; cells are independent so the
-    assignment is one narrow map and the rerank shuffles only candidates."""
+def _probe_cells(query_vec: list[float], cents: list[list[float]],
+                 n_probe: int) -> list[int]:
+    """The query's n_probe nearest cells, 1-based (like array_position), with
+    the rounded-dot / lowest-cell tie-break both IVF paths and the SQL oracle
+    share — parity-critical, so it lives in exactly one place."""
     def pydot(a, b):
         acc = 0.0
         for x, y in zip(a, b):
@@ -159,7 +156,18 @@ def ann_ivf_topk(df: DataFrame, id_col: str, vec_col: str,
     order = sorted(
         range(len(cents)), key=lambda j: (-round(pydot(query_vec, cents[j]), 6), j)
     )
-    probe_cells = [j + 1 for j in order[:n_probe]]  # 1-based like array_position
+    return [j + 1 for j in order[:n_probe]]
+
+
+def ann_ivf_topk(df: DataFrame, id_col: str, vec_col: str,
+                 query_vec: list[float], cents: list[list[float]],
+                 n_probe: int = 4, k: int = 10) -> DataFrame:
+    """IVF ANN: assign rows to coarse cells, scan only the query's n_probe
+    nearest cells, exact cosine rerank. At 10^12 vectors the cell id is a
+    partition column: probing reads n_probe/n_cells of the table via
+    partition pruning instead of a full scan; cells are independent so the
+    assignment is one narrow map and the rerank shuffles only candidates."""
+    probe_cells = _probe_cells(query_vec, cents, n_probe)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         df.withColumn("cell", ivf_cell(vec_col, cents))
@@ -207,17 +215,7 @@ def ann_ivf_topk_broadcast(df: DataFrame, id_col: str, vec_col: str,
     carr = cdf.select(
         F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("cents")
     )
-
-    def pydot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
-
-    order = sorted(
-        range(len(cents)), key=lambda j: (-round(pydot(query_vec, cents[j]), 6), j)
-    )
-    probe_cells = [j + 1 for j in order[:n_probe]]
+    probe_cells = _probe_cells(query_vec, cents, n_probe)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     best = F.array_max(
         F.transform(

@@ -31,7 +31,10 @@ def _link_chars(block: Column) -> Column:
     Collapse BEFORE trim (mirroring ``_plain``): Spark ``trim`` strips only
     ASCII spaces, so trimming first leaves a leading/trailing tab/newline to
     be collapsed into a counted space — ``"\\tfoo bar"`` would score 8 where
-    the Python kernel's ``len(" ".join(m.split()))`` scores 7."""
+    the Python kernel's ``len(" ".join(m.split()))`` scores 7. Parity covers
+    ASCII whitespace only — Unicode whitespace (NBSP etc.) falls under the
+    module-level dialect contract (span content is ASCII-whitespace only,
+    pinned by the golden equality tests)."""
     return F.aggregate(
         F.transform(
             F.regexp_extract_all(block, F.lit(_A_RE), 1),

@@ -1195,23 +1195,17 @@ def q_strip_text_blocks(spark, sf_dir):
         .filter(F.col("s.kind") == "text")
         .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.text").alias("text"))
     )
+    from .functions.stripexpr import _link_chars, _plain
+
     blocks = spans.select(
         "doc_id", "offset", F.explode(F.split("text", "\n\n")).alias("block")
     )
-    link_chars = F.aggregate(
-        F.transform(
-            F.regexp_extract_all("block", F.lit(r"(?s)<a\b[^>]*>(.*?)</a>"), 1),
-            # collapse before trim: Spark trim strips only ASCII spaces, so
-            # tab/newline-edged anchors must be collapsed first (see
-            # functions.stripexpr._link_chars)
-            lambda m: F.length(F.trim(F.regexp_replace(m, r"\s+", " "))),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    plain = F.trim(F.regexp_replace(F.regexp_replace("block", r"<[^>]+>", " "), r"\s+", " "))
+    # the production strip expressions, not a re-implementation — the
+    # collapse/trim ordering is parity-critical and lives in one place
     scored = blocks.select(
-        "doc_id", "offset", plain.alias("plain"), link_chars.alias("link_chars")
+        "doc_id", "offset",
+        _plain(F.col("block")).alias("plain"),
+        _link_chars(F.col("block")).alias("link_chars"),
     )
     return scored.filter(
         (F.length("plain") > 0)

@@ -57,7 +57,10 @@ def read_flags(spark: SparkSession, out_root: str,
                id_type: str = "bigint") -> DataFrame:
     """dup_flags as a DataFrame; an empty TYPED frame when no batch has
     flagged anything yet (a flag-free batch writes no parquet files, so a
-    bare read could not infer the schema)."""
+    bare read could not infer the schema). The empty schema's int batch
+    columns match what a real read infers (``F.lit(bid)`` data and partition
+    inference are both IntegerType), so consumers see ONE schema on both
+    paths."""
     flag_path = dedup_paths(out_root)[1]
     has_files = os.path.exists(flag_path) and any(
         f.endswith(".parquet")
@@ -68,9 +71,32 @@ def read_flags(spark: SparkSession, out_root: str,
         return spark.read.parquet(flag_path)
     return spark.createDataFrame(
         [],
-        f"doc {id_type}, dup_of {id_type}, dup_batch bigint, "
-        "hamming int, batch_id bigint",
+        f"doc {id_type}, dup_of {id_type}, dup_batch int, "
+        "hamming int, batch_id int",
     )
+
+
+def _geometry_guard(out_root: str, geometry: dict) -> None:
+    """Persist the banding geometry next to the index on first use; refuse to
+    run under a DIFFERENT geometry — joining new band keys against an index
+    built with other (n_blocks, max_hamming, n_value_buckets) silently
+    compares incompatible key spaces and un-flags real duplicates."""
+    import json
+
+    path = os.path.join(out_root, "_dedup_geometry.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+        if stored != geometry:
+            raise ValueError(
+                f"streaming-dedup geometry mismatch at {out_root}: index was "
+                f"built with {stored}, this run uses {geometry}; rebuild the "
+                "index or restore the original parameters"
+            )
+        return
+    os.makedirs(out_root, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(geometry, f)
 
 
 def _bands(sigs: DataFrame, n_blocks: int, max_hamming: int) -> DataFrame:
@@ -153,9 +179,15 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
     count at deployment (a small batch then touches a sliver); 16 here keeps
     the sandbox's file count sane."""
     sig_path, flag_path, band_path = dedup_paths(out_root)
+    geometry = {
+        "n_blocks": n_blocks,
+        "max_hamming": max_hamming,
+        "n_value_buckets": n_value_buckets,
+    }
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
+        _geometry_guard(out_root, geometry)
         # localCheckpoint: the signature kernel output feeds FOUR consumers
         # (touched-bucket probe, both flag-join sides, two writes) and Spark
         # does not reuse exchanges across them — materialize the batch-sized

@@ -3,20 +3,30 @@
 
 The batch engine sessionizes with a window function (q_sessionize_events);
 on a live feed a user's session spans micro-batches, so the operator keeps
-the OPEN session per user as typed GroupState:
+the user's OPEN sessions as typed GroupState:
 
-* arriving events extend the open session or close it (gap exceeded) — a
-  closed session is emitted exactly once, append-mode;
-* an idle user's open session is closed by an EVENT-TIME TIMEOUT: when the
-  watermark passes ``last_event + gap`` the state times out and the session
-  flushes without any new event from that user — the piece a pure windowed
-  aggregation cannot express (session windows have data-driven extents).
+* state = the set of open session intervals (start, last, n, sum) — a SET,
+  not a single session, because on-time events may arrive out of order
+  across micro-batches: an event can extend an interval on either side
+  (within ``gap`` of [start, last]), open an earlier disjoint interval, or
+  BRIDGE two intervals into one (counts and sums combine);
+* a session is emitted exactly once, when the watermark passes
+  ``last + gap`` strictly — from then on every on-time event t satisfies
+  t >= watermark > last + gap, so nothing that could still extend or merge
+  into an emitted session can ever arrive (the append-mode safety argument);
+* an idle user's sessions flush via EVENT-TIME TIMEOUT (no new event
+  needed) — the data-driven extent a fixed windowed aggregation cannot
+  express.
 
-State per user is one 4-tuple regardless of stream length; the shuffle is
-the groupBy(user) hash partition — both bounded, so the operator holds at
-10^12 events. Arrow moves each group's batch rows into pandas; the per-group
-fold is the same sequential arithmetic as the batch oracle, so closed
-sessions match a batch recomputation exactly (tests/test_streaming_state.py).
+Emitted (start, end, n_events) extents and counts equal a batch gap-
+sessionization of the on-time events under ANY within-watermark disorder
+(tested); float ``sum_value`` is summed in arrival/merge order, so it can
+differ from a batch recomputation in the last ulp — ingest values as
+decimals where exactness matters, as the batch queries do.
+
+State per user is bounded by the number of open intervals (disorder window /
+gap, typically 1); the shuffle is the groupBy(user) hash partition — both
+bounded, so the operator holds at 10^12 events.
 """
 
 from __future__ import annotations
@@ -31,8 +41,32 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 SESSION_OUT_SCHEMA = (
     "user_id bigint, start_us bigint, end_us bigint, n_events bigint, sum_value double"
 )
-SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint, sum_value double"
+SESSION_STATE_SCHEMA = (
+    "starts array<bigint>, lasts array<bigint>, ns array<bigint>, sums array<double>"
+)
 DEFAULT_GAP_US = 1_800_000_000  # 30 min, matching queries.SESSION_GAP_US
+
+
+def _merge_event(intervals: list[list], t: int, v: float, gap_us: int) -> None:
+    """Insert event t into the open-interval set (each [start, last, n, sum]),
+    extending / bridging any intervals within gap of it."""
+    touched = [iv for iv in intervals
+               if iv[0] - gap_us <= t <= iv[1] + gap_us]
+    if not touched:
+        intervals.append([t, t, 1, v])
+        intervals.sort(key=lambda iv: iv[0])
+        return
+    merged = touched[0]
+    merged[0] = min(merged[0], t)
+    merged[1] = max(merged[1], t)
+    merged[2] += 1
+    merged[3] += v
+    for iv in touched[1:]:  # t bridged several intervals -> combine them
+        merged[0] = min(merged[0], iv[0])
+        merged[1] = max(merged[1], iv[1])
+        merged[2] += iv[2]
+        merged[3] += iv[3]
+        intervals.remove(iv)
 
 
 def make_session_fn(gap_us: int = DEFAULT_GAP_US):
@@ -40,34 +74,36 @@ def make_session_fn(gap_us: int = DEFAULT_GAP_US):
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         user = int(key[0])
-        closed: list[tuple] = []
-        if state.hasTimedOut:
-            start, last, n, sv = state.get
-            state.remove()
-            closed.append((user, start, last, n, sv))
+        if state.exists:
+            starts, lasts, ns, sums = state.get
+            intervals = [list(iv) for iv in zip(starts, lasts, ns, sums)]
         else:
+            intervals = []
+        if not state.hasTimedOut:
             rows = pd.concat(list(pdfs), ignore_index=True)
             ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
-            order = ts_us.argsort(kind="stable")
             vals = rows["value"].to_numpy()
-            if state.exists:
-                start, last, n, sv = state.get
-            else:
-                start = None
-            for i in order:
-                t, v = int(ts_us[i]), float(vals[i])
-                if start is None:
-                    start, last, n, sv = t, t, 1, v
-                elif t - last > gap_us:
-                    closed.append((user, start, last, n, sv))
-                    start, last, n, sv = t, t, 1, v
-                else:
-                    last, n, sv = t, n + 1, sv + v
-            state.update((start, last, n, sv))
-            # event-time timeout: fire when the watermark passes last + gap
-            state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+            for i in ts_us.argsort(kind="stable"):
+                _merge_event(intervals, int(ts_us[i]), float(vals[i]), gap_us)
+        # flush every interval the watermark has strictly passed: future
+        # on-time events have t >= wm, so t - last > gap for these — closed
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [iv for iv in intervals if iv[1] + gap_us < wm_us]
+        intervals = [iv for iv in intervals if iv[1] + gap_us >= wm_us]
+        if intervals:
+            state.update((
+                [iv[0] for iv in intervals],
+                [iv[1] for iv in intervals],
+                [iv[2] for iv in intervals],
+                [iv[3] for iv in intervals],
+            ))
+            fire_ms = min(iv[1] for iv in intervals) // 1000 + gap_us // 1000
+            # Spark requires the timeout to sit beyond the current watermark
+            state.setTimeoutTimestamp(max(fire_ms, state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
         yield pd.DataFrame(
-            closed,
+            [(user, iv[0], iv[1], iv[2], iv[3]) for iv in sorted(closed)],
             columns=["user_id", "start_us", "end_us", "n_events", "sum_value"],
         )
 

@@ -188,3 +188,16 @@ def test_ivf_train_kmeans_invariants(spark):
     moved = [r for r in rows_out if r["n_members"] > 0
              and abs(r["coord"] - init[(r["cell"], r["dim"])]) > 1e-9]
     assert moved  # training moved the populated cells
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc1 bigint, doc2 bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iters=2)
+    got = {r["doc"]: r["cluster"] for r in
+           dedup.connected_components(chain, max_iters=10).collect()}
+    assert set(got.values()) == {0} and len(got) == 7

@@ -127,3 +127,19 @@ def test_band_index_probe_is_partition_pruned(spark, tmp_path):
     n_all = spark.read.parquet(band_path).select("vb").distinct().count()
     if len(touched) < n_all:
         assert pruned.select("vb").distinct().count() <= len(touched)
+
+
+def test_geometry_change_on_existing_index_is_refused(spark, tmp_path):
+    """Joining new band keys against an index built under a different
+    geometry would silently un-flag duplicates — refuse instead."""
+    import pytest
+
+    out_root = str(tmp_path / "out")
+    pb4 = make_dedup_batch(spark, out_root, n_blocks=4)
+    pb4(spark.createDataFrame([(1, BASE)], SCHEMA), 0)
+    pb8 = make_dedup_batch(spark, out_root, n_blocks=8)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        pb8(spark.createDataFrame([(2, BASE)], SCHEMA), 1)
+    # same geometry keeps working
+    pb4(spark.createDataFrame([(2, BASE)], SCHEMA), 1)
+    assert _flags(spark, out_root) == {2: (1, 0, 0, 1)}

@@ -21,10 +21,10 @@ def _us(h, m, s=0):
     return int(_ts(h, m, s).timestamp() * 1_000_000)
 
 
-def _run(spark, src, out, ckpt):
+def _run(spark, src, out, ckpt, delay="10 minutes"):
     q = run_streaming_sessions(
         spark, source_dir=src + "/*", out_dir=out, checkpoint_dir=ckpt,
-        schema=SCHEMA,
+        schema=SCHEMA, watermark_delay=delay,
     )
     q.awaitTermination(300)
 
@@ -76,3 +76,49 @@ def test_sessions_span_batches_and_idle_timeout_flushes(spark, tmp_path):
     assert (2, _us(12, 0), _us(12, 0), 1, 7.0) in got   # idle flush of user 2
     # user 3's own session is still open
     assert not any(u == 3 for (u, *_rest) in got)
+
+
+def test_out_of_order_events_across_batches(spark, tmp_path):
+    """The review scenario: an on-time but out-of-order event arriving in a
+    later micro-batch must extend the open session without regressing its
+    end — a following event within gap of the TRUE max must not split."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def write(name, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(f"{src}/{name}")
+
+    # batch 1: 10:00 and 10:10 (watermark after: 10:00)
+    write("f1", [(1, _ts(10, 0), 1.0), (1, _ts(10, 10), 0.5)])
+    _run(spark, src, out, ckpt)
+    # batch 2: 10:02 arrives LATE but on-time (>= watermark 10:00) plus
+    # 10:38 — within gap of the true last (10:10 + 30min) -> same session
+    write("f2", [(1, _ts(10, 2), 2.0), (1, _ts(10, 38), 4.0)])
+    _run(spark, src, out, ckpt)
+    # close everything via a far-future clock advance
+    write("f3", [(9, _ts(23, 0), 0.0)])
+    _run(spark, src, out, ckpt)
+    got = [s for s in _sessions(spark, out) if s[0] == 1]
+    assert got == [(1, _us(10, 0), _us(10, 38), 4, 7.5)]
+
+
+def test_out_of_order_bridging_merges_open_intervals(spark, tmp_path):
+    """An event landing between two open intervals, within gap of both,
+    must merge them into one session (counts and sums combine)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def write(name, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(f"{src}/{name}")
+
+    # two intervals 50 min apart (gap 30min): [10:00] and [10:50]; a 60-min
+    # watermark delay keeps the later bridging event on-time
+    write("f1", [(1, _ts(10, 0), 1.0), (1, _ts(10, 50), 1.0)])
+    _run(spark, src, out, ckpt, delay="60 minutes")
+    # 10:25 is within 30min of both 10:00 and 10:50 -> bridges them
+    write("f2", [(1, _ts(10, 25), 1.0)])
+    _run(spark, src, out, ckpt, delay="60 minutes")
+    write("f3", [(9, _ts(23, 0), 0.0)])
+    _run(spark, src, out, ckpt, delay="60 minutes")
+    got = [s for s in _sessions(spark, out) if s[0] == 1]
+    assert got == [(1, _us(10, 0), _us(10, 50), 3, 3.0)]
