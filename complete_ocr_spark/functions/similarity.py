@@ -318,7 +318,11 @@ def ivf_train_kmeans(df: DataFrame, id_col: str, vec_col: str,
                 F.coalesce("n_members", F.lit(0)).alias("n_members"),
             )
         )
-        cents = out.select("cell", "dim", "coord")
+        # each iteration references `cents` twice (inside sums' assignment
+        # subtree AND as the grid-join left side), doubling the plan per
+        # iteration; a LAZY localCheckpoint truncates that growth at first
+        # materialization without an extra job, keeping n_iters a safe knob
+        cents = out.select("cell", "dim", "coord").localCheckpoint(eager=False)
     return out
 
 

@@ -28,12 +28,11 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-SRP_BUCKETS_SCHEMA = "vid bigint, tbl int, bucket bigint"
-
-
 def make_srp_buckets_batch(planes_by_table: list[list[list[float]]]):
     """mapInPandas kernel factory: (vid, v) rows -> (vid, tbl, bucket), one
-    output row per (input row, table)."""
+    output row per (input row, table). The caller derives the output schema
+    from its id column's type (ids may be bigint or string), so an empty
+    batch yields nothing rather than guessing a vid dtype."""
     mats = [np.asarray(p, dtype=np.float64).T for p in planes_by_table]  # dim x b
     pows = [
         (1 << np.arange(m.shape[1], dtype=np.uint64)).astype(np.float64)
@@ -43,11 +42,6 @@ def make_srp_buckets_batch(planes_by_table: list[list[list[float]]]):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
-                yield pd.DataFrame(
-                    {"vid": pd.Series([], dtype="int64"),
-                     "tbl": pd.Series([], dtype="int32"),
-                     "bucket": pd.Series([], dtype="int64")}
-                )
                 continue
             e = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             vids = pdf["vid"].to_numpy()

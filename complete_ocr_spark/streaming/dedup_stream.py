@@ -62,12 +62,7 @@ def read_flags(spark: SparkSession, out_root: str,
     inference are both IntegerType), so consumers see ONE schema on both
     paths."""
     flag_path = dedup_paths(out_root)[1]
-    has_files = os.path.exists(flag_path) and any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(flag_path)
-        for f in files
-    )
-    if has_files:
+    if _has_parquet(flag_path):
         return spark.read.parquet(flag_path)
     return spark.createDataFrame(
         [],
@@ -85,18 +80,30 @@ def _geometry_guard(out_root: str, geometry: dict) -> None:
 
     path = os.path.join(out_root, "_dedup_geometry.json")
     if os.path.exists(path):
-        with open(path) as f:
-            stored = json.load(f)
-        if stored != geometry:
-            raise ValueError(
-                f"streaming-dedup geometry mismatch at {out_root}: index was "
-                f"built with {stored}, this run uses {geometry}; rebuild the "
-                "index or restore the original parameters"
-            )
-        return
+        try:
+            with open(path) as f:
+                stored = json.load(f)
+        except ValueError:
+            stored = None  # crash mid-write left a truncated file: rewrite it
+        if stored is not None:
+            if stored != geometry:
+                raise ValueError(
+                    f"streaming-dedup geometry mismatch at {out_root}: index "
+                    f"was built with {stored}, this run uses {geometry}; "
+                    "rebuild the index or restore the original parameters"
+                )
+            return
     os.makedirs(out_root, exist_ok=True)
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(geometry, f)
+    os.replace(tmp, path)  # atomic: no truncated file survives a crash
+
+
+def _has_parquet(path: str) -> bool:
+    return os.path.exists(path) and any(
+        f.endswith(".parquet") for _, _, files in os.walk(path) for f in files
+    )
 
 
 def _bands(sigs: DataFrame, n_blocks: int, max_hamming: int) -> DataFrame:
@@ -185,9 +192,28 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
         "n_value_buckets": n_value_buckets,
     }
 
+    def _rebuild_band_index(bid: int) -> None:
+        """Signatures exist but the band index doesn't (pre-index layout, or
+        a wiped index): rebuild it — the index is a pure derivation of the
+        signature table, so resuming with an empty one would silently treat
+        the corpus as empty and un-flag every cross-batch duplicate."""
+        prior_sigs = spark.read.parquet(sig_path).filter(F.col("batch_id") < bid)
+        rebuilt = _bands(prior_sigs, n_blocks, max_hamming).withColumn(
+            "vb", F.pmod(F.col("value"), F.lit(n_value_buckets)).cast("int")
+        )
+        (
+            rebuilt.repartition("vb")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "vb")
+            .parquet(band_path)
+        )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         _geometry_guard(out_root, geometry)
+        if _has_parquet(sig_path) and not _has_parquet(band_path):
+            _rebuild_band_index(bid)
         # localCheckpoint: the signature kernel output feeds FOUR consumers
         # (touched-bucket probe, both flag-join sides, two writes) and Spark
         # does not reuse exchanges across them — materialize the batch-sized

@@ -46,6 +46,8 @@ def test_relational_queries_have_no_python_eval(spark):
             "q_singular_word_merge",
             # simhash64 defaults to the Arrow kernel — measured 3.4x faster
             # than the Catalyst vote agg (BASELINE.md §simhash64 A/B)
+            # SRP buckets default to the matmul kernel — measured 2.6x
+            # (BASELINE.md §SRP bucket kernel)
             "q_embed_near_dup_srp",
             "q_simhash",
             "q_simhash64",

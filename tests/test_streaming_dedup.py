@@ -143,3 +143,17 @@ def test_geometry_change_on_existing_index_is_refused(spark, tmp_path):
     # same geometry keeps working
     pb4(spark.createDataFrame([(2, BASE)], SCHEMA), 1)
     assert _flags(spark, out_root) == {2: (1, 0, 0, 1)}
+
+
+def test_missing_band_index_is_rebuilt_from_signatures(spark, tmp_path):
+    """An out_root holding signatures but no band index (pre-index layout or
+    a wiped index) must rebuild the index, not treat the corpus as empty."""
+    import shutil
+
+    out_root = str(tmp_path / "out")
+    pb = make_dedup_batch(spark, out_root)
+    pb(spark.createDataFrame([(1, BASE)], SCHEMA), 0)
+    _, _, band_path = dedup_paths(out_root)
+    shutil.rmtree(band_path)  # simulate the legacy layout
+    pb(spark.createDataFrame([(2, BASE)], SCHEMA), 1)
+    assert _flags(spark, out_root) == {2: (1, 0, 0, 1)}  # cross-batch dup found
