@@ -122,3 +122,41 @@ def test_out_of_order_bridging_merges_open_intervals(spark, tmp_path):
     _run(spark, src, out, ckpt, delay="60 minutes")
     got = [s for s in _sessions(spark, out) if s[0] == 1]
     assert got == [(1, _us(10, 0), _us(10, 50), 3, 3.0)]
+
+
+def test_merge_event_equals_batch_gap_partition_any_order():
+    """Property: after inserting ANY permutation of events, the open-interval
+    set equals the batch gap-partition of those events (extents, counts,
+    sums) — the invariant the streaming operator's correctness rests on."""
+    from hypothesis import given, settings, strategies as st
+
+    from complete_ocr_spark.streaming.stateful import _merge_event
+
+    GAP = 100
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=40),
+        st.randoms(use_true_random=False),
+    )
+    def check(times, rnd):
+        events = [(t, 1.0) for t in times]
+        rnd.shuffle(events)
+        intervals: list = []
+        for t, v in events:
+            _merge_event(intervals, t, v, GAP)
+        # brute-force gap partition of the sorted events
+        want = []
+        for t in sorted(times):
+            if want and t - want[-1][1] <= GAP:
+                want[-1][1] = max(want[-1][1], t)
+                want[-1][2] += 1
+            else:
+                want.append([t, t, 1])
+        got = sorted((iv[0], iv[1], iv[2]) for iv in intervals)
+        assert got == [tuple(w) for w in want]
+        # pairwise > gap separation invariant
+        for a, b in zip(got, got[1:]):
+            assert b[0] - a[1] > GAP
+
+    check()
