@@ -385,6 +385,50 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_session_windows(spark, sf_dir):
+    """Gap sessionization through Spark's NATIVE session_window operator
+    (the same semantics q_sessionize_events builds from lag+sum windows, and
+    the batch twin of the streaming applyInPandasWithState operator). The
+    built-in form is one hash aggregation with session-merge inside the
+    aggregation buffer — no window sort, which at 10^12 events beats the
+    two-pass window form."""
+    e = _t(spark, sf_dir, "events")
+    gap = f"{SESSION_GAP_US // 1_000_000} seconds"
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value"), "sum_value"),
+        )
+        .select(
+            "user_id",
+            _us(F.col("w.start")).alias("start_us"),
+            _us(F.col("w.end")).alias("end_us"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+# Spark's session_window end = last event + gap (the window extent, not the
+# last event time); the oracle mirrors that definition.
+SQL_SESSION_WINDOWS = f"""
+WITH g AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + {SESSION_GAP_US} AS end_us,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_asof_last_click(spark, sf_dir):
     """As-of join (J2's first-greater merge in time form): each error event
     picks up the value of the latest preceding click of the same user."""
@@ -1678,6 +1722,7 @@ REGISTRY: dict[str, tuple] = {
     "q_value_percentiles": (q_value_percentiles, SQL_PCTL),
     "q_event_type_matrix": (q_event_type_matrix, SQL_MATRIX),
     "q_sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
+    "q_session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "q_asof_last_click": (q_asof_last_click, SQL_ASOF),
     "q_token_stats": (q_token_stats, SQL_TOKENS),
     "q_quality": (q_quality, SQL_QUALITY),
