@@ -261,6 +261,10 @@ def ivf_train_kmeans(df: DataFrame, id_col: str, vec_col: str,
     final means. Two shuffles per iteration (the mean groupBy + the grid
     join), each over n x dim narrow rows — the standard distributed-Lloyd
     cost; at 10^12 vectors you train on a sample, which is one filter."""
+    if n_iters < 1:
+        # the SQL oracle generator (_kmeans_sql) also assumes >= 1 iteration;
+        # returning the seeded table here would silently skip training
+        raise ValueError(f"ivf_train_kmeans needs n_iters >= 1, got {n_iters}")
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     cents = spark.createDataFrame(

@@ -24,6 +24,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .config import DEFAULT_N_BUCKETS
 
 
+def require_local(path: str, what: str = "output root") -> str:
+    """The driver-side file probes in this module (``os.walk`` short-circuit,
+    ``os.path.exists`` resume checks) and in ``streaming.dedup_stream`` see
+    only the LOCAL filesystem. On an ``hdfs://`` / ``s3a://`` root they would
+    find nothing and silently report an empty write (skipping the lineage
+    row) instead of failing — so non-local URIs are rejected loudly here. A
+    cluster deployment swaps these probes for the Hadoop FileSystem API (or
+    Iceberg snapshot metadata) at this single choke point.
+
+    Returns the bare local path (``file://`` prefix stripped)."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"{what} {path!r} is not a local path: this build's file probes "
+            "are local-FS only (see io.require_local); use a file:// root or "
+            "swap the probes for the Hadoop FileSystem API"
+        )
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
 def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
@@ -56,7 +76,7 @@ class TableIO:
 
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = DEFAULT_N_BUCKETS):
         self.spark = spark
-        self.root = root
+        self.root = require_local(root, "TableIO root")
         self.n_buckets = n_buckets
         self.docs_out_path = os.path.join(root, "docs_out")
         self.lineage_path = os.path.join(root, "lineage")

@@ -386,12 +386,19 @@ FROM s GROUP BY user_id, session_id
 
 
 def q_session_windows(spark, sf_dir):
-    """Gap sessionization through Spark's NATIVE session_window operator
-    (the same semantics q_sessionize_events builds from lag+sum windows, and
-    the batch twin of the streaming applyInPandasWithState operator). The
-    built-in form is one hash aggregation with session-merge inside the
+    """Gap sessionization through Spark's NATIVE session_window operator.
+    The built-in form is one hash aggregation with session-merge inside the
     aggregation buffer — no window sort, which at 10^12 events beats the
-    two-pass window form."""
+    two-pass window form.
+
+    Exact-gap boundary (pinned by tests/test_session_boundary.py): although
+    session_window extents print as half-open [start, last + gap), Spark
+    MERGES touching windows — an event exactly ``gap`` after the previous one
+    lands in the SAME session (break at diff > gap). All three sessionizers
+    therefore share one boundary: q_sessionize_events breaks at diff > gap
+    and the streaming stateful operator merges at diff <= gap. The oracle
+    below mirrors that (its original ``>=`` break was a latent boundary bug
+    the sf data — no exact-gap pair — never exposed; the boundary test did)."""
     e = _t(spark, sf_dir, "events")
     gap = f"{SESSION_GAP_US // 1_000_000} seconds"
     return (
@@ -410,12 +417,14 @@ def q_session_windows(spark, sf_dir):
 
 
 # Spark's session_window end = last event + gap (the window extent, not the
-# last event time); the oracle mirrors that definition.
+# last event time); the oracle mirrors that definition. Break at diff > gap:
+# Spark merges TOUCHING session windows, so an exact-gap event continues the
+# session (tests/test_session_boundary.py pins this against the native op).
 SQL_SESSION_WINDOWS = f"""
 WITH g AS (
   SELECT user_id, value, epoch_us(ts) AS ts_us,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= {SESSION_GAP_US}
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS brk
   FROM events),
 s AS (

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.dedup import simhash64, simhash_band_keys
+from ..io import require_local
 
 
 N_VALUE_BUCKETS = 16  # band-index partition fan-out; see make_dedup_batch
@@ -45,7 +46,12 @@ N_VALUE_BUCKETS = 16  # band-index partition fan-out; see make_dedup_batch
 def dedup_paths(out_root: str) -> tuple[str, str, str]:
     """(signatures, dup_flags, band_index) parquet roots. signatures/dup_flags
     partition by batch_id; band_index by (batch_id, vb) — vb = pmod(band
-    value, N_VALUE_BUCKETS) is the probe-pruning key (module doc)."""
+    value, N_VALUE_BUCKETS) is the probe-pruning key (module doc).
+
+    ``out_root`` must be local: this module's existence/geometry probes are
+    ``os.path`` based (io.require_local explains the loud-failure rationale).
+    """
+    out_root = require_local(out_root, "streaming-dedup out_root")
     return (
         os.path.join(out_root, "signatures"),
         os.path.join(out_root, "dup_flags"),
@@ -185,6 +191,7 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
     the whole signature corpus. Size n_value_buckets ~ the corpus partition
     count at deployment (a small batch then touches a sliver); 16 here keeps
     the sandbox's file count sane."""
+    out_root = require_local(out_root, "streaming-dedup out_root")
     sig_path, flag_path, band_path = dedup_paths(out_root)
     geometry = {
         "n_blocks": n_blocks,
@@ -211,6 +218,10 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
+        if batch_df.isEmpty():
+            # nothing to sign, flag, or index — make the no-op explicit
+            # instead of relying on isin([])-is-false and empty-frame writes
+            return
         _geometry_guard(out_root, geometry)
         if _has_parquet(sig_path) and not _has_parquet(band_path):
             _rebuild_band_index(bid)

@@ -27,6 +27,12 @@ decimals where exactness matters, as the batch queries do.
 State per user is bounded by the number of open intervals (disorder window /
 gap, typically 1); the shuffle is the groupBy(user) hash partition — both
 bounded, so the operator holds at 10^12 events.
+
+Exact-gap boundary: an event exactly ``gap`` after an interval's last event
+MERGES into it (diff <= gap), matching both the batch lag+sum sessionizer
+(q_sessionize_events breaks at diff > gap) and Spark's native session_window
+(which merges touching windows) — tests/test_session_boundary.py pins all
+three to the same boundary.
 """
 
 from __future__ import annotations
