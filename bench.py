@@ -31,10 +31,8 @@ BENCH_QUERIES = [
     "q_sessionize_events",
     "q_asof_last_click",
     "q_minhash_lsh",
-    "q_simhash",
     "q_fingerprint_groups",
     "q_ann_topk",
-    "q_embed_near_dup",
     "q_embed_near_dup_srp",
     "q_simhash64",
     "q_minhash_bands",

@@ -1738,9 +1738,7 @@ REGISTRY: dict[str, tuple] = {
     "q_lang_id": (q_lang_id, SQL_LANG),
     "q_fingerprint_groups": (q_fingerprint_groups, SQL_FP),
     "q_minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
-    "q_simhash": (q_simhash, _simhash_sql()),
     "q_simhash64": (q_simhash64, _simhash64_sql()),
-    "q_simhash_near_dup": (q_simhash_near_dup, _simhash_near_dup_sql(4)),
     "q_simhash_near_dup_mb": (q_simhash_near_dup_mb, _simhash_near_dup_sql(8)),
     "q_stream_dedup_flags": (q_stream_dedup_flags, _stream_dedup_sql()),
     "q_dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
@@ -1752,10 +1750,8 @@ REGISTRY: dict[str, tuple] = {
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
     "q_ann_topk": (q_ann_topk, SQL_ANN),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
-    "q_ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
     "q_ann_ivf_bcast": (q_ann_ivf_bcast, _ivf_sql()),
     "q_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
-    "q_embed_near_dup": (q_embed_near_dup, SQL_NEAR_DUP),
     "q_docs_span_stats": (q_docs_span_stats, SQL_DOCS_STATS),
     "q_strip_text_blocks": (q_strip_text_blocks, SQL_STRIP),
     "q_extract_pipeline": (q_extract_pipeline, SQL_EXTRACT),
@@ -1768,14 +1764,35 @@ REGISTRY: dict[str, tuple] = {
     "q_nested_hocr": (q_nested_hocr, SQL_NESTED),
     "q_layout_classes": (q_layout_classes, SQL_LAYOUT),
     "q_spatial_band_join": (q_spatial_band_join, SQL_SPATIAL),
-    "q_layout_classes_prima": (q_layout_classes_prima, _layout_prima_sql()),
     "q_page_text_unmasked": (q_page_text_unmasked, SQL_PAGE_VIEWS),
     "q_hocr_title_parse": (q_hocr_title_parse, SQL_TITLE_PARSE),
     "q_singular_word_merge": (q_singular_word_merge, SQL_SINGULAR),
 }
 
+# Oracle-anchor / config-variant queries folded OUT of the driver registry:
+# the driver's correctness file caps at 50 rows, and round 3 showed entries
+# past the cap silently fall out of the hard gate. Each of these is a small-sf
+# anchor or label-map variant whose scale twin stays in REGISTRY
+# (q_simhash -> q_simhash64, q_simhash_near_dup -> _mb, q_ann_ivf_topk ->
+# _bcast, q_embed_near_dup -> _srp, q_layout_classes_prima -> q_layout_classes)
+# — all still hash-checked against DuckDB every pytest run
+# (tests/test_queries_duckdb.py parametrizes over REGISTRY + ANCHOR_REGISTRY).
+ANCHOR_REGISTRY: dict[str, tuple] = {
+    "q_simhash": (q_simhash, _simhash_sql()),
+    "q_simhash_near_dup": (q_simhash_near_dup, _simhash_near_dup_sql(4)),
+    "q_ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
+    "q_embed_near_dup": (q_embed_near_dup, SQL_NEAR_DUP),
+    "q_layout_classes_prima": (q_layout_classes_prima, _layout_prima_sql()),
+}
+
+_DRIVER_CAP = 50  # the driver checks at most this many registry rows
+
 
 def queries():
+    assert len(REGISTRY) <= _DRIVER_CAP, (
+        f"registry has {len(REGISTRY)} entries; the driver's correctness "
+        f"window is {_DRIVER_CAP} — fold anchors into ANCHOR_REGISTRY"
+    )
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 

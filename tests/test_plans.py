@@ -6,7 +6,9 @@ present and no more)."""
 from __future__ import annotations
 
 from complete_ocr_spark.pipeline import run_extraction
-from complete_ocr_spark.queries import REGISTRY
+from complete_ocr_spark.queries import ANCHOR_REGISTRY, REGISTRY
+
+ALL_Q = {**REGISTRY, **ANCHOR_REGISTRY}
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -33,7 +35,7 @@ def test_q05_region_nation_broadcast(spark):
 def test_relational_queries_have_no_python_eval(spark):
     """Everything outside the extraction kernel must stay JVM-side
     (whole-stage codegen), per the no-Python-hot-path design rule."""
-    for name, (fn, _sql) in REGISTRY.items():
+    for name, (fn, _sql) in ALL_Q.items():
         if name in (
             "q_extract_pipeline",
             "q_extract_pipeline_opt",
@@ -80,7 +82,7 @@ def test_srp_near_dup_is_single_pass_per_join_side(spark):
 def test_ivf_topk_is_scan_plus_take_ordered(spark):
     """IVF probe: narrow cell filter + TakeOrderedAndProject — no shuffle
     before the top-k reduce."""
-    plan = _plan(REGISTRY["q_ann_ivf_topk"][0](spark, SF_DIR))
+    plan = _plan(ALL_Q["q_ann_ivf_topk"][0](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[1]
 
@@ -121,7 +123,7 @@ def test_plan_size_guard_on_literal_heavy_queries(spark):
         "q_ann_ivf_bcast": 30_000,        # constant in n_cells by design
     }
     for name, bound in bounds.items():
-        plan = _plan(REGISTRY[name][0](spark, SF_DIR))
+        plan = _plan(ALL_Q[name][0](spark, SF_DIR))
         assert len(plan) < bound, f"{name}: plan {len(plan)} chars >= {bound}"
 
 

@@ -1,6 +1,7 @@
 """Mimics the driver's correctness gate: run every REGISTRY query on Spark and
 its oracle SQL on DuckDB at sf0.01; compare row count, column names, and the
-order-insensitive multiset of values."""
+order-insensitive multiset of values. ANCHOR_REGISTRY (oracle anchors folded
+out of the <=50-entry driver window) is checked identically."""
 
 from __future__ import annotations
 
@@ -10,7 +11,9 @@ import os
 import duckdb
 import pytest
 
-from complete_ocr_spark.queries import REGISTRY
+from complete_ocr_spark.queries import ANCHOR_REGISTRY, REGISTRY
+
+ALL_CHECKED = {**REGISTRY, **ANCHOR_REGISTRY}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -42,9 +45,16 @@ def _canon_rows(cols, rows):
     return sorted(tuple(_canon_cell(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_driver_registry_fits_correctness_window():
+    assert len(REGISTRY) <= 50, (
+        f"{len(REGISTRY)} registry entries; the driver checks only 50 — "
+        "fold oracle anchors into ANCHOR_REGISTRY (round-3 verdict)"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ALL_CHECKED))
 def test_query_matches_duckdb(spark, name):
-    fn, sql = REGISTRY[name]
+    fn, sql = ALL_CHECKED[name]
     sdf = fn(spark, SF_DIR)
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
