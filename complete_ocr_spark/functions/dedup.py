@@ -267,7 +267,8 @@ def simhash_band_keys(n_blocks: int = 4, max_hamming: int = 3):
 
 
 def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str,
-                          max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
+                          max_hamming: int = 3, n_blocks: int = 4,
+                          sig_store: str | None = None) -> DataFrame:
     """SimHash near-dup pairs (Manku-style): 64-bit signature banded on block
     COMBINATIONS (``simhash_band_combos``); by pigeonhole any pair within
     ``max_hamming`` agrees exactly on at least one band, so candidates come
@@ -277,9 +278,32 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str,
     returns exactly the pairs with Hamming <= max_hamming. n_blocks=4 keeps
     the original 4x16-bit geometry (one band per block); n_blocks=8 gives
     C(8,5)=56 bands of 40-bit keys — same guarantee, ~2^24x fewer random
-    collisions per band, the geometry to deploy at 10^10 docs."""
+    collisions per band, the geometry to deploy at 10^10 docs.
+
+    ``sig_store``: parquet path for the signature table. Spark does NOT reuse
+    exchanges across the self-join sides of a MapInPandas subtree, so the
+    default (None) runs the signature kernel TWICE — acceptable at sf, where
+    join volume dominates, but at corpus scale the kernel pass over the full
+    text is the expensive leg. With ``sig_store`` set, signatures are written
+    once (one kernel pass over the text) and both join sides read the 16
+    B/doc parquet back — the same shape the streaming path uses its signature
+    table for. tests/test_dedup_props.py pins both routes identical and the
+    stored route kernel-free in the pair-join plan."""
     sig = simhash64(df, id_col, text_col)
-    bands = sig.select(
+    if sig_store is not None:
+        sig.write.mode("overwrite").parquet(sig_store)
+        sig = df.sparkSession.read.parquet(sig_store)
+    return simhash_hamming_pairs_from_sigs(sig, max_hamming, n_blocks)
+
+
+def simhash_hamming_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3,
+                                    n_blocks: int = 4) -> DataFrame:
+    """Near-dup pairs over an existing signature frame
+    (doc, simhash_hi, simhash_lo) — the corpus-scale entry point: compute or
+    load signatures ONCE (e.g. the streaming signature table, or the
+    ``sig_store`` leg of ``simhash_hamming_pairs``) and run only the banded
+    join here. Semantics identical to ``simhash_hamming_pairs``."""
+    bands = sigs.select(
         "doc", "simhash_hi", "simhash_lo",
         F.posexplode(simhash_band_keys(n_blocks, max_hamming)).alias("band", "value"),
     )

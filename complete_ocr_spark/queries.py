@@ -694,10 +694,19 @@ def q_simhash_near_dup_mb(spark, sf_dir):
     bits, banded on all C(8,5)=56 five-block combinations — 40-bit band keys
     give the same <=3-Hamming guarantee at n^2/2^40 random candidates per
     band instead of n^2/2^16. The popcount verify makes the final pair set
-    identical to q_simhash_near_dup (banding-independent)."""
+    identical to q_simhash_near_dup (banding-independent).
+
+    Routed through a WRITTEN signature table (sig_store): the Arrow signature
+    kernel runs once over the text, and both self-join sides re-read the 16
+    B/doc parquet — at corpus scale the kernel pass is the expensive leg and
+    Spark does not reuse exchanges across MapInPandas self-join sides."""
+    import hashlib
+
     d = _t(spark, sf_dir, "documents")
+    store = f"/tmp/simhash_sig_store_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     return dedup.simhash_hamming_pairs(
-        d, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, n_blocks=8
+        d, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, n_blocks=8,
+        sig_store=store,
     )
 
 

@@ -201,3 +201,24 @@ def test_connected_components_raises_on_non_convergence(spark):
     got = {r["doc"]: r["cluster"] for r in
            dedup.connected_components(chain, max_iters=10).collect()}
     assert set(got.values()) == {0} and len(got) == 7
+
+
+def test_sig_store_route_matches_direct_and_runs_kernel_once(spark, tmp_path):
+    """simhash_hamming_pairs(sig_store=...) must return the exact pair set of
+    the direct route, and the pair-join plan must be KERNEL-FREE: both
+    self-join sides scan the written signature parquet (2 scans), with no
+    MapInPandas below the join — the one-kernel-pass shape for corpus-scale
+    batch dedup (round-3 verdict #3)."""
+    d = _docs(spark)
+    direct = dedup.simhash_hamming_pairs(d, "doc_id", "text", max_hamming=3)
+    store = str(tmp_path / "sigs")
+    stored = dedup.simhash_hamming_pairs(
+        d, "doc_id", "text", max_hamming=3, sig_store=store
+    )
+    key = lambda r: (r["doc1"], r["doc2"], r["hamming"])  # noqa: E731
+    assert sorted(map(key, direct.collect())) == sorted(map(key, stored.collect()))
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, "kernel re-ran inside the pair join"
+    final = plan.split("== Initial Plan ==")[0]  # AQE repeats the tree
+    assert final.count("Scan parquet") == 2, final
