@@ -785,6 +785,39 @@ FROM lab JOIN sz ON lab.cluster = sz.cluster
 """
 
 
+def q_dup_clusters_incr(spark, sf_dir):
+    """ONLINE cluster maintenance (round-3 verdict #2) in oracle-checkable
+    batch form: documents arrive in _SD_BATCHES md5-derived batches (the
+    q_stream_dedup_flags rule) and each batch runs the REAL foreachBatch body
+    (streaming.dedup_stream.make_dedup_batch — signature kernel, banded
+    probe, assignment + label-move log). The returned promoted view
+    (read_cluster_labels) must equal a full batch recluster over all matches
+    — the oracle is the same recursive-CTE connected-components SQL as
+    q_dup_clusters, which is exactly the staleness invariant: an arriving
+    doc that bridges two existing clusters merges them immediately."""
+    import hashlib
+    import shutil
+
+    from .streaming.dedup_stream import make_dedup_batch, read_cluster_labels
+
+    d = _t(spark, sf_dir, "documents")
+    root = f"/tmp/dup_clusters_incr_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(root, ignore_errors=True)
+    batched = d.withColumn(
+        "b",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % _SD_BATCHES,
+    )
+    pb = make_dedup_batch(
+        spark, root, id_col="doc_id", text_col="text",
+        max_hamming=_SH_MAX_HAMMING, n_blocks=4,
+    )
+    for k in range(_SD_BATCHES):
+        pb(batched.filter(F.col("b") == k).drop("b"), k)
+    id_type = d.schema["doc_id"].dataType.simpleString()
+    return read_cluster_labels(spark, root, id_type)
+
+
 _SD_BATCHES = 3  # deterministic micro-batch assignment for the oracle form
 
 
@@ -1751,6 +1784,7 @@ REGISTRY: dict[str, tuple] = {
     "q_simhash_near_dup_mb": (q_simhash_near_dup_mb, _simhash_near_dup_sql(8)),
     "q_stream_dedup_flags": (q_stream_dedup_flags, _stream_dedup_sql()),
     "q_dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
+    "q_dup_clusters_incr": (q_dup_clusters_incr, _dup_clusters_sql()),
     "q_ann_recall": (q_ann_recall, _ann_recall_sql()),
     "q_ivf_train": (q_ivf_train, _kmeans_sql()),
     "q_quality_sample": (q_quality_sample, _quality_sample_sql()),

@@ -27,6 +27,16 @@ and replaces exactly its own partitions. The corpus probe reads the BAND
 INDEX partition-pruned to the vb buckets the batch's own band values hash
 into (``make_dedup_batch``), so per-batch read cost tracks the batch size,
 not the corpus size, and the join cost is |batch| x corpus collisions.
+
+ONLINE CLUSTERS: pairwise flags go stale when an arriving doc BRIDGES two
+existing clusters, so the batch body also maintains a union-find-as-log
+(``_update_clusters``): an ``assignments`` table (doc -> label at arrival)
+and a tiny ``label_moves`` table (losing root -> winning root, one row per
+merge event), both batch-partitioned dynamic overwrite like everything
+else. ``read_cluster_labels`` resolves the move chains into the promoted
+"one representative per cluster" view, which provably equals a full batch
+recluster over every match seen so far (q_dup_clusters_incr pins it against
+the recursive-CTE connected-components oracle).
 """
 
 from __future__ import annotations
@@ -36,11 +46,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions.dedup import simhash64, simhash_band_keys
+from ..functions.dedup import connected_components, simhash64, simhash_band_keys
 from ..io import require_local
 
 
 N_VALUE_BUCKETS = 16  # band-index partition fan-out; see make_dedup_batch
+N_DOC_BUCKETS = 16    # assignment-table fan-out; see _update_clusters
 
 
 def dedup_paths(out_root: str) -> tuple[str, str, str]:
@@ -74,6 +85,18 @@ def read_flags(spark: SparkSession, out_root: str,
         [],
         f"doc {id_type}, dup_of {id_type}, dup_batch int, "
         "hamming int, batch_id int",
+    )
+
+
+def cluster_paths(out_root: str) -> tuple[str, str]:
+    """(assignments, label_moves) parquet roots for ONLINE cluster
+    maintenance (union-find as a batch-partitioned log; see
+    ``_update_clusters``). assignments partition by (batch_id, db =
+    pmod(xxhash64(doc), N_DOC_BUCKETS)); label_moves by batch_id."""
+    out_root = require_local(out_root, "streaming-dedup out_root")
+    return (
+        os.path.join(out_root, "assignments"),
+        os.path.join(out_root, "label_moves"),
     )
 
 
@@ -133,10 +156,13 @@ def near_dup_flags(new_sigs: DataFrame, corpus_sigs: DataFrame,
     )
 
 
-def _flags_from_bands(new_bands: DataFrame, corpus_bands: DataFrame,
-                      max_hamming: int) -> DataFrame:
-    """The banded equi-join + popcount verify + min-match pick, over
-    pre-banded rows (doc, batch_id, simhash_hi, simhash_lo, band, value)."""
+def _matches_from_bands(new_bands: DataFrame, corpus_bands: DataFrame,
+                        max_hamming: int) -> DataFrame:
+    """ALL verified near-dup pairs (doc, batch_id, dup_of, dup_batch,
+    hamming) from the banded equi-join + popcount verify — the full match
+    set, one row per (doc, dup_of) pair. The flag view picks the best match
+    per doc; cluster maintenance needs every match (a new doc near two
+    clusters BRIDGES them, which the best-only flag cannot express)."""
     cols = ["doc", "batch_id", "simhash_hi", "simhash_lo", "band", "value"]
     n = new_bands.select(cols).alias("n")
     c = corpus_bands.select(cols).alias("c")
@@ -148,7 +174,7 @@ def _flags_from_bands(new_bands: DataFrame, corpus_bands: DataFrame,
         F.bit_count(F.col("n.simhash_hi").bitwiseXOR(F.col("c.simhash_hi")))
         + F.bit_count(F.col("n.simhash_lo").bitwiseXOR(F.col("c.simhash_lo")))
     ).cast("int")
-    matches = (
+    return (
         n.join(
             c,
             (F.col("n.band") == F.col("c.band"))
@@ -163,7 +189,12 @@ def _flags_from_bands(new_bands: DataFrame, corpus_bands: DataFrame,
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a true pair co-matches in up to n_bands bands
     )
+
+
+def _flags_from_matches(matches: DataFrame) -> DataFrame:
+    """Best match per doc: minimize (hamming, dup_of, dup_batch)."""
     best = F.min(F.struct("hamming", "dup_of", "dup_batch")).alias("m")
     return (
         matches.groupBy("doc", "batch_id")
@@ -177,11 +208,181 @@ def _flags_from_bands(new_bands: DataFrame, corpus_bands: DataFrame,
     )
 
 
+def _flags_from_bands(new_bands: DataFrame, corpus_bands: DataFrame,
+                      max_hamming: int) -> DataFrame:
+    """The banded equi-join + popcount verify + min-match pick, over
+    pre-banded rows (doc, batch_id, simhash_hi, simhash_lo, band, value)."""
+    return _flags_from_matches(
+        _matches_from_bands(new_bands, corpus_bands, max_hamming)
+    )
+
+
+def _read_moves(spark: SparkSession, mov_path: str, id_type: str,
+                before_batch: int | None = None) -> DataFrame:
+    """label_moves as (src, dst), optionally only batches < before_batch; an
+    empty typed frame when no move has been recorded."""
+    if _has_parquet(mov_path):
+        mv = spark.read.parquet(mov_path)
+        if before_batch is not None:
+            mv = mv.filter(F.col("batch_id") < before_batch)
+        return mv.select("src", "dst")
+    return spark.createDataFrame([], f"src {id_type}, dst {id_type}")
+
+
+def _apply_moves(lab: DataFrame, moves: DataFrame,
+                 max_iters: int = 30) -> DataFrame:
+    """Resolve union-find pointer chains: replace ``label`` by ``moves.dst``
+    until no label is a move ``src``. Each move was recorded against the
+    RESOLVED root at creation time, so a chain only deepens when an old root
+    later loses a merge — depth stays shallow and this converges in a few
+    broadcast joins (moves hold one row per cluster-merge event, tiny
+    relative to the corpus). ``lab``: (doc, label) rows."""
+    for _ in range(max_iters):
+        j = lab.join(F.broadcast(moves), lab["label"] == moves["src"], "left")
+        changed = j.filter(F.col("dst").isNotNull()).limit(1).count()
+        if changed == 0:
+            return lab
+        lab = j.select(
+            lab["doc"], F.coalesce(moves["dst"], lab["label"]).alias("label")
+        ).localCheckpoint()
+    raise RuntimeError(
+        f"_apply_moves did not resolve in {max_iters} hops — pointer chains "
+        "deeper than expected (moves not recorded against resolved roots?)"
+    )
+
+
+def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
+                     matches: DataFrame, bid: int,
+                     n_doc_buckets: int = N_DOC_BUCKETS) -> None:
+    """ONLINE cluster maintenance (union-find as a batch-partitioned log).
+
+    The pairwise flags alone go stale when an arriving doc BRIDGES two
+    existing clusters — batch reclustering (functions.dedup.dup_clusters)
+    would be a full-corpus job per batch. Instead two idempotent tables keep
+    "one representative per cluster" current:
+
+    * ``assignments`` (doc, label, batch_id, db): label assigned when the doc
+      arrived = min doc id of its component AT THAT TIME (the resolved root);
+      partitioned by (batch_id, db = pmod(xxhash64(doc), n_doc_buckets)) so a
+      batch's label lookups partition-prune to the db buckets its matched
+      docs hash into — read cost tracks batch size, not corpus size.
+    * ``label_moves`` (src, dst, batch_id): one row per cluster-merge event —
+      when this batch's matches connect existing clusters, every losing root
+      re-points to the merged component's min id. Resolution = follow the
+      chain (``_apply_moves``); the table holds merge EVENTS only, so it
+      stays tiny and the per-batch write is append-shaped.
+
+    Per batch, the merge decision runs on a MINI-GRAPH whose nodes are this
+    batch's docs plus the resolved roots of matched clusters — bounded by the
+    batch's match volume, never the corpus. Invariant (tested, and oracled by
+    q_dup_clusters_incr's recursive CTE): after any prefix of batches, the
+    resolved label of every doc equals the min doc id of its connected
+    component over ALL matches seen so far — i.e. the promoted view equals a
+    batch recluster without ever running one.
+
+    Both writes are (batch_id, ...)-partitioned dynamic overwrite: the per-
+    batch content is a deterministic function of strictly-earlier partitions,
+    so a re-delivered batch rewrites exactly its own rows (same idempotence
+    argument as the signature/flag/index tables)."""
+    asg_path, mov_path = cluster_paths(out_root)
+    id_type = dict(batch_docs.dtypes)["doc"]
+    within = matches.filter(F.col("dup_batch") == bid).select(
+        F.col("doc").alias("doc1"), F.col("dup_of").alias("doc2")
+    )
+    earlier = matches.filter(F.col("dup_batch") < bid).select("doc", "dup_of")
+    edges = within
+    prior_roots = None
+    if _has_parquet(asg_path):
+        tgt = earlier.select(F.col("dup_of").alias("doc")).distinct().withColumn(
+            "db", F.pmod(F.xxhash64("doc"), F.lit(n_doc_buckets)).cast("int")
+        )
+        # bounded driver read: at most n_doc_buckets values
+        touched = [r["db"] for r in tgt.select("db").distinct().collect()]
+        if touched:
+            asg = (
+                spark.read.parquet(asg_path)
+                .filter((F.col("batch_id") < bid) & F.col("db").isin(touched))
+                .select("doc", "label")
+            )
+            lab = tgt.select("doc").join(asg, "doc")
+            moves = _read_moves(spark, mov_path, id_type, before_batch=bid)
+            prior_roots = _apply_moves(lab, moves).localCheckpoint()
+            e2 = (
+                earlier.join(
+                    prior_roots.withColumnRenamed("doc", "dup_of"), "dup_of"
+                ).select(F.col("doc").alias("doc1"), F.col("label").alias("doc2"))
+            )
+            edges = within.unionByName(e2)
+    cc = connected_components(edges).localCheckpoint()
+    asg_new = (
+        batch_docs.join(cc.select("doc", "cluster"), "doc", "left")
+        .select("doc", F.coalesce("cluster", F.col("doc")).alias("label"))
+        .withColumn("batch_id", F.lit(bid))
+        .withColumn("db", F.pmod(F.xxhash64("doc"), F.lit(n_doc_buckets)).cast("int"))
+    )
+    (
+        asg_new.repartition("db")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "db")
+        .parquet(asg_path)
+    )
+    if prior_roots is not None:
+        mv = (
+            prior_roots.select(F.col("label").alias("src")).distinct()
+            .join(cc, F.col("src") == cc["doc"])
+            .filter(F.col("cluster") != F.col("src"))
+            .select("src", F.col("cluster").alias("dst"))
+            .distinct()
+            .withColumn("batch_id", F.lit(bid))
+        )
+        if not mv.isEmpty():
+            (
+                mv.repartition(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(mov_path)
+            )
+
+
+def read_cluster_labels(spark: SparkSession, out_root: str,
+                        id_type: str = "bigint") -> DataFrame:
+    """The promoted "one representative per cluster" view over the online
+    cluster log: (doc, cluster, n_members) for every doc in a near-dup
+    cluster of size >= 2, cluster = min doc id of the component over all
+    matches ingested so far. Semantics identical to a full batch recluster
+    (functions.dedup.dup_clusters) — pinned by tests and by the
+    q_dup_clusters_incr recursive-CTE oracle."""
+    asg_path, mov_path = cluster_paths(out_root)
+    if not _has_parquet(asg_path):
+        return spark.createDataFrame(
+            [], f"doc {id_type}, cluster {id_type}, n_members bigint"
+        )
+    lab = spark.read.parquet(asg_path).select("doc", "label")
+    resolved = _apply_moves(lab, _read_moves(spark, mov_path, id_type))
+    sizes = resolved.groupBy("label").agg(F.count("*").alias("n_members"))
+    return (
+        resolved.join(sizes, "label")
+        .filter(F.col("n_members") > 1)
+        .select("doc", F.col("label").alias("cluster"), "n_members")
+    )
+
+
 def make_dedup_batch(spark: SparkSession, out_root: str,
                      id_col: str = "doc_id", text_col: str = "text",
                      max_hamming: int = 3, n_blocks: int = 4,
-                     n_value_buckets: int = N_VALUE_BUCKETS):
+                     n_value_buckets: int = N_VALUE_BUCKETS,
+                     maintain_clusters: bool = True,
+                     n_doc_buckets: int = N_DOC_BUCKETS,
+                     sig_fn=None):
     """foreachBatch body, exposed for direct re-delivery testing.
+
+    ``maintain_clusters`` (default on) keeps the online cluster log current
+    per batch (``_update_clusters``); ``sig_fn(batch_df, id_col, text_col) ->
+    (doc, simhash_hi, simhash_lo)`` overrides the signature kernel — tests
+    inject hand-built signatures to pin exact Hamming geometries the text
+    kernel cannot be steered to.
 
     The corpus side of the probe is the BAND INDEX (Manku stores one table
     per band), partitioned by (batch_id, vb = pmod(value, n_value_buckets)):
@@ -198,6 +399,12 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
         "max_hamming": max_hamming,
         "n_value_buckets": n_value_buckets,
     }
+    if maintain_clusters:
+        # the assignment table's db partitioning is part of the on-disk
+        # contract too — a bucket-count change would mis-prune label lookups
+        geometry["n_doc_buckets"] = n_doc_buckets
+    if sig_fn is None:
+        sig_fn = simhash64
 
     def _rebuild_band_index(bid: int) -> None:
         """Signatures exist but the band index doesn't (pre-index layout, or
@@ -216,6 +423,34 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
             .parquet(band_path)
         )
 
+    def _rebuild_cluster_log(bid: int) -> None:
+        """Signatures exist but the cluster log doesn't (pre-cluster layout,
+        or a wiped log): REPLAY cluster maintenance batch-by-batch from the
+        persisted signature table. Unlike the band index (a stateless
+        derivation, rebuilt in one pass) the cluster log is order-dependent
+        — resuming with an empty one would silently label every earlier doc
+        a singleton. Replay cost is a full-history pass, paid only on wipe."""
+        all_sigs = (
+            spark.read.parquet(sig_path)
+            .filter(F.col("batch_id") < bid)
+            .localCheckpoint()
+        )
+        kids = sorted(
+            r["batch_id"] for r in all_sigs.select("batch_id").distinct().collect()
+        )
+        all_bands = _bands(all_sigs, n_blocks, max_hamming)
+        for k in kids:
+            m = _matches_from_bands(
+                all_bands.filter(F.col("batch_id") == k),
+                all_bands.filter(F.col("batch_id") <= k),
+                max_hamming,
+            ).localCheckpoint()
+            _update_clusters(
+                spark, out_root,
+                all_sigs.filter(F.col("batch_id") == k).select("doc"),
+                m, k, n_doc_buckets,
+            )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         if batch_df.isEmpty():
@@ -225,12 +460,18 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
         _geometry_guard(out_root, geometry)
         if _has_parquet(sig_path) and not _has_parquet(band_path):
             _rebuild_band_index(bid)
+        if (
+            maintain_clusters
+            and _has_parquet(sig_path)
+            and not _has_parquet(cluster_paths(out_root)[0])
+        ):
+            _rebuild_cluster_log(bid)
         # localCheckpoint: the signature kernel output feeds FOUR consumers
         # (touched-bucket probe, both flag-join sides, two writes) and Spark
         # does not reuse exchanges across them — materialize the batch-sized
         # result once instead of re-running the kernel per consumer
         sigs = (
-            simhash64(batch_df, id_col, text_col)
+            sig_fn(batch_df, id_col, text_col)
             .withColumn("batch_id", F.lit(bid))
             .localCheckpoint()
         )
@@ -247,7 +488,12 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
             corpus_bands = prior_bands.unionByName(new_bands)
         else:
             corpus_bands = new_bands
-        flags = _flags_from_bands(new_bands, corpus_bands, max_hamming)
+        # the full match set feeds BOTH the flag view and cluster maintenance
+        # — materialize it once (batch-sized)
+        matches = _matches_from_bands(
+            new_bands, corpus_bands, max_hamming
+        ).localCheckpoint()
+        flags = _flags_from_matches(matches)
         # flags may be empty for a batch; write signatures first so the flag
         # write's partition column is still recorded via an explicit lit
         (
@@ -272,6 +518,10 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
             .partitionBy("batch_id")
             .parquet(flag_path)
         )
+        if maintain_clusters:
+            _update_clusters(
+                spark, out_root, sigs.select("doc"), matches, bid, n_doc_buckets
+            )
 
     return process_batch
 
@@ -287,9 +537,11 @@ def run_streaming_dedup(
     max_files_per_trigger: int = 1,
     max_hamming: int = 3,
     n_blocks: int = 4,
+    maintain_clusters: bool = True,
 ) -> StreamingQuery:
     """Stream document parquet files from ``source_dir``; each micro-batch is
-    flagged against the signature corpus accumulated so far (module doc)."""
+    flagged against the signature corpus accumulated so far (module doc) and
+    the online cluster log is kept current (``_update_clusters``)."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     stream = (
@@ -299,7 +551,10 @@ def run_streaming_dedup(
     )
     return (
         stream.writeStream.foreachBatch(
-            make_dedup_batch(spark, out_root, id_col, text_col, max_hamming, n_blocks)
+            make_dedup_batch(
+                spark, out_root, id_col, text_col, max_hamming, n_blocks,
+                maintain_clusters=maintain_clusters,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -57,6 +57,7 @@ def test_relational_queries_have_no_python_eval(spark):
             "q_simhash_near_dup_mb",
             "q_stream_dedup_flags",
             "q_dup_clusters",
+            "q_dup_clusters_incr",
         ):
             continue  # these intentionally contain the pandas kernels
         plan = _plan(fn(spark, SF_DIR))

@@ -157,3 +157,107 @@ def test_missing_band_index_is_rebuilt_from_signatures(spark, tmp_path):
     shutil.rmtree(band_path)  # simulate the legacy layout
     pb(spark.createDataFrame([(2, BASE)], SCHEMA), 1)
     assert _flags(spark, out_root) == {2: (1, 0, 0, 1)}  # cross-batch dup found
+
+
+# --- online cluster maintenance (round-4 verdict #2) ------------------------
+
+
+def _sig_fn_from_map(sig_map):
+    """Inject hand-built signatures (doc -> (hi, lo)) in place of the text
+    kernel, so tests can pin exact Hamming geometries."""
+    def fn(batch_df, id_col, text_col):
+        spark = batch_df.sparkSession
+        m = spark.createDataFrame(
+            [(d, hi, lo) for d, (hi, lo) in sig_map.items()],
+            "doc bigint, simhash_hi bigint, simhash_lo bigint",
+        )
+        return batch_df.select(F.col(id_col).alias("doc")).join(m, "doc")
+    return fn
+
+
+# Hamming geometry: A-cluster {10, 11} near lo=0, B-cluster {20, 21} near
+# lo=240 (dist 4 from A — NOT near-dups of A), bridge doc 30 at lo=48
+# (dist 2 from A's root, dist 2 from B's root).
+SIGS = {
+    10: (0, 0), 11: (0, 1),
+    20: (0, 240), 21: (0, 241),
+    30: (0, 48),
+}
+
+
+def _labels(spark, out_root):
+    from complete_ocr_spark.streaming.dedup_stream import read_cluster_labels
+
+    return {
+        r["doc"]: (r["cluster"], r["n_members"])
+        for r in read_cluster_labels(spark, out_root).collect()
+    }
+
+
+def _mk_batch(spark, docs):
+    return spark.createDataFrame([(d, "t") for d in docs], SCHEMA)
+
+
+def test_arriving_doc_bridges_two_existing_clusters(spark, tmp_path):
+    """Batch 2's doc 30 is within Hamming 3 of BOTH the batch-0 cluster and
+    the batch-1 cluster: the promoted label table must show ONE merged
+    cluster of all five docs (the round-3 verdict's staleness scenario)."""
+    out_root = str(tmp_path / "out")
+    pb = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(SIGS))
+
+    pb(_mk_batch(spark, [10, 11]), 0)
+    assert _labels(spark, out_root) == {10: (10, 2), 11: (10, 2)}
+
+    pb(_mk_batch(spark, [20, 21]), 1)
+    assert _labels(spark, out_root) == {
+        10: (10, 2), 11: (10, 2), 20: (20, 2), 21: (20, 2)
+    }
+
+    pb(_mk_batch(spark, [30]), 2)
+    merged = {d: (10, 5) for d in (10, 11, 20, 21, 30)}
+    assert _labels(spark, out_root) == merged
+
+    # the bridge recorded exactly one merge event: losing root 20 -> 10
+    from complete_ocr_spark.streaming.dedup_stream import cluster_paths
+
+    mv = spark.read.parquet(cluster_paths(out_root)[1]).collect()
+    assert [(r["src"], r["dst"], r["batch_id"]) for r in mv] == [(20, 10, 2)]
+
+    # --- re-delivery of the bridging batch is idempotent -------------------
+    pb(_mk_batch(spark, [30]), 2)
+    assert _labels(spark, out_root) == merged
+    mv2 = spark.read.parquet(cluster_paths(out_root)[1]).collect()
+    assert len(mv2) == 1
+
+
+def test_wiped_cluster_log_is_replayed_from_signatures(spark, tmp_path):
+    """Deleting the cluster log (pre-cluster layout upgrade, or a wipe) must
+    trigger a full replay from the signature table — resuming with an empty
+    log would silently label every earlier doc a singleton."""
+    import shutil
+
+    out_root = str(tmp_path / "out")
+    pb = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(SIGS))
+    pb(_mk_batch(spark, [10, 11]), 0)
+    pb(_mk_batch(spark, [20, 21]), 1)
+
+    from complete_ocr_spark.streaming.dedup_stream import cluster_paths
+
+    asg_path, mov_path = cluster_paths(out_root)
+    shutil.rmtree(asg_path)
+    shutil.rmtree(mov_path, ignore_errors=True)
+
+    pb(_mk_batch(spark, [30]), 2)  # replays batches 0/1, then bridges
+    assert _labels(spark, out_root) == {d: (10, 5) for d in (10, 11, 20, 21, 30)}
+
+
+def test_new_doc_with_smaller_id_becomes_the_root(spark, tmp_path):
+    """Labels are min doc ids, and arrival order is NOT id order: a late doc
+    with the smallest id must take over as cluster root via a move."""
+    sigs = {50: (0, 0), 51: (0, 1), 7: (0, 2)}
+    out_root = str(tmp_path / "out")
+    pb = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(sigs))
+    pb(_mk_batch(spark, [50, 51]), 0)
+    assert _labels(spark, out_root) == {50: (50, 2), 51: (50, 2)}
+    pb(_mk_batch(spark, [7]), 1)
+    assert _labels(spark, out_root) == {d: (7, 3) for d in (7, 50, 51)}
