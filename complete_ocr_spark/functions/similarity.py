@@ -240,7 +240,8 @@ def ann_ivf_topk_broadcast(df: DataFrame, id_col: str, vec_col: str,
 
 
 def ivf_train_kmeans(df: DataFrame, id_col: str, vec_col: str,
-                     cents0: list[list[float]], n_iters: int = 2) -> DataFrame:
+                     cents0: list[list[float]], n_iters: int = 2,
+                     agg_mode: str = "perdim") -> DataFrame:
     """Train the IVF coarse quantizer: Lloyd k-means iterations as a LAZY
     DataFrame chain (no driver collect between iterations).
 
@@ -258,9 +259,23 @@ def ivf_train_kmeans(df: DataFrame, id_col: str, vec_col: str,
 
     Returns the flattened final centroid table (cell, dim, coord, n_members)
     with dim 1-based and n_members from the assignment that produced the
-    final means. Two shuffles per iteration (the mean groupBy + the grid
-    join), each over n x dim narrow rows — the standard distributed-Lloyd
-    cost; at 10^12 vectors you train on a sample, which is one filter."""
+    final means. At 10^12 vectors you train on a sample, which is one filter.
+
+    ``agg_mode`` picks the mean-aggregation shape — BOTH produce bit-identical
+    centroids (the same exact fixed-point sums; pinned by test + the shared
+    DuckDB oracle):
+
+    * ``"perdim"``: posexplode to n x dim narrow rows, DECIMAL(28,6) sums via
+      groupBy(cell, dim). Catalyst partial-aggregates map-side, so the
+      shuffle is small; the cost is materializing and hash-aggregating
+      n x dim generator rows in the JVM. This is the oracle-anchor form (its
+      SQL transcription IS the DuckDB oracle).
+    * ``"vector"``: coordinates scale to 10^6-fixed-point int64 arrays
+      JVM-side (DECIMAL HALF_UP rounding, so numpy never rounds), an Arrow
+      kernel (kernels.kmeans) collapses each batch to one partial sum per
+      cell, and a zip_with fold combines the bounded partial list — dim x
+      fewer aggregation input rows per Lloyd iteration. A/B-measured in
+      BASELINE.md §kmeans agg A/B."""
     if n_iters < 1:
         # the SQL oracle generator (_kmeans_sql) also assumes >= 1 iteration;
         # returning the seeded table here would silently skip training
@@ -299,21 +314,64 @@ def ivf_train_kmeans(df: DataFrame, id_col: str, vec_col: str,
             .withColumn("cell", (-best["negcell"]).cast("int"))
             .select("vid", "v", "cell")
         )
-        ex = assigned.select(
-            "cell", F.posexplode("v").alias("pos", "raw")
-        ).select(
-            "cell",
-            (F.col("pos") + 1).alias("dim"),
-            F.round(F.col("raw").cast("double"), 6).alias("mcoord"),
-        )
-        sums = ex.groupBy("cell", "dim").agg(
-            F.round(
-                F.sum(F.col("mcoord").cast("decimal(28,6)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("new_coord"),
-            F.count("*").alias("n_members"),
-        )
+        if agg_mode == "vector":
+            from ..kernels.kmeans import partial_cell_sums_batch
+
+            dim_n = len(cents0[0])
+            scaled = assigned.select(
+                "cell",
+                F.transform(
+                    "v",
+                    lambda x: (
+                        F.round(x.cast("double"), 6).cast("decimal(28,6)")
+                        * 1000000
+                    ).cast("long"),
+                ).alias("sv"),
+            )
+            partials = scaled.mapInPandas(
+                partial_cell_sums_batch,
+                schema="cell int, psum array<bigint>, pcnt bigint",
+            )
+            zero = F.array_repeat(F.lit(0).cast("bigint"), dim_n)
+            combined = partials.groupBy("cell").agg(
+                F.aggregate(
+                    F.collect_list("psum"), zero,
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("ssum"),
+                F.sum("pcnt").alias("n_members"),
+            )
+            # double(int64 s)/count reproduces the oracle's CAST(SUM(decimal)
+            # AS DOUBLE)/COUNT only while |s| < 2^53; the decimal route is
+            # exact at any magnitude, and it's k x dim rows — free
+            sums = combined.select(
+                "cell", "n_members", F.posexplode("ssum").alias("pos", "s")
+            ).select(
+                "cell",
+                (F.col("pos") + 1).alias("dim"),
+                F.round(
+                    (F.col("s").cast("decimal(38,12)") / F.lit(1000000))
+                    .cast("double")
+                    / F.col("n_members"),
+                    6,
+                ).alias("new_coord"),
+                "n_members",
+            )
+        else:
+            ex = assigned.select(
+                "cell", F.posexplode("v").alias("pos", "raw")
+            ).select(
+                "cell",
+                (F.col("pos") + 1).alias("dim"),
+                F.round(F.col("raw").cast("double"), 6).alias("mcoord"),
+            )
+            sums = ex.groupBy("cell", "dim").agg(
+                F.round(
+                    F.sum(F.col("mcoord").cast("decimal(28,6)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("new_coord"),
+                F.count("*").alias("n_members"),
+            )
         out = (
             cents.join(sums, ["cell", "dim"], "left")
             .select(

@@ -222,3 +222,19 @@ def test_sig_store_route_matches_direct_and_runs_kernel_once(spark, tmp_path):
     assert "MapInPandas" not in plan, "kernel re-ran inside the pair join"
     final = plan.split("== Initial Plan ==")[0]  # AQE repeats the tree
     assert final.count("Scan parquet") == 2, final
+
+
+def test_kmeans_vector_agg_matches_perdim_exactly(spark):
+    """agg_mode='vector' (Arrow partial-sum kernel, fixed-point int64) must
+    produce BIT-IDENTICAL centroids to the per-dimension DECIMAL oracle
+    anchor — same exact sums, same rounding (round-3 verdict #4)."""
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents0 = similarity.ivf_centroids(64, 8)
+    key = lambda r: (r["cell"], r["dim"])  # noqa: E731
+    a = {key(r): (r["coord"], r["n_members"]) for r in
+         similarity.ivf_train_kmeans(e, "vec_id", "embedding", cents0,
+                                     n_iters=2, agg_mode="perdim").collect()}
+    b = {key(r): (r["coord"], r["n_members"]) for r in
+         similarity.ivf_train_kmeans(e, "vec_id", "embedding", cents0,
+                                     n_iters=2, agg_mode="vector").collect()}
+    assert a == b
