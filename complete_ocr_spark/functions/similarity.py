@@ -207,16 +207,38 @@ def ann_ivf_topk_broadcast(df: DataFrame, id_col: str, vec_col: str,
 
     Same probe/rerank semantics as ``ann_ivf_topk``: rounded dots keep the
     assignment engine-portable; returns identical rows."""
-    spark = df.sparkSession
+    probe_cells = _probe_cells(query_vec, cents, n_probe)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    assigned = _with_bcast_cell(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")), cents
+    )
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .select(
+            "vec_id", "cell", F.round(cosine(F.col("v"), q), 6).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def _cents_one_row(spark, cents: list[list[float]]) -> DataFrame:
+    """The centroid table collapsed to ONE broadcastable row holding
+    array<struct<cell, cvec>> — centroids as data, constant plan size."""
     cdf = spark.createDataFrame(
         [(j + 1, [float(x) for x in c]) for j, c in enumerate(cents)],
         "cell int, cvec array<double>",
     )
-    carr = cdf.select(
+    return cdf.select(
         F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("cents")
     )
-    probe_cells = _probe_cells(query_vec, cents, n_probe)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def _with_bcast_cell(df_v: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Append ``cell`` = argmax-rounded-dot assignment to (…, v) rows via the
+    broadcast 1-row centroid array (the ``ann_ivf_topk_broadcast`` shape:
+    constant plan size, no shuffle, lowest-cell tie-break)."""
+    carr = _cents_one_row(df_v.sparkSession, cents)
     best = F.array_max(
         F.transform(
             "cents",
@@ -227,12 +249,53 @@ def ann_ivf_topk_broadcast(df: DataFrame, id_col: str, vec_col: str,
         )
     )
     return (
-        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-        .join(F.broadcast(carr))
+        df_v.join(F.broadcast(carr))
         .withColumn("cell", (-best["negcell"]).cast("int"))
+        .drop("cents")
+    )
+
+
+def ivf_assign_cells(df: DataFrame, id_col: str, vec_col: str,
+                     cents: list[list[float]]) -> DataFrame:
+    """(vec_id, v, cell) assignment rows — the materialization the IVF module
+    docstring defers to write time. Same engine-portable argmax as every IVF
+    path here."""
+    return _with_bcast_cell(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")), cents
+    )
+
+
+def write_ivf_index(df: DataFrame, id_col: str, vec_col: str,
+                    cents: list[list[float]], path: str) -> None:
+    """Write the IVF index at rest: vectors partitioned BY CELL, so a probe
+    reads n_probe/n_cells of the table via partition pruning instead of
+    assigning cells per query (the 10^12-vector layout the
+    ``ann_ivf_topk`` docstring promises). One pass, one hash write."""
+    (
+        ivf_assign_cells(df, id_col, vec_col, cents)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ann_ivf_topk_from_index(spark, path: str, query_vec: list[float],
+                            cents: list[list[float]], n_probe: int = 4,
+                            k: int = 10) -> DataFrame:
+    """IVF probe against the written index: the cell filter is a PARTITION
+    filter on the parquet layout — the scan never opens non-probed cells
+    (plan-tested), which is the read shape that survives 10^12 vectors.
+    Identical rows to ``ann_ivf_topk_broadcast`` over the same data."""
+    probe_cells = _probe_cells(query_vec, cents, n_probe)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        spark.read.parquet(path)
         .filter(F.col("cell").isin(probe_cells))
         .select(
-            "vec_id", "cell", F.round(cosine(F.col("v"), q), 6).alias("cos")
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(cosine(F.col("v"), q), 6).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
@@ -241,7 +304,8 @@ def ann_ivf_topk_broadcast(df: DataFrame, id_col: str, vec_col: str,
 
 def ivf_train_kmeans(df: DataFrame, id_col: str, vec_col: str,
                      cents0: list[list[float]], n_iters: int = 2,
-                     agg_mode: str = "perdim") -> DataFrame:
+                     agg_mode: str = "perdim",
+                     sample_fraction: float | None = None) -> DataFrame:
     """Train the IVF coarse quantizer: Lloyd k-means iterations as a LAZY
     DataFrame chain (no driver collect between iterations).
 
@@ -259,7 +323,15 @@ def ivf_train_kmeans(df: DataFrame, id_col: str, vec_col: str,
 
     Returns the flattened final centroid table (cell, dim, coord, n_members)
     with dim 1-based and n_members from the assignment that produced the
-    final means. At 10^12 vectors you train on a sample, which is one filter.
+    final means.
+
+    ``sample_fraction``: train on a DETERMINISTIC md5-threshold sample of the
+    ids (the q_quality_sample rule: first 8 md5 hex digits of the id, as an
+    integer, under fraction * 2^32) — the "at 10^12 vectors you train on a
+    sample" story as one pushed-down filter, reproducible by any engine (the
+    k-means SQL oracle generator takes the same fraction). Lloyd quality
+    needs only a representative sample; assignment of the FULL corpus happens
+    at write time (``write_ivf_index``), never during training.
 
     ``agg_mode`` picks the mean-aggregation shape — BOTH produce bit-identical
     centroids (the same exact fixed-point sums; pinned by test + the shared
@@ -282,6 +354,14 @@ def ivf_train_kmeans(df: DataFrame, id_col: str, vec_col: str,
         raise ValueError(f"ivf_train_kmeans needs n_iters >= 1, got {n_iters}")
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    if sample_fraction is not None:
+        if not 0 < sample_fraction <= 1:
+            raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+        base = base.filter(
+            F.conv(F.substring(F.md5(F.col("vid").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            < int(sample_fraction * 2**32)
+        )
     cents = spark.createDataFrame(
         [
             (j + 1, d + 1, float(c))

@@ -238,3 +238,65 @@ def test_kmeans_vector_agg_matches_perdim_exactly(spark):
          similarity.ivf_train_kmeans(e, "vec_id", "embedding", cents0,
                                      n_iters=2, agg_mode="vector").collect()}
     assert a == b
+
+
+def test_trained_centroids_beat_seeded_at_equal_probe(spark):
+    """The q_ann_recall mean-recall rows must show k-means-trained centroids
+    beating the seeded random directions at equal probe count (round-3
+    verdict #5) — the measurement that justifies paying for training."""
+    from complete_ocr_spark.queries import q_ann_recall
+
+    rows = {r["method"]: r["recall"]
+            for r in q_ann_recall(spark, "/root/testdata/sf0.01").collect()}
+    assert rows["ivf_trained_mq"] > rows["ivf_seeded_mq"], rows
+
+
+def test_ivf_index_at_rest_partition_prunes_and_matches_broadcast(spark, tmp_path):
+    """write_ivf_index lays vectors out BY CELL; the probe against the index
+    must read only the probed cells (partition filter in the scan) and return
+    exactly the broadcast path's rows."""
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    from pyspark.sql import functions as F2
+
+    qv = [float(x) for x in
+          e.filter(F2.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = similarity.ivf_centroids(64, 16)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(e, "vec_id", "embedding", cents, path)
+
+    got = similarity.ann_ivf_topk_from_index(spark, path, qv, cents, n_probe=4, k=10)
+    want = similarity.ann_ivf_topk_broadcast(
+        e, "vec_id", "embedding", qv, cents, n_probe=4, k=10
+    )
+    key = lambda r: (r["vec_id"], r["cell"], r["cos"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+    # the scan's PARTITION filter carries the cell probe — pruning happens at
+    # the directory level, before any file is opened
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cell" in seg, plan
+
+
+def test_kmeans_sample_fraction_is_deterministic_subset(spark):
+    """sample_fraction trains on the md5-threshold subset: deterministic
+    (same result twice), n_members totals the SAMPLE size, and the guard
+    rejects nonsense fractions."""
+    import pytest
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents0 = similarity.ivf_centroids(64, 8)
+    a = similarity.ivf_train_kmeans(
+        e, "vec_id", "embedding", cents0, n_iters=1, sample_fraction=0.5
+    ).collect()
+    b = similarity.ivf_train_kmeans(
+        e, "vec_id", "embedding", cents0, n_iters=1, sample_fraction=0.5
+    ).collect()
+    key = lambda r: (r["cell"], r["dim"])  # noqa: E731
+    assert {key(r): r["coord"] for r in a} == {key(r): r["coord"] for r in b}
+    n_sampled = sum(r["n_members"] for r in a if r["dim"] == 1)
+    assert 0 < n_sampled < 500  # a strict subset of the 500 vectors
+    with pytest.raises(ValueError, match="sample_fraction"):
+        similarity.ivf_train_kmeans(
+            e, "vec_id", "embedding", cents0, n_iters=1, sample_fraction=1.5
+        )
