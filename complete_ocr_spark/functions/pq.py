@@ -1,0 +1,193 @@
+"""IVF-PQ: product-quantized in-cell compression for 10^12-vector ANN.
+
+The missing tier the IVF module docstring names (similarity.py): coarse
+quantization prunes the SCAN to n_probe/n_cells of the table, but reranking
+candidates still fetches full float vectors — at 10^12 x 768 x 4 B that is
+3 PB of vector payload. Product quantization stores each vector as M
+subspace code ids + its norm, and reranking becomes table lookups against a
+query-specific distance table (ADC — asymmetric distance computation,
+Jegou et al.'s IVFADC layout): candidates are scored WITHOUT touching the
+float vectors, and only the top ``rerank`` survivors fetch true vectors for
+an exact top-k verify.
+
+Prototype geometry here: dim 64 -> M=8 subspaces x 8 dims, K=16 codes per
+subspace -> 4-bit codes, so a whole vector's PQ payload packs into ONE
+BIGINT (8 codes x 4 bits) + a 6-dp norm — 256 B of float vector becomes
+~12 B. Codebooks are seeded deterministic Gaussians (like ivf_centroids —
+a deployment k-means-trains them on residual samples; the encode/ADC/verify
+plan is identical), and every distance is rounded to 6 decimals so the
+DuckDB oracle reproduces codes and ADC scores bit-for-bit.
+
+Shapes (all engine-portable, no Python in the hot path):
+* encode: ONE broadcast row carries centroids + codebooks as DATA (constant
+  plan size, the ann_ivf_topk_broadcast argument); residual -> per-subspace
+  argmin is an array fold over that row.
+* ADC: the query's M x K distance table and per-cell query dots are
+  driver-computed LITERALS (they depend only on the query — tiny); scoring a
+  candidate is M element_at lookups + an add chain. No shuffle before the
+  rerank top-k.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import SRP_SEED, _probe_cells, _with_bcast_cell, cosine
+
+PQ_M = 8   # subspaces
+PQ_K = 16  # codes per subspace (4 bits)
+
+
+def pq_codebooks(dim: int, m: int = PQ_M, k: int = PQ_K,
+                 seed: int = SRP_SEED) -> list[list[list[float]]]:
+    """books[m][k] = 6-dp-rounded Gaussian codebook entry (dim/m floats),
+    scaled to typical residual magnitude. Deterministic, literal-embeddable
+    in the SQL oracle."""
+    if dim % m:
+        raise ValueError(f"dim {dim} must split into {m} equal subspaces")
+    rng = np.random.RandomState((seed * 11_000_003) % (2**32))
+    sub = dim // m
+    return [
+        [[round(float(x), 6) for x in rng.standard_normal(sub) * 0.35]
+         for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def _pydot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def adc_table(query_vec: list[float],
+              books: list[list[list[float]]]) -> list[list[float]]:
+    """dt[m][k] = round(dot(q_m, books[m][k]), 6) — the query-specific lookup
+    table ADC scores candidates with (inner-product PQ: approx dot(q, v) =
+    dot(q, centroid_cell) + sum_m dt[m][code_m] for residual codes)."""
+    sub = len(books[0][0])
+    return [
+        [round(_pydot(query_vec[m * sub:(m + 1) * sub], e), 6) for e in bm]
+        for m, bm in enumerate(books)
+    ]
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              cents: list[list[float]],
+              books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, cell, codes, vnorm): cell = IVF argmax-dot assignment,
+    codes = the M 4-bit residual code ids packed into one BIGINT
+    (code of subspace m at bits [4m, 4m+4)), vnorm = round(||v||, 6).
+
+    Code m = argmin over the K codebook entries of the rounded squared L2
+    distance to the residual subvector (v - centroid_cell sliced to subspace
+    m), lowest code id on ties — the same first-minimum convention every IVF
+    path here uses. Centroids and codebooks ride ONE broadcast row."""
+    m, k = len(books), len(books[0])
+    sub = len(books[0][0])
+    if k > 16:
+        raise ValueError("codes pack at 4 bits: K must be <= 16")
+    spark = df.sparkSession
+    assigned = _with_bcast_cell(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        cents,
+    )
+    # centroids AND codebooks ride one broadcast row as data — plan size
+    # stays constant in n_cells x K (the ann_ivf_topk_broadcast argument)
+    bdf = spark.createDataFrame(
+        [(books, [[float(x) for x in c] for c in cents])],
+        "books array<array<array<double>>>, cvecs array<array<double>>",
+    )
+    cent_v = F.element_at(F.col("cvecs"), F.col("cell"))
+    resid = F.zip_with(
+        F.col("v"), cent_v, lambda a, b: F.round(a.cast("double") - b, 6)
+    )
+    withr = assigned.join(F.broadcast(bdf)).withColumn("r", resid)
+    packed = F.lit(0).cast("bigint")
+    for mi in range(m):
+        rm = F.slice(F.col("r"), mi * sub + 1, sub)
+        dists = F.transform(
+            F.element_at(F.col("books"), mi + 1),
+            lambda e, i: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(rm, e, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("d"),
+                i.alias("k"),
+            ),
+        )
+        code = F.array_min(dists)["k"].cast("bigint")
+        packed = packed + code * F.lit(2 ** (4 * mi))
+    return withr.select(
+        "vec_id",
+        "cell",
+        packed.alias("codes"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("vnorm"),
+    )
+
+
+def ann_ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
+                    query_vec: list[float], cents: list[list[float]],
+                    books: list[list[list[float]]], n_probe: int = 4,
+                    rerank: int = 30, k: int = 10,
+                    encoded: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ ANN: probe n_probe cells, ADC-score candidates from codes alone
+    (no vector fetch), keep the top ``rerank`` by approximate cosine, then
+    exact-verify ONLY those against true vectors for the final top-k.
+
+    Returns (vec_id, cell, adc_cos, cos) — the approximate score that ranked
+    the candidate and the exact one that confirmed it. ``encoded`` reuses a
+    pre-built code table (at rest: partition by cell, as write_ivf_index
+    does for vectors); by default codes are built in-query."""
+    probe_cells = _probe_cells(query_vec, cents, n_probe)
+    dt = adc_table(query_vec, books)
+    qc = [round(_pydot(query_vec, c), 6) for c in cents]
+    qnorm = round(math.sqrt(_pydot(query_vec, query_vec)), 6)
+    enc = encoded if encoded is not None else pq_encode(
+        df, id_col, vec_col, cents, books
+    )
+    cand = enc.filter(F.col("cell").isin(probe_cells))
+    adc = F.element_at(
+        F.array(*[F.lit(x) for x in qc]), F.col("cell")
+    )
+    for mi, row in enumerate(dt):
+        code = F.shiftright(F.col("codes"), 4 * mi).bitwiseAND(F.lit(15))
+        adc = adc + F.element_at(
+            F.array(*[F.lit(x) for x in row]), (code + 1).cast("int")
+        )
+    ranked = (
+        cand.withColumn(
+            "adc_cos",
+            F.round(F.round(adc, 6) / (F.lit(qnorm) * F.col("vnorm")), 6),
+        )
+        .orderBy(F.col("adc_cos").desc(), "vec_id")
+        .limit(rerank)
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    return (
+        ranked.join(vecs, "vec_id")
+        .select(
+            "vec_id", "cell", "adc_cos",
+            F.round(cosine(F.col("v"), q), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -21,7 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from .functions import dedup, similarity
+from .functions import dedup, pq, similarity
 from .functions.text import (
     STOPWORDS_EN,
     bpe_ish_token_count,
@@ -1119,6 +1119,123 @@ def q_ann_ivf_bcast(spark, sf_dir):
     )
 
 
+_PQ_RERANK = 80  # ADC survivors that fetch true vectors for the exact verify
+
+
+def q_ann_pq(spark, sf_dir):
+    """IVF-PQ ANN (functions.pq): the in-cell compression tier for
+    10^12-vector deployments — candidates are scored from 4-bit product-
+    quantization codes + stored norms via an ADC lookup table (no float
+    vector is fetched), and only the top _PQ_RERANK survivors hit true
+    vectors for the exact top-10 verify. Returns both the approximate score
+    that ranked each survivor (adc_cos) and the exact one (cos). Codebooks
+    are seeded deterministic Gaussians (a deployment trains them on residual
+    samples); every distance is 6-dp rounded so the DuckDB oracle reproduces
+    codes and ADC scores exactly. At this sf the probe pool (~125 vectors) is
+    barely larger than the rerank budget; at scale the pool is millions and
+    the budget stays O(100) — that asymmetry is the tier's point."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
+    books = pq.pq_codebooks(_SRP_DIM)
+    return pq.ann_ivf_pq_topk(
+        e, "vec_id", "embedding", qv, cents, books,
+        n_probe=_IVF_PROBE, rerank=_PQ_RERANK, k=10,
+    )
+
+
+def _pq_sql() -> str:
+    cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
+    books = pq.pq_codebooks(_SRP_DIM)
+    sub = _SRP_DIM // len(books)
+    cent_vals = ", ".join(
+        f"({j + 1}, {d + 1}, {c})"
+        for j, vec in enumerate(cents)
+        for d, c in enumerate(vec)
+    )
+    cb_vals = ", ".join(
+        f"({m}, {ds + 1}, {k}, {coord})"
+        for m, bm in enumerate(books)
+        for k, entry in enumerate(bm)
+        for ds, coord in enumerate(entry)
+    )
+    dots_list = ", ".join(
+        f"ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST({c} AS DOUBLE[])), 6)"
+        for c in cents
+    )
+    return f"""
+WITH cells AS (
+  SELECT vec_id, CAST(list_position(dl, list_max(dl)) AS INT) AS cell
+  FROM (SELECT vec_id, [{dots_list}] AS dl FROM embeddings)),
+ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+              CAST(unnest(embedding) AS DOUBLE) AS raw
+       FROM embeddings),
+centl(cell, dim, coord) AS (SELECT * FROM (VALUES {cent_vals})),
+cbl(m, ds, k, coord) AS (SELECT * FROM (VALUES {cb_vals})),
+resid AS (
+  SELECT e.vec_id, e.dim, ROUND(e.raw - c.coord, 6) AS r
+  FROM ex e JOIN cells cl ON cl.vec_id = e.vec_id
+  JOIN centl c ON c.cell = cl.cell AND c.dim = e.dim),
+dist AS (
+  SELECT r.vec_id, cb.m, cb.k,
+         ROUND(SUM((r.r - cb.coord) * (r.r - cb.coord)), 6) AS d
+  FROM resid r JOIN cbl cb
+    ON cb.m = (r.dim - 1) // {sub} AND cb.ds = (r.dim - 1) % {sub} + 1
+  GROUP BY r.vec_id, cb.m, cb.k),
+code AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM dist)
+  WHERE rn = 1),
+y AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS b,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0),
+qdt AS (
+  SELECT cb.m, cb.k, ROUND(SUM(y.b * cb.coord), 6) AS dt
+  FROM y JOIN cbl cb
+    ON cb.m = (y.i - 1) // {sub} AND cb.ds = (y.i - 1) % {sub} + 1
+  GROUP BY cb.m, cb.k),
+qcl AS (
+  SELECT c.cell, ROUND(SUM(y.b * c.coord), 6) AS qc
+  FROM y JOIN centl c ON c.dim = y.i
+  GROUP BY c.cell),
+qn AS (SELECT ROUND(sqrt(SUM(b * b)), 6) AS qnorm FROM y),
+probes AS (SELECT cell FROM qcl ORDER BY qc DESC, cell LIMIT {_IVF_PROBE}),
+vn AS (SELECT vec_id, ROUND(sqrt(SUM(raw * raw)), 6) AS vnorm
+       FROM ex GROUP BY vec_id),
+adcsum AS (
+  SELECT c.vec_id, SUM(d.dt) AS s
+  FROM code c JOIN qdt d ON d.m = c.m AND d.k = c.k
+  GROUP BY c.vec_id),
+cand AS (
+  SELECT cl.vec_id, cl.cell,
+         ROUND(ROUND(q.qc + a.s, 6) / (qn.qnorm * v.vnorm), 6) AS adc_cos
+  FROM cells cl
+  JOIN qcl q ON q.cell = cl.cell
+  JOIN adcsum a ON a.vec_id = cl.vec_id
+  JOIN vn v ON v.vec_id = cl.vec_id, qn
+  WHERE cl.cell IN (SELECT cell FROM probes)),
+topr AS (
+  SELECT vec_id, cell, adc_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY adc_cos DESC, vec_id) AS rn
+    FROM cand)
+  WHERE rn <= {_PQ_RERANK}),
+x AS (SELECT t.vec_id, t.cell, t.adc_cos,
+             CAST(unnest(e.embedding) AS DOUBLE) AS a,
+             generate_subscripts(e.embedding, 1) AS i
+      FROM topr t JOIN embeddings e ON e.vec_id = t.vec_id),
+d2 AS (SELECT vec_id, cell, adc_cos, SUM(a * b) AS dot, SUM(a * a) AS na
+       FROM x JOIN y USING (i) GROUP BY vec_id, cell, adc_cos),
+nq AS (SELECT SUM(b * b) AS nb FROM y)
+SELECT vec_id, cell, adc_cos, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+FROM d2, nq
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
 _KM_CELLS, _KM_ITERS = 8, 2
 
 
@@ -1275,6 +1392,7 @@ def q_ann_recall(spark, sf_dir):
     probes = {
         "lsh_multiprobe": q_ann_lsh_topk(spark, sf_dir).select("vec_id"),
         "ivf_broadcast": q_ann_ivf_bcast(spark, sf_dir).select("vec_id"),
+        "ivf_pq": q_ann_pq(spark, sf_dir).select("vec_id"),
     }
     parts = [
         df.join(exact, "vec_id", "left_semi")
@@ -1355,7 +1473,8 @@ def _ann_recall_sql() -> str:
     body = ",\n".join(
         ["exact AS (SELECT vec_id FROM ({}))".format(SQL_ANN),
          "lsh AS (SELECT vec_id FROM ({}))".format(SQL_ANN_LSH),
-         "ivf AS (SELECT vec_id FROM ({}))".format(_ivf_sql())]
+         "ivf AS (SELECT vec_id FROM ({}))".format(_ivf_sql()),
+         "ipq AS (SELECT vec_id FROM ({}))".format(_pq_sql())]
         + km_ctes + shared
         + _mq_recall_ctes("sc", "sd")
         + _mq_recall_ctes("tc", "tr")
@@ -1369,6 +1488,9 @@ FROM lsh WHERE vec_id IN (SELECT vec_id FROM exact)
 UNION ALL
 SELECT 'ivf_broadcast', COUNT(*), ROUND(COUNT(*) / 10.0, 6)
 FROM ivf WHERE vec_id IN (SELECT vec_id FROM exact)
+UNION ALL
+SELECT 'ivf_pq', COUNT(*), ROUND(COUNT(*) / 10.0, 6)
+FROM ipq WHERE vec_id IN (SELECT vec_id FROM exact)
 UNION ALL
 SELECT 'ivf_seeded_mq', n, ROUND(n / {denom}, 6) FROM sdhit
 UNION ALL
@@ -1950,6 +2072,7 @@ REGISTRY: dict[str, tuple] = {
     "q_ann_topk": (q_ann_topk, SQL_ANN),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "q_ann_ivf_bcast": (q_ann_ivf_bcast, _ivf_sql()),
+    "q_ann_pq": (q_ann_pq, _pq_sql()),
     "q_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "q_docs_span_stats": (q_docs_span_stats, SQL_DOCS_STATS),
     "q_strip_text_blocks": (q_strip_text_blocks, SQL_STRIP),

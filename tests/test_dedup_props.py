@@ -300,3 +300,29 @@ def test_kmeans_sample_fraction_is_deterministic_subset(spark):
         similarity.ivf_train_kmeans(
             e, "vec_id", "embedding", cents0, n_iters=1, sample_fraction=1.5
         )
+
+
+def test_pq_guards_and_code_packing(spark):
+    """PQ geometry guards reject invalid shapes; encoded codes stay within
+    the packed 4-bit-per-subspace BIGINT range and norms are 6-dp doubles."""
+    import pytest
+
+    from complete_ocr_spark.functions import pq
+
+    with pytest.raises(ValueError, match="equal subspaces"):
+        pq.pq_codebooks(65)
+    with pytest.raises(ValueError, match="4 bits"):
+        e = spark.createDataFrame([(1, [0.0] * 64)], "vec_id int, embedding array<float>")
+        books = [[[0.0] * 8 for _ in range(17)] for _ in range(8)]
+        pq.pq_encode(e, "vec_id", "embedding",
+                     similarity.ivf_centroids(64, 4), books)
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(50)
+    books = pq.pq_codebooks(64)
+    cents = similarity.ivf_centroids(64, 16)
+    rows = pq.pq_encode(e, "vec_id", "embedding", cents, books).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 0 <= r["codes"] < 2**32  # 8 subspaces x 4 bits
+        assert 1 <= r["cell"] <= 16
+        assert abs(r["vnorm"] - 1.0) < 0.01  # synth embeddings are unit-norm

@@ -122,6 +122,7 @@ def test_plan_size_guard_on_literal_heavy_queries(spark):
         "q_simhash64": 120_000,           # arrow kernel (catalyst form ~5k chars more)
         "q_simhash_near_dup_mb": 400_000,  # 56 generated band keys
         "q_ann_ivf_bcast": 30_000,        # constant in n_cells by design
+        "q_ann_pq": 80_000,  # ADC literals are M x K + cells (query-sized)
     }
     for name, bound in bounds.items():
         plan = _plan(ALL_Q[name][0](spark, SF_DIR))
