@@ -67,18 +67,11 @@ def minhash_lsh_buckets(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def minhash_banded_buckets(df: DataFrame, id_col: str, text_col: str,
-                           n_bands: int = 3, n_rows: int = 2) -> DataFrame:
-    """(bands x rows) MinHash-LSH: the standard tunable banding.
-
-    Signature = n_bands*n_rows independent min-hashes (hash i = min over
-    words of md5(i || '|' || w)); band j's bucket key = md5 of its n_rows
-    row-hashes concatenated in hash order. Two docs become candidates in band
-    j iff ALL r row-hashes agree — P(candidate per band) = s^r for Jaccard s,
-    overall 1-(1-s^r)^b: r sharpens precision, b buys recall back, both free
-    parameters at scale (the single-row form has no precision knob). Still
-    one shuffle on (band, band_key).
-    """
+def minhash_band_keys_df(df: DataFrame, id_col: str, text_col: str,
+                         n_bands: int = 3, n_rows: int = 2) -> DataFrame:
+    """Per-doc (doc, band, band_key) MinHash band keys — the banding half of
+    ``minhash_banded_buckets``, exposed so streaming dedup can index band
+    keys per document (streaming.dedup_stream.make_minhash_dedup_batch)."""
     n_hashes = n_bands * n_rows
     words = df.select(
         F.col(id_col).alias("doc"),
@@ -98,11 +91,26 @@ def minhash_banded_buckets(df: DataFrame, id_col: str, text_col: str,
             "|",
         )
     )
-    banded = (
+    return (
         sig.withColumn("band", (F.col("i") / n_rows).cast("int"))
         .groupBy("doc", "band")
         .agg(band_key.alias("band_key"))
     )
+
+
+def minhash_banded_buckets(df: DataFrame, id_col: str, text_col: str,
+                           n_bands: int = 3, n_rows: int = 2) -> DataFrame:
+    """(bands x rows) MinHash-LSH: the standard tunable banding.
+
+    Signature = n_bands*n_rows independent min-hashes (hash i = min over
+    words of md5(i || '|' || w)); band j's bucket key = md5 of its n_rows
+    row-hashes concatenated in hash order. Two docs become candidates in band
+    j iff ALL r row-hashes agree — P(candidate per band) = s^r for Jaccard s,
+    overall 1-(1-s^r)^b: r sharpens precision, b buys recall back, both free
+    parameters at scale (the single-row form has no precision knob). Still
+    one shuffle on (band, band_key).
+    """
+    banded = minhash_band_keys_df(df, id_col, text_col, n_bands, n_rows)
     return (
         banded.groupBy("band", "band_key")
         .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("docs"))

@@ -526,6 +526,137 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
     return process_batch
 
 
+def make_minhash_dedup_batch(spark: SparkSession, out_root: str,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             n_bands: int = 4, n_rows: int = 2,
+                             n_value_buckets: int = N_VALUE_BUCKETS,
+                             maintain_clusters: bool = True,
+                             n_doc_buckets: int = N_DOC_BUCKETS):
+    """foreachBatch body for JACCARD-space incremental dedup: the same
+    banded-index machinery as the SimHash body, with MinHash (bands x rows)
+    band keys (functions.dedup.minhash_band_keys_df) as the signature.
+
+    Differences from the SimHash path, both intrinsic to MinHash-LSH:
+
+    * the per-doc band-key VECTOR is the signature — the band index IS the
+      signature table (one table, no separate sig parquet, no rebuild path);
+    * banding is the candidate test (P(collision) = s^r per band for Jaccard
+      s): there is no cheap residual verify, so a flag means "collided in
+      >= 1 band" and carries ``n_bands_hit`` (collisions across all bands —
+      more hits, higher Jaccard confidence) instead of a Hamming distance.
+      Run ngram_jaccard_pairs over flagged pairs where exactness matters.
+
+    The 128-bit md5 band key is truncated to its first 15 hex digits as a
+    BIGINT ``value`` (the shared index layout): truncation adds ~2^-60 junk
+    collisions per pair — far below the banding false-positive rate itself.
+
+    Geometry (scheme, bands, rows, buckets) persists via the same guard;
+    an index built by the SimHash body refuses MinHash probes and vice
+    versa. Flags/index/cluster writes keep batch-partitioned dynamic
+    overwrite, so re-delivery stays idempotent; ``_update_clusters``
+    maintains the same online cluster log off the match set."""
+    from ..functions.dedup import minhash_band_keys_df
+
+    out_root = require_local(out_root, "streaming-dedup out_root")
+    _, flag_path, band_path = dedup_paths(out_root)
+    geometry = {
+        "scheme": "minhash",
+        "n_bands": n_bands,
+        "n_rows": n_rows,
+        "n_value_buckets": n_value_buckets,
+    }
+    if maintain_clusters:
+        geometry["n_doc_buckets"] = n_doc_buckets
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        if batch_df.isEmpty():
+            return
+        _geometry_guard(out_root, geometry)
+        new_bands = (
+            minhash_band_keys_df(batch_df, id_col, text_col, n_bands, n_rows)
+            .select(
+                "doc", "band",
+                F.conv(F.substring("band_key", 1, 15), 16, 10)
+                .cast("bigint").alias("value"),
+            )
+            .withColumn("batch_id", F.lit(bid))
+            .withColumn(
+                "vb", F.pmod(F.col("value"), F.lit(n_value_buckets)).cast("int")
+            )
+            .localCheckpoint()  # feeds probe, join sides, write, clusters
+        )
+        touched = [r["vb"] for r in new_bands.select("vb").distinct().collect()]
+        if _has_parquet(band_path):
+            prior = (
+                spark.read.parquet(band_path)
+                .filter((F.col("batch_id") < bid) & F.col("vb").isin(touched))
+            )
+            corpus_bands = prior.unionByName(new_bands)
+        else:
+            corpus_bands = new_bands
+        n, c = new_bands.alias("n"), corpus_bands.alias("c")
+        earlier = (F.col("c.batch_id") < F.col("n.batch_id")) | (
+            (F.col("c.batch_id") == F.col("n.batch_id"))
+            & (F.col("c.doc") < F.col("n.doc"))
+        )
+        matches = (
+            n.join(
+                c,
+                (F.col("n.band") == F.col("c.band"))
+                & (F.col("n.value") == F.col("c.value"))
+                & earlier,
+            )
+            .groupBy(
+                F.col("n.doc").alias("doc"),
+                F.col("n.batch_id").alias("batch_id"),
+                F.col("c.doc").alias("dup_of"),
+                F.col("c.batch_id").alias("dup_batch"),
+            )
+            .agg(F.count("*").alias("n_bands_hit"))
+            .localCheckpoint()
+        )
+        # best match = most co-matching bands, then smallest (dup_of, batch)
+        best = F.min(
+            F.struct(
+                (-F.col("n_bands_hit")).alias("neg"), "dup_of", "dup_batch"
+            )
+        ).alias("m")
+        flags = (
+            matches.groupBy("doc", "batch_id")
+            .agg(best)
+            .select(
+                "doc", "batch_id",
+                F.col("m.dup_of").alias("dup_of"),
+                F.col("m.dup_batch").alias("dup_batch"),
+                (-F.col("m.neg")).cast("bigint").alias("n_bands_hit"),
+            )
+        )
+        (
+            new_bands.repartition("vb")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "vb")
+            .parquet(band_path)
+        )
+        (
+            flags.withColumn("batch_id", F.lit(bid))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(flag_path)
+        )
+        if maintain_clusters:
+            _update_clusters(
+                spark, out_root,
+                new_bands.select("doc").distinct(),
+                matches, bid, n_doc_buckets,
+            )
+
+    return process_batch
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     source_dir: str,

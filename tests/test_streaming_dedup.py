@@ -261,3 +261,104 @@ def test_new_doc_with_smaller_id_becomes_the_root(spark, tmp_path):
     assert _labels(spark, out_root) == {50: (50, 2), 51: (50, 2)}
     pb(_mk_batch(spark, [7]), 1)
     assert _labels(spark, out_root) == {d: (7, 3) for d in (7, 50, 51)}
+
+
+# --- MinHash (Jaccard-space) streaming option (round-4 verdict #7) ----------
+
+
+def _expected_minhash_bands(text, n_bands=4, n_rows=2):
+    """Independent oracle for the band keys: hashlib transcription of the
+    minhash_band_keys_df definition (hash i = min over distinct words of
+    md5(i|w); band key = md5 of its rows' min-hashes joined in hash order)."""
+    import hashlib
+    import re
+
+    words = sorted(set(re.sub(r"\s+", " ", text.strip().lower()).split(" ")))
+    keys = []
+    for band in range(n_bands):
+        mhs = []
+        for r in range(n_rows):
+            i = band * n_rows + r
+            mhs.append(min(
+                hashlib.md5(f"{i}|{w}".encode()).hexdigest() for w in words
+            ))
+        key = hashlib.md5("|".join(mhs).encode()).hexdigest()
+        keys.append(int(key[:15], 16))
+    return keys
+
+
+def test_minhash_streaming_dedup_cross_batch(spark, tmp_path):
+    """Jaccard-space incremental dedup: batch-1 docs are flagged against the
+    batch-0 corpus iff they share >= 1 MinHash band key, with n_bands_hit
+    counted — checked against an independent hashlib band-key oracle; the
+    online cluster log groups the near-dups; re-delivery is idempotent."""
+    from complete_ocr_spark.streaming.dedup_stream import (
+        make_minhash_dedup_batch,
+    )
+
+    base = ("spark shuffles partitioned batches of vectorized arrow pages "
+            "through catalyst while the reader prunes nested columns")
+    near = base + " quickly"   # high word-Jaccard near-dup of base
+    far = "an entirely different document about ocr tables and figures"
+    docs = {1: base, 2: far, 3: near, 4: base}
+    bands = {d: _expected_minhash_bands(t) for d, t in docs.items()}
+    # expected flags for batch-1 docs (3, 4) vs earlier (1, 2) + within-batch
+    def hits(a, b):
+        return sum(1 for x, y in zip(bands[a], bands[b]) if x == y)
+
+    assert hits(1, 4) == 4          # identical text: all bands
+    assert hits(1, 2) == 0          # unrelated: no bands
+
+    out_root = str(tmp_path / "out")
+    pb = make_minhash_dedup_batch(spark, out_root)
+    pb(spark.createDataFrame([(1, base), (2, far)], SCHEMA), 0)
+    assert _flags(spark, out_root) == {}
+
+    pb(spark.createDataFrame([(3, near), (4, base)], SCHEMA), 1)
+    got = {
+        r["doc"]: (r["dup_of"], r["dup_batch"], r["n_bands_hit"], r["batch_id"])
+        for r in read_flags(spark, out_root).collect()
+    }
+    expected = {}
+    for d in (3, 4):
+        cands = [(h, o, 0) for o in (1, 2) if (h := hits(d, o)) > 0]
+        if d == 4:
+            cands += [(hits(4, 3), 3, 1)] if hits(4, 3) > 0 else []
+        if cands:
+            h, o, b = max(cands, key=lambda c: (c[0], -c[1], -c[2]))
+            expected[d] = (o, b, h, 1)
+    assert got == expected
+    assert 4 in got and got[4][0] == 1 and got[4][2] == 4  # exact dup, all bands
+
+    # near-dup doc 3 collides with base in >= 1 band under this seed/text
+    # (if this ever fails, the fixture text changed — not the operator)
+    assert 3 in got, f"fixture lost its band collision: {bands}"
+
+    # online cluster log groups the flagged docs with their matches
+    labels = _labels(spark, out_root)
+    assert labels[4][0] == 1 and labels[1][0] == 1
+
+    # re-delivery of batch 1 is idempotent
+    pb(spark.createDataFrame([(3, near), (4, base)], SCHEMA), 1)
+    got2 = {
+        r["doc"]: (r["dup_of"], r["dup_batch"], r["n_bands_hit"], r["batch_id"])
+        for r in read_flags(spark, out_root).collect()
+    }
+    assert got2 == got
+
+
+def test_minhash_and_simhash_geometries_refuse_to_mix(spark, tmp_path):
+    """A MinHash probe against a SimHash-built index (or vice versa) compares
+    incompatible key spaces — the geometry guard must refuse."""
+    import pytest
+
+    from complete_ocr_spark.streaming.dedup_stream import (
+        make_minhash_dedup_batch,
+    )
+
+    out_root = str(tmp_path / "out")
+    pb_sim = make_dedup_batch(spark, out_root)
+    pb_sim(spark.createDataFrame([(1, BASE)], SCHEMA), 0)
+    pb_min = make_minhash_dedup_batch(spark, out_root)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        pb_min(spark.createDataFrame([(2, BASE)], SCHEMA), 1)
