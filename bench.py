@@ -41,7 +41,10 @@ BENCH_QUERIES = [
     "q_simhash_near_dup_mb",
     "q_stream_dedup_flags",
     "q_ann_ivf_bcast",
+    "q_ann_pq",
 ]
+
+N_REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def _sf_label(sf_dir: str) -> float:
@@ -81,30 +84,34 @@ def main() -> None:
     # --- warm-up: JVM/codegen/Arrow path (not measured) -------------------
     run_extraction(spark, spark.read.parquet(docs_path).limit(400)).count()
 
-    # --- headline: end-to-end extraction, scan -> write; min of 2 runs ----
+    # --- headline: end-to-end extraction, scan -> write; best of N_REPS ----
     # fresh output path per run: repeated overwrite of the SAME local path
     # degrades monotonically (local-FS delete/rename interaction), which would
     # understate steady-state throughput
     runs = []
-    for i in range(2):
+    for i in range(N_REPS):
         out_dir = f"/tmp/bench_docs_out_{os.getpid()}_{i}"
         t0 = time.perf_counter()
         docs = spark.read.parquet(docs_path)
         run_extraction(spark, docs).write.mode("overwrite").parquet(out_dir)
-        runs.append(time.perf_counter() - t0)
+        runs.append(round(time.perf_counter() - t0, 3))
         shutil.rmtree(out_dir, ignore_errors=True)
     extract_sec = min(runs)
 
-    # --- operator queries: warm once (codegen/JIT), measure second run ----
-    qtimes: dict[str, float] = {}
+    # --- operator queries: warm once (codegen/JIT), then INTERLEAVED reps —
+    # this VM's noise swings single runs ~2.5x (BASELINE.md protocol), so the
+    # recorded value is best-of-N_REPS with every rep kept in queries_reps
     reg = queries()
     bench_queries = [] if os.environ.get("BENCH_EXTRACT_ONLY") else BENCH_QUERIES
-    for name in bench_queries:
-        df = reg[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
+    reps: dict[str, list[float]] = {name: [] for name in bench_queries}
+    for name in bench_queries:  # warm pass (not measured)
         reg[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(N_REPS):
+        for name in bench_queries:  # interleaved: each rep sweeps the suite
+            t0 = time.perf_counter()
+            reg[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            reps[name].append(round(time.perf_counter() - t0, 3))
+    qtimes = {name: min(ts) for name, ts in reps.items()}
 
     total = round(extract_sec + sum(qtimes.values()), 3)
     result = {
@@ -114,6 +121,7 @@ def main() -> None:
         "queries": dict(
             {"extract_pipeline": round(extract_sec, 3)}, **qtimes
         ),
+        "queries_reps": dict({"extract_pipeline": runs}, **reps),
         "sf": sf,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / extract_sec, 2),
