@@ -369,6 +369,47 @@ def read_cluster_labels(spark: SparkSession, out_root: str,
     )
 
 
+def compact_cluster_log(spark: SparkSession, out_root: str) -> None:
+    """Path compression for the online cluster log: rewrite every assignment
+    with its RESOLVED label and clear the move log. ``_apply_moves`` chain
+    depth grows one hop each time an old root loses a later merge; compaction
+    resets it to zero, so periodic maintenance bounds resolution cost no
+    matter how long the stream runs. A full-corpus job by design (one scan +
+    one partitioned rewrite) — schedule it like any table-maintenance pass.
+
+    Crash-safe in either order: if the rewrite lands but the move delete
+    doesn't, re-applying moves is a no-op (no resolved label is a move src);
+    if the rewrite is partial, the surviving moves still resolve the
+    untouched partitions. Re-running compaction is idempotent."""
+    import shutil
+
+    out_root = require_local(out_root, "streaming-dedup out_root")
+    asg_path, mov_path = cluster_paths(out_root)
+    if not _has_parquet(asg_path) or not _has_parquet(mov_path):
+        return  # nothing to compact (no log, or no merge events yet)
+    asg = spark.read.parquet(asg_path)
+    id_type = dict(asg.dtypes)["doc"]
+    resolved = _apply_moves(
+        asg.select("doc", "label"), _read_moves(spark, mov_path, id_type)
+    )
+    compacted = (
+        asg.drop("label")
+        .join(resolved, "doc")
+        .select("doc", "label", "batch_id", "db")
+        # rows never move partitions (batch_id/db depend only on doc), so the
+        # dynamic overwrite replaces every partition with its resolved rows
+        .localCheckpoint()  # materialize BEFORE overwriting what it reads
+    )
+    (
+        compacted.repartition("db")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "db")
+        .parquet(asg_path)
+    )
+    shutil.rmtree(mov_path)
+
+
 def make_dedup_batch(spark: SparkSession, out_root: str,
                      id_col: str = "doc_id", text_col: str = "text",
                      max_hamming: int = 3, n_blocks: int = 4,
@@ -669,10 +710,32 @@ def run_streaming_dedup(
     max_hamming: int = 3,
     n_blocks: int = 4,
     maintain_clusters: bool = True,
+    scheme: str = "simhash",
+    minhash_bands: int = 4,
+    minhash_rows: int = 2,
 ) -> StreamingQuery:
     """Stream document parquet files from ``source_dir``; each micro-batch is
     flagged against the signature corpus accumulated so far (module doc) and
-    the online cluster log is kept current (``_update_clusters``)."""
+    the online cluster log is kept current (``_update_clusters``).
+
+    ``scheme="simhash"`` (default) flags by Hamming distance over SimHash-64
+    signatures (max_hamming / n_blocks dials); ``scheme="minhash"`` flags by
+    MinHash band collision in Jaccard space (minhash_bands / minhash_rows
+    dials — ``make_minhash_dedup_batch``). The geometry guard keeps one index
+    root on one scheme."""
+    if scheme == "simhash":
+        body = make_dedup_batch(
+            spark, out_root, id_col, text_col, max_hamming, n_blocks,
+            maintain_clusters=maintain_clusters,
+        )
+    elif scheme == "minhash":
+        body = make_minhash_dedup_batch(
+            spark, out_root, id_col, text_col,
+            n_bands=minhash_bands, n_rows=minhash_rows,
+            maintain_clusters=maintain_clusters,
+        )
+    else:
+        raise ValueError(f"unknown dedup scheme {scheme!r}")
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     stream = (
@@ -681,12 +744,7 @@ def run_streaming_dedup(
         .parquet(source_dir)
     )
     return (
-        stream.writeStream.foreachBatch(
-            make_dedup_batch(
-                spark, out_root, id_col, text_col, max_hamming, n_blocks,
-                maintain_clusters=maintain_clusters,
-            )
-        )
+        stream.writeStream.foreachBatch(body)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -362,3 +362,54 @@ def test_minhash_and_simhash_geometries_refuse_to_mix(spark, tmp_path):
     pb_min = make_minhash_dedup_batch(spark, out_root)
     with pytest.raises(ValueError, match="geometry mismatch"):
         pb_min(spark.createDataFrame([(2, BASE)], SCHEMA), 1)
+
+
+def test_compact_cluster_log_preserves_view_and_clears_moves(spark, tmp_path):
+    """Path compression: after compaction the promoted view is unchanged, the
+    move log is gone, and subsequent batches keep working (new merges start a
+    fresh move log)."""
+    import os as _os
+
+    from complete_ocr_spark.streaming.dedup_stream import (
+        cluster_paths,
+        compact_cluster_log,
+    )
+
+    out_root = str(tmp_path / "out")
+    pb = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(SIGS))
+    pb(_mk_batch(spark, [10, 11]), 0)
+    pb(_mk_batch(spark, [20, 21]), 1)
+    pb(_mk_batch(spark, [30]), 2)  # bridges: move (20 -> 10) recorded
+    before = _labels(spark, out_root)
+    asg_path, mov_path = cluster_paths(out_root)
+    assert _os.path.exists(mov_path)
+
+    compact_cluster_log(spark, out_root)
+    assert not _os.path.exists(mov_path)
+    assert _labels(spark, out_root) == before
+    # every stored label is already the root — resolution is now 0 hops
+    stored = {r["doc"]: r["label"]
+              for r in spark.read.parquet(asg_path).collect()}
+    assert stored == {d: 10 for d in (10, 11, 20, 21, 30)}
+
+    # compaction is idempotent
+    compact_cluster_log(spark, out_root)
+    assert _labels(spark, out_root) == before
+
+
+def test_stream_continues_after_compaction_with_new_merges(spark, tmp_path):
+    """A merge AFTER compaction starts a fresh move log and still resolves."""
+    from complete_ocr_spark.streaming.dedup_stream import compact_cluster_log
+
+    sigs = dict(SIGS)
+    sigs[5] = (0, 49)  # near the bridge doc 30 (lo=48): hamming 1
+    out_root = str(tmp_path / "out")
+    pb = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(sigs))
+    pb(_mk_batch(spark, [10, 11]), 0)
+    pb(_mk_batch(spark, [20, 21]), 1)
+    compact_cluster_log(spark, out_root)  # no moves yet: no-op
+    pb(_mk_batch(spark, [30]), 2)         # bridge -> move (20 -> 10)
+    compact_cluster_log(spark, out_root)
+    pb(_mk_batch(spark, [5]), 3)          # joins the merged cluster; 5 < 10
+    # doc 5 has the smallest id: it takes over as root via a NEW move
+    assert _labels(spark, out_root) == {d: (5, 6) for d in (5, 10, 11, 20, 21, 30)}
