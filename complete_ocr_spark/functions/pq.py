@@ -143,6 +143,44 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def write_ivf_pq_index(df: DataFrame, id_col: str, vec_col: str,
+                       cents: list[list[float]],
+                       books: list[list[list[float]]], path: str) -> None:
+    """The full IVFADC layout at rest: (vec_id, codes, vnorm, v) partitioned
+    BY CELL. A probe partition-prunes to n_probe/n_cells of the table, scores
+    the pruned rows from codes+norm alone (ReadSchema stays narrow — the
+    float vector column is never materialized for ADC), and only the rerank
+    survivors' vectors are read for the exact verify. One encode pass, one
+    partitioned write."""
+    enc = pq_encode(df, id_col, vec_col, cents, books)
+    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    (
+        enc.join(vecs, "vec_id")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ann_ivf_pq_topk_from_index(spark, path: str, query_vec: list[float],
+                               cents: list[list[float]],
+                               books: list[list[list[float]]],
+                               n_probe: int = 4, rerank: int = 30,
+                               k: int = 10) -> DataFrame:
+    """IVF-PQ probe against the written index: cell pruning happens at the
+    parquet partition level, ADC scoring reads only (vec_id, codes, vnorm),
+    and the exact verify fetches ``v`` for the rerank survivors alone.
+    Identical rows to ``ann_ivf_pq_topk`` over the same data."""
+    idx = spark.read.parquet(path)
+    enc = idx.select("vec_id", F.col("cell").cast("int").alias("cell"),
+                     "codes", "vnorm")
+    return ann_ivf_pq_topk(
+        idx.select("vec_id", "v"), "vec_id", "v", query_vec, cents, books,
+        n_probe=n_probe, rerank=rerank, k=k, encoded=enc,
+    )
+
+
 def ann_ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
                     query_vec: list[float], cents: list[list[float]],
                     books: list[list[list[float]]], n_probe: int = 4,

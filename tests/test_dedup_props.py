@@ -326,3 +326,37 @@ def test_pq_guards_and_code_packing(spark):
         assert 0 <= r["codes"] < 2**32  # 8 subspaces x 4 bits
         assert 1 <= r["cell"] <= 16
         assert abs(r["vnorm"] - 1.0) < 0.01  # synth embeddings are unit-norm
+
+
+def test_pq_index_at_rest_matches_inquery_and_prunes(spark, tmp_path):
+    """The written IVFADC layout returns the in-query path's rows exactly;
+    the ADC scan partition-prunes on cell and reads codes+norm, not vectors."""
+    from pyspark.sql import functions as F2
+
+    from complete_ocr_spark.functions import pq
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(x) for x in
+          e.filter(F2.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = similarity.ivf_centroids(64, 16)
+    books = pq.pq_codebooks(64)
+    path = str(tmp_path / "pq_index")
+    pq.write_ivf_pq_index(e, "vec_id", "embedding", cents, books, path)
+
+    got = pq.ann_ivf_pq_topk_from_index(spark, path, qv, cents, books,
+                                        rerank=80)
+    want = pq.ann_ivf_pq_topk(e, "vec_id", "embedding", qv, cents, books,
+                              rerank=80)
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the ADC-side scan: partition filter on cell, NO v in its read schema
+    adc_scans = [seg for seg in plan.split("FileScan parquet")[1:]
+                 if "codes" in seg.split("ReadSchema:")[1].split("\n")[0]]
+    assert adc_scans, plan
+    for seg in adc_scans:
+        read_schema = seg.split("ReadSchema:")[1].split("\n")[0]
+        assert "v:" not in read_schema, read_schema
+        pf = seg.split("PartitionFilters: [")[1].split("]")[0]
+        assert "cell" in pf, seg
