@@ -35,7 +35,14 @@ import math
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from .similarity import SRP_SEED, _probe_cells, _with_bcast_cell, cosine
+from .similarity import (
+    SRP_SEED,
+    _probe_cells,
+    _with_bcast_cell,
+    cosine,
+    norm,
+    pydot,
+)
 
 PQ_M = 8   # subspaces
 PQ_K = 16  # codes per subspace (4 bits)
@@ -57,13 +64,6 @@ def pq_codebooks(dim: int, m: int = PQ_M, k: int = PQ_K,
     ]
 
 
-def _pydot(a, b) -> float:
-    acc = 0.0
-    for x, y in zip(a, b):
-        acc += float(x) * float(y)
-    return acc
-
-
 def adc_table(query_vec: list[float],
               books: list[list[list[float]]]) -> list[list[float]]:
     """dt[m][k] = round(dot(q_m, books[m][k]), 6) — the query-specific lookup
@@ -71,7 +71,7 @@ def adc_table(query_vec: list[float],
     dot(q, centroid_cell) + sum_m dt[m][code_m] for residual codes)."""
     sub = len(books[0][0])
     return [
-        [round(_pydot(query_vec[m * sub:(m + 1) * sub], e), 6) for e in bm]
+        [round(pydot(query_vec[m * sub:(m + 1) * sub], e), 6) for e in bm]
         for m, bm in enumerate(books)
     ]
 
@@ -130,16 +130,7 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
         "vec_id",
         "cell",
         packed.alias("codes"),
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.transform("v", lambda x: x.cast("double") * x.cast("double")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-            6,
-        ).alias("vnorm"),
+        F.round(norm(F.col("v")), 6).alias("vnorm"),
     )
 
 
@@ -196,8 +187,8 @@ def ann_ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
     does for vectors); by default codes are built in-query."""
     probe_cells = _probe_cells(query_vec, cents, n_probe)
     dt = adc_table(query_vec, books)
-    qc = [round(_pydot(query_vec, c), 6) for c in cents]
-    qnorm = round(math.sqrt(_pydot(query_vec, query_vec)), 6)
+    qc = [round(pydot(query_vec, c), 6) for c in cents]
+    qnorm = round(math.sqrt(pydot(query_vec, query_vec)), 6)
     enc = encoded if encoded is not None else pq_encode(
         df, id_col, vec_col, cents, books
     )

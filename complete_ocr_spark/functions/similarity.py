@@ -142,17 +142,22 @@ def ivf_cell(vec_col: str, cents: list[list[float]]):
     return F.array_position(dots, F.array_max(dots)).cast("int")
 
 
+def pydot(a, b) -> float:
+    """Driver-side sequential dot product — the parity-critical python twin
+    of the Catalyst ``dot`` fold (always 6-dp-round its result before any
+    cross-engine comparison). Shared by every place that pre-computes
+    query-side literals (_probe_cells, pq.adc_table)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
 def _probe_cells(query_vec: list[float], cents: list[list[float]],
                  n_probe: int) -> list[int]:
     """The query's n_probe nearest cells, 1-based (like array_position), with
     the rounded-dot / lowest-cell tie-break both IVF paths and the SQL oracle
     share — parity-critical, so it lives in exactly one place."""
-    def pydot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
-
     order = sorted(
         range(len(cents)), key=lambda j: (-round(pydot(query_vec, cents[j]), 6), j)
     )

@@ -78,8 +78,8 @@ class TableIO:
         self.spark = spark
         self.root = require_local(root, "TableIO root")
         self.n_buckets = n_buckets
-        self.docs_out_path = os.path.join(root, "docs_out")
-        self.lineage_path = os.path.join(root, "lineage")
+        self.docs_out_path = os.path.join(self.root, "docs_out")
+        self.lineage_path = os.path.join(self.root, "lineage")
 
     # --- resume ---------------------------------------------------------
     def completed_buckets(self) -> DataFrame | None:

@@ -703,7 +703,10 @@ def q_simhash_near_dup_mb(spark, sf_dir):
     import hashlib
 
     d = _t(spark, sf_dir, "documents")
-    store = f"/tmp/simhash_sig_store_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    # pid-scoped: a concurrent process (bench while pytest runs) must not
+    # overwrite the store under this process's lazy pair-join
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    store = f"/tmp/simhash_sig_store_{h}_{os.getpid()}"
     return dedup.simhash_hamming_pairs(
         d, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, n_blocks=8,
         sig_store=store,
@@ -801,7 +804,9 @@ def q_dup_clusters_incr(spark, sf_dir):
     from .streaming.dedup_stream import make_dedup_batch, read_cluster_labels
 
     d = _t(spark, sf_dir, "documents")
-    root = f"/tmp/dup_clusters_incr_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    # pid-scoped so a concurrent process's rmtree cannot race this run
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/dup_clusters_incr_{h}_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     batched = d.withColumn(
         "b",
@@ -1252,10 +1257,12 @@ def q_ivf_train(spark, sf_dir):
     )
 
 
-def _kmeans_ctes(n_cells: int, n_iters: int, p: str = "") -> tuple[list[str], str]:
+def _kmeans_ctes(n_cells: int, n_iters: int, p: str = "",
+                 sample_fraction: float | None = None) -> tuple[list[str], str]:
     """Chained-CTE Lloyd iterations (assignment by rounded-dot argmax, means
     as exact DECIMAL sums) generated from ivf_centroids(n_cells) seeds —
-    the SQL transcription of similarity.ivf_train_kmeans. Returns (ctes,
+    the SQL transcription of similarity.ivf_train_kmeans, including its
+    deterministic md5-threshold ``sample_fraction``. Returns (ctes,
     final_cte_name); ``p`` prefixes CTE names so several instantiations can
     share one WITH block."""
     cents0 = similarity.ivf_centroids(_SRP_DIM, n_cells)
@@ -1264,13 +1271,20 @@ def _kmeans_ctes(n_cells: int, n_iters: int, p: str = "") -> tuple[list[str], st
         for j, vec in enumerate(cents0)
         for d, c in enumerate(vec)
     )
+    where = ""
+    if sample_fraction is not None:
+        thresh = int(sample_fraction * 2**32)
+        where = (
+            "\n  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))"
+            f"::BIGINT < {thresh}"
+        )
     ctes = [
         f"{p}c0(cell, dim, coord) AS (SELECT * FROM (VALUES {vals}))",
         f"""{p}ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS raw,
          ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS mcoord
-  FROM embeddings)""",
+  FROM embeddings{where})""",
     ]
     prev = f"{p}c0"
     for i in range(1, n_iters + 1):
@@ -2111,10 +2125,11 @@ _DRIVER_CAP = 50  # the driver checks at most this many registry rows
 
 
 def queries():
-    assert len(REGISTRY) <= _DRIVER_CAP, (
-        f"registry has {len(REGISTRY)} entries; the driver's correctness "
-        f"window is {_DRIVER_CAP} — fold anchors into ANCHOR_REGISTRY"
-    )
+    if len(REGISTRY) > _DRIVER_CAP:  # a raise, not assert: survives python -O
+        raise ValueError(
+            f"registry has {len(REGISTRY)} entries; the driver's correctness "
+            f"window is {_DRIVER_CAP} — fold anchors into ANCHOR_REGISTRY"
+        )
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 

@@ -71,20 +71,22 @@ def dedup_paths(out_root: str) -> tuple[str, str, str]:
 
 
 def read_flags(spark: SparkSession, out_root: str,
-               id_type: str = "bigint") -> DataFrame:
+               id_type: str = "bigint", scheme: str = "simhash") -> DataFrame:
     """dup_flags as a DataFrame; an empty TYPED frame when no batch has
     flagged anything yet (a flag-free batch writes no parquet files, so a
     bare read could not infer the schema). The empty schema's int batch
     columns match what a real read infers (``F.lit(bid)`` data and partition
     inference are both IntegerType), so consumers see ONE schema on both
-    paths."""
+    paths. ``scheme`` picks the score column of the empty frame: SimHash
+    flags carry ``hamming`` (int), MinHash flags ``n_bands_hit`` (bigint)."""
     flag_path = dedup_paths(out_root)[1]
     if _has_parquet(flag_path):
         return spark.read.parquet(flag_path)
+    score = {"simhash": "hamming int", "minhash": "n_bands_hit bigint"}[scheme]
     return spark.createDataFrame(
         [],
         f"doc {id_type}, dup_of {id_type}, dup_batch int, "
-        "hamming int, batch_id int",
+        f"{score}, batch_id int",
     )
 
 
@@ -104,7 +106,13 @@ def _geometry_guard(out_root: str, geometry: dict) -> None:
     """Persist the banding geometry next to the index on first use; refuse to
     run under a DIFFERENT geometry — joining new band keys against an index
     built with other (n_blocks, max_hamming, n_value_buckets) silently
-    compares incompatible key spaces and un-flags real duplicates."""
+    compares incompatible key spaces and un-flags real duplicates.
+
+    One ADDITIVE upgrade is allowed: a store written before cluster
+    maintenance existed lacks the 'n_doc_buckets' key; enabling clusters on
+    it only adds that key (the banding key space is unchanged), so the stored
+    geometry is upgraded in place — the missing cluster log itself is then
+    rebuilt by ``_rebuild_cluster_log``."""
     import json
 
     path = os.path.join(out_root, "_dedup_geometry.json")
@@ -115,13 +123,19 @@ def _geometry_guard(out_root: str, geometry: dict) -> None:
         except ValueError:
             stored = None  # crash mid-write left a truncated file: rewrite it
         if stored is not None:
-            if stored != geometry:
+            additive_upgrade = (
+                stored != geometry
+                and set(geometry) - set(stored) == {"n_doc_buckets"}
+                and {k: geometry[k] for k in stored} == stored
+            )
+            if stored != geometry and not additive_upgrade:
                 raise ValueError(
                     f"streaming-dedup geometry mismatch at {out_root}: index "
                     f"was built with {stored}, this run uses {geometry}; "
                     "rebuild the index or restore the original parameters"
                 )
-            return
+            if not additive_upgrade:
+                return  # exact match: nothing to rewrite
     os.makedirs(out_root, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -246,8 +260,10 @@ def _apply_moves(lab: DataFrame, moves: DataFrame,
             lab["doc"], F.coalesce(moves["dst"], lab["label"]).alias("label")
         ).localCheckpoint()
     raise RuntimeError(
-        f"_apply_moves did not resolve in {max_iters} hops — pointer chains "
-        "deeper than expected (moves not recorded against resolved roots?)"
+        f"_apply_moves did not resolve in {max_iters} hops. Chain depth grows "
+        "one hop each time an old cluster root loses a later merge; a long-"
+        "running stream accumulates these — run compact_cluster_log(out_root) "
+        "(path compression) to reset resolution to zero hops, then retry"
     )
 
 
@@ -292,7 +308,23 @@ def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
     earlier = matches.filter(F.col("dup_batch") < bid).select("doc", "dup_of")
     edges = within
     prior_roots = None
-    if _has_parquet(asg_path):
+    have_asg = _has_parquet(asg_path)
+    if have_asg:
+        # FIRST ARRIVAL WINS: a re-crawled doc (same id, later batch) keeps
+        # its original assignment — a second row would double-count
+        # n_members and fan out the compaction join. Its match edges still
+        # merge whatever its re-arrival bridges. Partition-pruned lookup.
+        bdb = batch_docs.withColumn(
+            "db", F.pmod(F.xxhash64("doc"), F.lit(n_doc_buckets)).cast("int")
+        )
+        btouched = [r["db"] for r in bdb.select("db").distinct().collect()]
+        prior_docs = (
+            spark.read.parquet(asg_path)
+            .filter((F.col("batch_id") < bid) & F.col("db").isin(btouched))
+            .select("doc")
+        )
+        batch_docs = batch_docs.join(prior_docs, "doc", "left_anti")
+    if have_asg:
         tgt = earlier.select(F.col("dup_of").alias("doc")).distinct().withColumn(
             "db", F.pmod(F.xxhash64("doc"), F.lit(n_doc_buckets)).cast("int")
         )
@@ -561,7 +593,8 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
         )
         if maintain_clusters:
             _update_clusters(
-                spark, out_root, sigs.select("doc"), matches, bid, n_doc_buckets
+                spark, out_root, sigs.select("doc").distinct(), matches,
+                bid, n_doc_buckets,
             )
 
     return process_batch
@@ -580,7 +613,8 @@ def make_minhash_dedup_batch(spark: SparkSession, out_root: str,
     Differences from the SimHash path, both intrinsic to MinHash-LSH:
 
     * the per-doc band-key VECTOR is the signature — the band index IS the
-      signature table (one table, no separate sig parquet, no rebuild path);
+      signature table (one table, no separate sig parquet, no band-index
+      rebuild path; a wiped CLUSTER log still replays from it);
     * banding is the candidate test (P(collision) = s^r per band for Jaccard
       s): there is no cheap residual verify, so a flag means "collided in
       >= 1 band" and carries ``n_bands_hit`` (collisions across all bands —
@@ -609,11 +643,64 @@ def make_minhash_dedup_batch(spark: SparkSession, out_root: str,
     if maintain_clusters:
         geometry["n_doc_buckets"] = n_doc_buckets
 
+    def _minhash_matches(new_b: DataFrame, corpus_b: DataFrame) -> DataFrame:
+        """All band-collision matches with co-matching band counts."""
+        n, c = new_b.alias("n"), corpus_b.alias("c")
+        earlier = (F.col("c.batch_id") < F.col("n.batch_id")) | (
+            (F.col("c.batch_id") == F.col("n.batch_id"))
+            & (F.col("c.doc") < F.col("n.doc"))
+        )
+        return (
+            n.join(
+                c,
+                (F.col("n.band") == F.col("c.band"))
+                & (F.col("n.value") == F.col("c.value"))
+                & earlier,
+            )
+            .groupBy(
+                F.col("n.doc").alias("doc"),
+                F.col("n.batch_id").alias("batch_id"),
+                F.col("c.doc").alias("dup_of"),
+                F.col("c.batch_id").alias("dup_batch"),
+            )
+            .agg(F.count("*").alias("n_bands_hit"))
+        )
+
+    def _rebuild_cluster_log(bid: int) -> None:
+        """Cluster log wiped but the band table (the MinHash signature table)
+        exists: replay maintenance batch-by-batch, as the SimHash body does —
+        resuming with an empty log would silently drop every earlier doc from
+        its cluster."""
+        all_bands = (
+            spark.read.parquet(band_path)
+            .filter(F.col("batch_id") < bid)
+            .localCheckpoint()
+        )
+        kids = sorted(
+            r["batch_id"] for r in all_bands.select("batch_id").distinct().collect()
+        )
+        for k in kids:
+            m = _minhash_matches(
+                all_bands.filter(F.col("batch_id") == k),
+                all_bands.filter(F.col("batch_id") <= k),
+            ).localCheckpoint()
+            _update_clusters(
+                spark, out_root,
+                all_bands.filter(F.col("batch_id") == k).select("doc").distinct(),
+                m, k, n_doc_buckets,
+            )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         if batch_df.isEmpty():
             return
         _geometry_guard(out_root, geometry)
+        if (
+            maintain_clusters
+            and _has_parquet(band_path)
+            and not _has_parquet(cluster_paths(out_root)[0])
+        ):
+            _rebuild_cluster_log(bid)
         new_bands = (
             minhash_band_keys_df(batch_df, id_col, text_col, n_bands, n_rows)
             .select(
@@ -636,27 +723,7 @@ def make_minhash_dedup_batch(spark: SparkSession, out_root: str,
             corpus_bands = prior.unionByName(new_bands)
         else:
             corpus_bands = new_bands
-        n, c = new_bands.alias("n"), corpus_bands.alias("c")
-        earlier = (F.col("c.batch_id") < F.col("n.batch_id")) | (
-            (F.col("c.batch_id") == F.col("n.batch_id"))
-            & (F.col("c.doc") < F.col("n.doc"))
-        )
-        matches = (
-            n.join(
-                c,
-                (F.col("n.band") == F.col("c.band"))
-                & (F.col("n.value") == F.col("c.value"))
-                & earlier,
-            )
-            .groupBy(
-                F.col("n.doc").alias("doc"),
-                F.col("n.batch_id").alias("batch_id"),
-                F.col("c.doc").alias("dup_of"),
-                F.col("c.batch_id").alias("dup_batch"),
-            )
-            .agg(F.count("*").alias("n_bands_hit"))
-            .localCheckpoint()
-        )
+        matches = _minhash_matches(new_bands, corpus_bands).localCheckpoint()
         # best match = most co-matching bands, then smallest (dup_of, batch)
         best = F.min(
             F.struct(

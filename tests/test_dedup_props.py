@@ -360,3 +360,32 @@ def test_pq_index_at_rest_matches_inquery_and_prunes(spark, tmp_path):
         assert "v:" not in read_schema, read_schema
         pf = seg.split("PartitionFilters: [")[1].split("]")[0]
         assert "cell" in pf, seg
+
+
+def test_kmeans_sampled_route_matches_sampled_oracle(spark):
+    """The sample_fraction route is hash-exact against the SQL oracle
+    generated with the same fraction (_kmeans_ctes(sample_fraction=...)) —
+    the cross-engine half of the sampled-training contract."""
+    import duckdb
+
+    from complete_ocr_spark.queries import _kmeans_ctes
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents0 = similarity.ivf_centroids(64, 8)
+    got = {
+        (r["cell"], r["dim"]): (r["coord"], r["n_members"])
+        for r in similarity.ivf_train_kmeans(
+            e, "vec_id", "embedding", cents0, n_iters=2, sample_fraction=0.5
+        ).collect()
+    }
+    ctes, final = _kmeans_ctes(8, 2, sample_fraction=0.5)
+    sql = "WITH " + ",\n".join(ctes) + \
+        f"\nSELECT cell, CAST(dim AS INT) AS dim, coord, n_members FROM {final}"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet'"
+    )
+    want = {(c, d): (co, n) for c, d, co, n in con.sql(sql).fetchall()}
+    con.close()
+    assert got == want

@@ -30,3 +30,18 @@ def test_kmeans_rejects_zero_iterations(spark):
     df = spark.createDataFrame([(1, [0.1, 0.2])], "vid bigint, v array<double>")
     with pytest.raises(ValueError, match="n_iters"):
         ivf_train_kmeans(df, "vid", "v", [[0.0, 0.0]], n_iters=0)
+
+
+def test_tableio_file_uri_root_normalizes_for_probes(spark, tmp_path, docs_df):
+    """A file:// root (the form require_local's error message recommends)
+    must write lineage and resume correctly — the os.walk/exists probes see
+    the normalized local path, not the URI."""
+    from complete_ocr_spark.io import TableIO, run_job
+
+    root = f"file://{tmp_path}/out"
+    stats = run_job(spark, docs_df.limit(20), root, n_buckets=4)
+    assert stats["docs_processed"] == 20
+    io = TableIO(spark, root, 4)
+    assert io.read_lineage().count() > 0  # lineage written, not skipped
+    again = run_job(spark, docs_df.limit(20), root, n_buckets=4)
+    assert again == {"docs_processed": 0, "skipped": True}  # resume works

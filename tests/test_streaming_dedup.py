@@ -413,3 +413,76 @@ def test_stream_continues_after_compaction_with_new_merges(spark, tmp_path):
     pb(_mk_batch(spark, [5]), 3)          # joins the merged cluster; 5 < 10
     # doc 5 has the smallest id: it takes over as root via a NEW move
     assert _labels(spark, out_root) == {d: (5, 6) for d in (5, 10, 11, 20, 21, 30)}
+
+
+def test_recrawled_doc_keeps_single_assignment(spark, tmp_path):
+    """A doc re-delivered in a LATER batch (re-crawl, not a batch redelivery)
+    must not grow a second assignment row: first arrival wins, n_members stay
+    exact, and compaction cannot fan out."""
+    from complete_ocr_spark.streaming.dedup_stream import (
+        cluster_paths,
+        compact_cluster_log,
+    )
+
+    out_root = str(tmp_path / "out")
+    pb = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(SIGS))
+    pb(_mk_batch(spark, [10, 11]), 0)
+    pb(_mk_batch(spark, [10, 20, 21]), 1)  # doc 10 re-crawled in batch 1
+    asg = spark.read.parquet(cluster_paths(out_root)[0])
+    assert asg.filter("doc = 10").count() == 1
+    assert _labels(spark, out_root)[10] == (10, 2)  # not double-counted
+    compact_cluster_log(spark, out_root)  # no moves: no-op, but safe
+    pb(_mk_batch(spark, [30]), 2)  # bridge still merges both clusters
+    assert _labels(spark, out_root) == {d: (10, 5) for d in (10, 11, 20, 21, 30)}
+    assert spark.read.parquet(cluster_paths(out_root)[0]).count() == 5
+
+
+def test_minhash_wiped_cluster_log_replays_from_band_table(spark, tmp_path):
+    """MinHash path: the band table IS the signature table — a wiped cluster
+    log must replay from it instead of silently dropping earlier docs."""
+    import shutil
+
+    from complete_ocr_spark.streaming.dedup_stream import (
+        cluster_paths,
+        make_minhash_dedup_batch,
+    )
+
+    base = ("spark shuffles partitioned batches of vectorized arrow pages "
+            "through catalyst while the reader prunes nested columns")
+    far = "an entirely different document about ocr tables and figures"
+    out_root = str(tmp_path / "out")
+    pb = make_minhash_dedup_batch(spark, out_root)
+    pb(spark.createDataFrame([(1, base), (2, far)], SCHEMA), 0)
+    pb(spark.createDataFrame([(3, base)], SCHEMA), 1)
+    before = _labels(spark, out_root)
+    assert before[3][0] == 1  # exact dup joined doc 1's cluster
+
+    asg_path, mov_path = cluster_paths(out_root)
+    shutil.rmtree(asg_path)
+    shutil.rmtree(mov_path, ignore_errors=True)
+    pb(spark.createDataFrame([(4, far)], SCHEMA), 2)  # triggers replay
+    after = _labels(spark, out_root)
+    assert after[1] == (1, 2) and after[3] == (1, 2)  # replayed, not lost
+    assert after[4] == (2, 2) and after[2] == (2, 2)
+
+
+def test_geometry_additive_cluster_upgrade_is_allowed(spark, tmp_path):
+    """A store written with maintain_clusters=False (no n_doc_buckets key)
+    upgrades in place when clusters are enabled — the banding key space is
+    unchanged and the missing log replays; any OTHER geometry change still
+    refuses."""
+    import pytest
+
+    out_root = str(tmp_path / "out")
+    pb_off = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(SIGS),
+                              maintain_clusters=False)
+    pb_off(_mk_batch(spark, [10, 11]), 0)
+    assert _labels(spark, out_root) == {}  # no log yet
+
+    pb_on = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(SIGS))
+    pb_on(_mk_batch(spark, [20, 21]), 1)  # upgrade: replays batch 0 too
+    assert _labels(spark, out_root) == {
+        10: (10, 2), 11: (10, 2), 20: (20, 2), 21: (20, 2)
+    }
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        make_dedup_batch(spark, out_root, n_blocks=8)(_mk_batch(spark, [30]), 2)
