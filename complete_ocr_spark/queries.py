@@ -58,6 +58,34 @@ def _media_spans(spark):
     )
 
 
+_SCRATCH_BASE = "/tmp/spark_graft_scratch"
+_SCRATCH_TTL_S = 6 * 3600
+
+
+def _scratch(kind: str, sf_dir: str) -> str:
+    """Pid-scoped scratch dir for queries that materialize state (sig_store,
+    the cluster-incr log): pid-scoping stops a concurrent process (bench
+    interleaving while pytest runs) from overwriting a store under this
+    process's lazy reads, and a TTL sweep of the shared parent keeps dead
+    processes' leftovers from accumulating — the leak a bare per-pid /tmp
+    path would have."""
+    import hashlib
+    import shutil
+    import time
+
+    os.makedirs(_SCRATCH_BASE, exist_ok=True)
+    now = time.time()
+    for d in os.listdir(_SCRATCH_BASE):
+        p = os.path.join(_SCRATCH_BASE, d)
+        try:
+            if now - os.path.getmtime(p) > _SCRATCH_TTL_S:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep removed it first
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(_SCRATCH_BASE, f"{kind}_{h}_{os.getpid()}")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -700,16 +728,10 @@ def q_simhash_near_dup_mb(spark, sf_dir):
     kernel runs once over the text, and both self-join sides re-read the 16
     B/doc parquet — at corpus scale the kernel pass is the expensive leg and
     Spark does not reuse exchanges across MapInPandas self-join sides."""
-    import hashlib
-
     d = _t(spark, sf_dir, "documents")
-    # pid-scoped: a concurrent process (bench while pytest runs) must not
-    # overwrite the store under this process's lazy pair-join
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    store = f"/tmp/simhash_sig_store_{h}_{os.getpid()}"
     return dedup.simhash_hamming_pairs(
         d, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, n_blocks=8,
-        sig_store=store,
+        sig_store=_scratch("simhash_sig_store", sf_dir),
     )
 
 
@@ -798,15 +820,12 @@ def q_dup_clusters_incr(spark, sf_dir):
     — the oracle is the same recursive-CTE connected-components SQL as
     q_dup_clusters, which is exactly the staleness invariant: an arriving
     doc that bridges two existing clusters merges them immediately."""
-    import hashlib
     import shutil
 
     from .streaming.dedup_stream import make_dedup_batch, read_cluster_labels
 
     d = _t(spark, sf_dir, "documents")
-    # pid-scoped so a concurrent process's rmtree cannot race this run
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"/tmp/dup_clusters_incr_{h}_{os.getpid()}"
+    root = _scratch("dup_clusters_incr", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     batched = d.withColumn(
         "b",

@@ -70,23 +70,46 @@ def dedup_paths(out_root: str) -> tuple[str, str, str]:
     )
 
 
+def _stored_scheme(out_root: str) -> str | None:
+    """The scheme persisted in _dedup_geometry.json, if any (the SimHash
+    body predates the key, so its geometries have none)."""
+    import json
+
+    path = os.path.join(out_root, "_dedup_geometry.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f).get("scheme", "simhash")
+    except ValueError:
+        return None
+
+
 def read_flags(spark: SparkSession, out_root: str,
-               id_type: str = "bigint", scheme: str = "simhash") -> DataFrame:
+               id_type: str = "bigint", scheme: str | None = None) -> DataFrame:
     """dup_flags as a DataFrame; an empty TYPED frame when no batch has
     flagged anything yet (a flag-free batch writes no parquet files, so a
     bare read could not infer the schema). The empty schema's int batch
     columns match what a real read infers (``F.lit(bid)`` data and partition
     inference are both IntegerType), so consumers see ONE schema on both
-    paths. ``scheme`` picks the score column of the empty frame: SimHash
-    flags carry ``hamming`` (int), MinHash flags ``n_bands_hit`` (bigint)."""
+    paths. The score column differs per scheme (SimHash: ``hamming`` int,
+    MinHash: ``n_bands_hit`` bigint); by default it is read from the store's
+    persisted geometry, so a bare ``read_flags(spark, root)`` types correctly
+    for either scheme — pass ``scheme`` only for a root with no geometry
+    file yet."""
+    out_root = require_local(out_root, "streaming-dedup out_root")
     flag_path = dedup_paths(out_root)[1]
     if _has_parquet(flag_path):
         return spark.read.parquet(flag_path)
-    score = {"simhash": "hamming int", "minhash": "n_bands_hit bigint"}[scheme]
+    if scheme is None:
+        scheme = _stored_scheme(out_root) or "simhash"
+    scores = {"simhash": "hamming int", "minhash": "n_bands_hit bigint"}
+    if scheme not in scores:
+        raise ValueError(f"unknown dedup scheme {scheme!r}; one of {sorted(scores)}")
     return spark.createDataFrame(
         [],
         f"doc {id_type}, dup_of {id_type}, dup_batch int, "
-        f"{score}, batch_id int",
+        f"{scores[scheme]}, batch_id int",
     )
 
 
@@ -231,6 +254,39 @@ def _flags_from_bands(new_bands: DataFrame, corpus_bands: DataFrame,
     )
 
 
+def _batch_dirs(path: str) -> set[int]:
+    """batch_id partition values present as directories — a local listing,
+    no Spark job (this module is local-FS-only per require_local)."""
+    if not os.path.isdir(path):
+        return set()
+    out = set()
+    for d in os.listdir(path):
+        if d.startswith("batch_id="):
+            try:
+                out.add(int(d.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
+def _cluster_backlog(src_path: str, asg_path: str, bid: int) -> list[int]:
+    """Batches < bid present in the signature/band table but ABSENT from the
+    cluster log — plus the newest logged batch at the gap boundary, which a
+    replay crash can leave partially written. The previous gate ("replay iff
+    the log is missing entirely") silently truncated the log when a replay
+    crashed after its first batch: the restart saw assignments present and
+    skipped batches the crash never reached. Empty when the log is caught up
+    (the common case: two directory listings, no jobs)."""
+    present = {k for k in _batch_dirs(src_path) if k < bid}
+    done = {k for k in _batch_dirs(asg_path) if k < bid}
+    missing = present - done
+    if not missing:
+        return []
+    below = [k for k in done if k < min(missing)]
+    boundary = {max(below)} if below else set()
+    return sorted(missing | boundary)
+
+
 def _read_moves(spark: SparkSession, mov_path: str, id_type: str,
                 before_batch: int | None = None) -> DataFrame:
     """label_moves as (src, dst), optionally only batches < before_batch; an
@@ -308,43 +364,50 @@ def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
     earlier = matches.filter(F.col("dup_batch") < bid).select("doc", "dup_of")
     edges = within
     prior_roots = None
-    have_asg = _has_parquet(asg_path)
-    if have_asg:
-        # FIRST ARRIVAL WINS: a re-crawled doc (same id, later batch) keeps
-        # its original assignment — a second row would double-count
-        # n_members and fan out the compaction join. Its match edges still
-        # merge whatever its re-arrival bridges. Partition-pruned lookup.
-        bdb = batch_docs.withColumn(
-            "db", F.pmod(F.xxhash64("doc"), F.lit(n_doc_buckets)).cast("int")
-        )
-        btouched = [r["db"] for r in bdb.select("db").distinct().collect()]
-        prior_docs = (
-            spark.read.parquet(asg_path)
-            .filter((F.col("batch_id") < bid) & F.col("db").isin(btouched))
-            .select("doc")
-        )
-        batch_docs = batch_docs.join(prior_docs, "doc", "left_anti")
-    if have_asg:
-        tgt = earlier.select(F.col("dup_of").alias("doc")).distinct().withColumn(
-            "db", F.pmod(F.xxhash64("doc"), F.lit(n_doc_buckets)).cast("int")
+    if _has_parquet(asg_path):
+        # One partition-pruned assignment lookup serves both prior-label
+        # uses: labels of MATCHED earlier docs (mini-graph root nodes) and
+        # labels of RE-CRAWLED batch docs (same id, later batch).
+        lookup = (
+            batch_docs.unionByName(
+                earlier.select(F.col("dup_of").alias("doc"))
+            )
+            .distinct()
+            .withColumn(
+                "db", F.pmod(F.xxhash64("doc"), F.lit(n_doc_buckets)).cast("int")
+            )
         )
         # bounded driver read: at most n_doc_buckets values
-        touched = [r["db"] for r in tgt.select("db").distinct().collect()]
-        if touched:
-            asg = (
-                spark.read.parquet(asg_path)
-                .filter((F.col("batch_id") < bid) & F.col("db").isin(touched))
-                .select("doc", "label")
-            )
-            lab = tgt.select("doc").join(asg, "doc")
-            moves = _read_moves(spark, mov_path, id_type, before_batch=bid)
-            prior_roots = _apply_moves(lab, moves).localCheckpoint()
-            e2 = (
-                earlier.join(
-                    prior_roots.withColumnRenamed("doc", "dup_of"), "dup_of"
-                ).select(F.col("doc").alias("doc1"), F.col("label").alias("doc2"))
-            )
-            edges = within.unionByName(e2)
+        touched = [r["db"] for r in lookup.select("db").distinct().collect()]
+        prior_asg = (
+            spark.read.parquet(asg_path)
+            .filter((F.col("batch_id") < bid) & F.col("db").isin(touched))
+            .select("doc", "label")
+        )
+        moves = _read_moves(spark, mov_path, id_type, before_batch=bid)
+        prior_roots = _apply_moves(
+            lookup.select("doc").join(prior_asg, "doc"), moves
+        ).localCheckpoint()
+        # matched earlier docs link the new doc to their cluster root
+        e2 = (
+            earlier.join(
+                prior_roots.withColumnRenamed("doc", "dup_of"), "dup_of"
+            ).select(F.col("doc").alias("doc1"), F.col("label").alias("doc2"))
+        )
+        # a RE-CRAWLED doc links to its OWN prior root too: if its content
+        # changed, its new matches may not include its old cluster, but the
+        # doc id itself connects both components in the ground-truth graph —
+        # without this edge the promoted view diverges from a batch recluster
+        e3 = batch_docs.join(prior_roots, "doc").select(
+            F.col("doc").alias("doc1"), F.col("label").alias("doc2")
+        )
+        edges = within.unionByName(e2).unionByName(e3)
+        # FIRST ARRIVAL WINS: the re-crawled doc keeps its original
+        # assignment row — a second row would double-count n_members and fan
+        # out the compaction join. Its e3/match edges did the merging above.
+        batch_docs = batch_docs.join(
+            prior_roots.select("doc"), "doc", "left_anti"
+        ).localCheckpoint()
     cc = connected_components(edges).localCheckpoint()
     asg_new = (
         batch_docs.join(cc.select("doc", "cluster"), "doc", "left")
@@ -496,23 +559,21 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
             .parquet(band_path)
         )
 
-    def _rebuild_cluster_log(bid: int) -> None:
-        """Signatures exist but the cluster log doesn't (pre-cluster layout,
-        or a wiped log): REPLAY cluster maintenance batch-by-batch from the
-        persisted signature table. Unlike the band index (a stateless
-        derivation, rebuilt in one pass) the cluster log is order-dependent
-        — resuming with an empty one would silently label every earlier doc
-        a singleton. Replay cost is a full-history pass, paid only on wipe."""
+    def _rebuild_cluster_log(backlog: list[int]) -> None:
+        """The cluster log is behind the signature table (pre-cluster layout,
+        a wiped log, or a crashed earlier replay): REPLAY cluster maintenance
+        for exactly the missing batches, in order. Unlike the band index (a
+        stateless derivation, rebuilt in one pass) the cluster log is
+        order-dependent — resuming with an empty or truncated one would
+        silently mislabel earlier docs. _update_clusters is idempotent per
+        batch, so re-running the possibly-partial boundary batch is safe."""
         all_sigs = (
             spark.read.parquet(sig_path)
-            .filter(F.col("batch_id") < bid)
+            .filter(F.col("batch_id") <= max(backlog))
             .localCheckpoint()
         )
-        kids = sorted(
-            r["batch_id"] for r in all_sigs.select("batch_id").distinct().collect()
-        )
         all_bands = _bands(all_sigs, n_blocks, max_hamming)
-        for k in kids:
+        for k in backlog:
             m = _matches_from_bands(
                 all_bands.filter(F.col("batch_id") == k),
                 all_bands.filter(F.col("batch_id") <= k),
@@ -520,7 +581,7 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
             ).localCheckpoint()
             _update_clusters(
                 spark, out_root,
-                all_sigs.filter(F.col("batch_id") == k).select("doc"),
+                all_sigs.filter(F.col("batch_id") == k).select("doc").distinct(),
                 m, k, n_doc_buckets,
             )
 
@@ -533,12 +594,12 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
         _geometry_guard(out_root, geometry)
         if _has_parquet(sig_path) and not _has_parquet(band_path):
             _rebuild_band_index(bid)
-        if (
-            maintain_clusters
-            and _has_parquet(sig_path)
-            and not _has_parquet(cluster_paths(out_root)[0])
-        ):
-            _rebuild_cluster_log(bid)
+        if maintain_clusters:
+            backlog = _cluster_backlog(
+                sig_path, cluster_paths(out_root)[0], bid
+            )
+            if backlog:
+                _rebuild_cluster_log(backlog)
         # localCheckpoint: the signature kernel output feeds FOUR consumers
         # (touched-bucket probe, both flag-join sides, two writes) and Spark
         # does not reuse exchanges across them — materialize the batch-sized
@@ -666,20 +727,17 @@ def make_minhash_dedup_batch(spark: SparkSession, out_root: str,
             .agg(F.count("*").alias("n_bands_hit"))
         )
 
-    def _rebuild_cluster_log(bid: int) -> None:
-        """Cluster log wiped but the band table (the MinHash signature table)
-        exists: replay maintenance batch-by-batch, as the SimHash body does —
-        resuming with an empty log would silently drop every earlier doc from
-        its cluster."""
+    def _rebuild_cluster_log(backlog: list[int]) -> None:
+        """The cluster log is behind the band table (the MinHash signature
+        table): replay maintenance for exactly the missing batches, as the
+        SimHash body does — a truncated log would silently drop earlier docs
+        from their clusters. Re-running the boundary batch is idempotent."""
         all_bands = (
             spark.read.parquet(band_path)
-            .filter(F.col("batch_id") < bid)
+            .filter(F.col("batch_id") <= max(backlog))
             .localCheckpoint()
         )
-        kids = sorted(
-            r["batch_id"] for r in all_bands.select("batch_id").distinct().collect()
-        )
-        for k in kids:
+        for k in backlog:
             m = _minhash_matches(
                 all_bands.filter(F.col("batch_id") == k),
                 all_bands.filter(F.col("batch_id") <= k),
@@ -695,12 +753,12 @@ def make_minhash_dedup_batch(spark: SparkSession, out_root: str,
         if batch_df.isEmpty():
             return
         _geometry_guard(out_root, geometry)
-        if (
-            maintain_clusters
-            and _has_parquet(band_path)
-            and not _has_parquet(cluster_paths(out_root)[0])
-        ):
-            _rebuild_cluster_log(bid)
+        if maintain_clusters:
+            backlog = _cluster_backlog(
+                band_path, cluster_paths(out_root)[0], bid
+            )
+            if backlog:
+                _rebuild_cluster_log(backlog)
         new_bands = (
             minhash_band_keys_df(batch_df, id_col, text_col, n_bands, n_rows)
             .select(

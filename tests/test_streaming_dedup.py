@@ -486,3 +486,60 @@ def test_geometry_additive_cluster_upgrade_is_allowed(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="geometry mismatch"):
         make_dedup_batch(spark, out_root, n_blocks=8)(_mk_batch(spark, [30]), 2)
+
+
+def test_truncated_cluster_log_backlog_is_replayed(spark, tmp_path):
+    """A replay that crashed mid-way leaves the log truncated (some batches
+    logged, later ones not). The backlog gate must detect and replay exactly
+    the missing batches — the old missing-entirely gate skipped them."""
+    import shutil
+
+    from complete_ocr_spark.streaming.dedup_stream import cluster_paths
+
+    out_root = str(tmp_path / "out")
+    pb = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(SIGS))
+    pb(_mk_batch(spark, [10, 11]), 0)
+    pb(_mk_batch(spark, [20, 21]), 1)
+    pb(_mk_batch(spark, [30]), 2)
+    full = _labels(spark, out_root)
+
+    # simulate the crashed-replay state: log holds batch 0 only, no moves
+    asg_path, mov_path = cluster_paths(out_root)
+    for b in (1, 2):
+        shutil.rmtree(f"{asg_path}/batch_id={b}")
+    shutil.rmtree(mov_path, ignore_errors=True)
+    assert _labels(spark, out_root) != full  # truncation is visible
+
+    sigs4 = dict(SIGS)
+    sigs4[40] = (0x00FF00FF, 0x0F0F0F0F)  # hamming >= 16 from everything
+    pb4 = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(sigs4))
+    pb4(_mk_batch(spark, [40]), 3)  # backlog {1, 2} (+ boundary 0) replays
+    assert _labels(spark, out_root) == full
+
+
+def test_recrawl_with_changed_content_still_merges_old_cluster(spark, tmp_path):
+    """A re-crawled doc whose CONTENT changed links its old cluster to its
+    new matches through the doc id itself: without the prior-root edge the
+    promoted view would split what a batch recluster joins."""
+    live = {7: (0, 0), 10: (0, 1), 15: (0, 240), 16: (0, 241)}
+
+    def sig_fn(batch_df, id_col, text_col):
+        m = spark.createDataFrame(
+            [(d, hi, lo) for d, (hi, lo) in live.items()],
+            "doc bigint, simhash_hi bigint, simhash_lo bigint",
+        )
+        return batch_df.select(F.col(id_col).alias("doc")).join(m, "doc")
+
+    out_root = str(tmp_path / "out")
+    pb = make_dedup_batch(spark, out_root, sig_fn=sig_fn)
+    pb(_mk_batch(spark, [7, 10]), 0)    # cluster {7, 10} root 7
+    pb(_mk_batch(spark, [15, 16]), 1)   # cluster {15, 16} root 15
+    # doc 10 re-crawled with REVISED content: now matches 15/16 (hamming
+    # 1/2 from lo=242), no longer within 3 of its own old signature (ham 6)
+    live[10] = (0, 242)
+    pb(_mk_batch(spark, [10]), 2)
+    assert _labels(spark, out_root) == {d: (7, 4) for d in (7, 10, 15, 16)}
+    from complete_ocr_spark.streaming.dedup_stream import cluster_paths
+
+    asg = spark.read.parquet(cluster_paths(out_root)[0])
+    assert asg.filter("doc = 10").count() == 1  # first arrival still wins
