@@ -543,3 +543,35 @@ def test_recrawl_with_changed_content_still_merges_old_cluster(spark, tmp_path):
 
     asg = spark.read.parquet(cluster_paths(out_root)[0])
     assert asg.filter("doc = 10").count() == 1  # first arrival still wins
+
+
+def test_run_streaming_dedup_minhash_scheme_end_to_end(spark, tmp_path):
+    """The readStream wrapper's scheme='minhash' branch: file-source batches
+    flow through the MinHash body (band flags + cluster log) and an unknown
+    scheme is refused."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    out_root = str(tmp_path / "out")
+    os.makedirs(src)
+    base = ("spark shuffles partitioned batches of vectorized arrow pages "
+            "through catalyst while the reader prunes nested columns")
+    spark.createDataFrame([(1, base)], SCHEMA).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame([(2, base)], SCHEMA).coalesce(1).write.parquet(src + "/f2")
+    q = run_streaming_dedup(
+        spark, source_dir=src + "/*", out_root=out_root,
+        checkpoint_dir=str(tmp_path / "ckpt"), schema=SCHEMA,
+        scheme="minhash",
+    )
+    q.awaitTermination(300)
+    flags = {r["doc"]: (r["dup_of"], r["n_bands_hit"])
+             for r in read_flags(spark, out_root).collect()}
+    assert flags == {2: (1, 4)}  # identical text: all 4 bands collide
+    assert _labels(spark, out_root) == {1: (1, 2), 2: (1, 2)}
+
+    with pytest.raises(ValueError, match="unknown dedup scheme"):
+        run_streaming_dedup(
+            spark, source_dir=src + "/*", out_root=out_root,
+            checkpoint_dir=str(tmp_path / "ckpt2"), schema=SCHEMA,
+            scheme="simhash64",
+        )
