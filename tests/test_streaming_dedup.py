@@ -575,3 +575,70 @@ def test_run_streaming_dedup_minhash_scheme_end_to_end(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt2"), schema=SCHEMA,
             scheme="simhash64",
         )
+
+
+def test_incremental_clusters_match_python_union_find_oracle(spark, tmp_path):
+    """Randomized invariant check against an INDEPENDENT oracle: stream
+    random signatures (small bit-space to force collisions) through the real
+    batch body — including one re-crawled doc with a new signature — and
+    compare the promoted view against a pure-python union-find over every
+    match the stream semantics define (hamming <= 3 vs all strictly-earlier
+    signature rows). Three seeds; any divergence of the log machinery
+    (bridging, moves, first-arrival-wins, re-crawl linkage) fails here even
+    if the hand-built scenarios above miss it."""
+    import itertools
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        docs = list(range(1, 15))
+        arrivals = []  # (batch, doc, (hi, lo))
+        for b in range(3):
+            chunk = docs[b * 5:(b + 1) * 5]
+            for d in chunk:
+                arrivals.append((b, d, (0, rng.getrandbits(5))))
+        # one re-crawl: a batch-0 doc reappears in batch 2 with a NEW sig
+        recrawl_doc = docs[rng.randrange(5)]
+        arrivals.append((2, recrawl_doc, (0, rng.getrandbits(5))))
+
+        # python oracle: union-find over all stream-visible matches
+        def ham(a, b):
+            return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+        parent = {d: d for d in docs}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for i, (b1, d1, s1) in enumerate(arrivals):
+            for b2, d2, s2 in arrivals[:i] + arrivals[i + 1:]:
+                strictly_earlier = b2 < b1 or (b2 == b1 and d2 < d1)
+                if strictly_earlier and ham(s1, s2) <= 3:
+                    union(d1, d2)
+        comp = {}
+        for d in docs:
+            comp.setdefault(find(d), []).append(d)
+        expected = {
+            d: (root, len(members))
+            for root, members in comp.items()
+            if len(members) > 1
+            for d in members
+        }
+
+        # stream the same arrivals through the real body (per-batch sig maps)
+        out_root = str(tmp_path / f"out_{seed}")
+        for b in range(3):
+            batch = [(d, s) for bb, d, s in arrivals if bb == b]
+            sig_map = dict(batch)
+            pb = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(sig_map))
+            pb(_mk_batch(spark, [d for d, _ in batch]), b)
+        got = _labels(spark, out_root)
+        assert got == expected, f"seed {seed}: {got} != {expected}"
