@@ -1,0 +1,98 @@
+"""Corpus curation: the C4/RefinedWeb-shaped keep/drop decision, composed
+from this package's primitives — the step that turns a raw document table
+into a training corpus.
+
+Per document, in the order large pipelines apply them (cheapest filter
+first, each a reason the judge of a dropped doc can audit):
+
+1. ``lang``     — stopword-heuristic language ID (functions.text.lang_id);
+   docs outside ``languages`` drop as ``lang``.
+2. ``quality``  — composite score (functions.text.quality_score); below
+   ``min_quality`` drops as ``quality``.
+3. exact dedup  — md5 fingerprint groups (functions.dedup semantics): only
+   the minimum doc id of each identical-content group survives; the rest
+   drop as ``exact_dup``.
+4. near dedup   — SimHash <=``max_hamming`` connected components
+   (functions.dedup.dup_clusters): only each cluster's minimum doc id
+   survives; the rest drop as ``near_dup``.
+
+Output = the input rows annotated with (lang, quality, n_tokens, keep,
+drop_reason) — a VIEW over the corpus, so downstream writers can either
+filter ``keep`` or materialize the audit trail. Every stage is the
+already-oracled operator: one fingerprint shuffle, one banded near-dup
+join + label propagation, everything else a narrow map. The near-dup stage
+runs only over docs that survived the earlier stages (the standard cost
+ordering — near-dedup is the expensive leg).
+
+drop_reason records the FIRST failing stage. Scale shape: identical to the
+constituent operators — nothing here adds a shuffle beyond theirs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from . import dedup
+from .text import lang_id, quality_score, token_count
+
+
+def curate_corpus(df: DataFrame, id_col: str, text_col: str,
+                  languages: tuple[str, ...] = ("en",),
+                  min_quality: float = 0.6,
+                  max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
+    """Annotate every document with its keep/drop decision (module doc).
+
+    Returns the input columns plus (lang, quality, n_tokens, keep boolean,
+    drop_reason string|null). Deterministic: survivors of each dedup stage
+    are the minimum doc ids, so re-running curation yields byte-identical
+    decisions."""
+    annotated = (
+        df.withColumn("lang", lang_id(F.col(text_col)))
+        .withColumn("quality", quality_score(F.col(text_col)))
+        .withColumn("n_tokens", token_count(F.col(text_col)))
+    )
+    passed = annotated.filter(
+        F.col("lang").isin(list(languages)) & (F.col("quality") >= min_quality)
+    )
+    # exact dedup: every doc that is NOT its fingerprint group's minimum id
+    fp = passed.select(
+        F.col(id_col).alias("doc"), dedup.normalized(F.col(text_col)).alias("norm")
+    ).withColumn("fp", F.md5("norm"))
+    exact_drops = (
+        fp.withColumn("keep_id", F.min("doc").over(Window.partitionBy("fp")))
+        .filter(F.col("doc") != F.col("keep_id"))
+        .select("doc", F.col("keep_id").alias("dup_of"))
+    )
+    exact_survivors = passed.join(
+        exact_drops.select("doc").withColumnRenamed("doc", id_col),
+        id_col, "left_anti",
+    )
+    # near dedup over the exact survivors: drop all but each cluster's min id
+    clusters = dedup.dup_clusters(
+        exact_survivors, id_col, text_col,
+        max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+    near_drops = clusters.filter(F.col("doc") != F.col("cluster")).select("doc")
+    reason = (
+        F.when(~F.col("lang").isin(list(languages)), "lang")
+        .when(F.col("quality") < min_quality, "quality")
+        .when(F.col("_exact_dup"), "exact_dup")
+        .when(F.col("_near_dup"), "near_dup")
+    )
+    return (
+        annotated.join(
+            exact_drops.select(F.col("doc").alias(id_col))
+            .withColumn("_exact_dup", F.lit(True)),
+            id_col, "left",
+        )
+        .join(
+            near_drops.select(F.col("doc").alias(id_col))
+            .withColumn("_near_dup", F.lit(True)),
+            id_col, "left",
+        )
+        .withColumn("_exact_dup", F.coalesce("_exact_dup", F.lit(False)))
+        .withColumn("_near_dup", F.coalesce("_near_dup", F.lit(False)))
+        .withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_exact_dup", "_near_dup")
+    )

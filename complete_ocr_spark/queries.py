@@ -591,6 +591,82 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
 """
 
 
+_CUR_MIN_Q = 0.6
+_CUR_LANGS = ("en",)
+
+
+def q_corpus_curation(spark, sf_dir):
+    """Corpus curation (functions.curate): the C4/RefinedWeb-shaped keep/drop
+    decision composed from the package's oracled primitives — language gate,
+    quality gate, exact dedup (fingerprint-group minimum survives), SimHash
+    near-dup connected components (cluster minimum survives) — with the
+    FIRST failing stage recorded as drop_reason for auditability. One
+    fingerprint shuffle + the banded near-dup join over survivors; every
+    other stage is a narrow map."""
+    from .functions.curate import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        d, "doc_id", "text", languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
+        max_hamming=_SH_MAX_HAMMING, n_blocks=4,
+    ).select("doc_id", "lang", "quality", "n_tokens", "keep", "drop_reason")
+
+
+def _curate_sql() -> str:
+    langs = ", ".join(f"'{lg}'" for lg in _CUR_LANGS)
+    pair_sql = _simhash_near_dup_sql(4, "surv").strip()
+    return rf"""
+WITH RECURSIVE bq AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ({_SW}))) AS n_stop,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_words
+  FROM documents),
+ann AS (
+  SELECT doc_id, text,
+         CASE WHEN n_stop > 0 THEN 'en' ELSE 'unknown' END AS lang,
+         ROUND((
+           (CASE WHEN n BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.4 END) +
+           (CASE WHEN n_punct / greatest(n, 1) <= 0.1 THEN 1.0 ELSE 0.5 END) +
+           (CASE WHEN n_stop / greatest(n_words, 1) >= 0.01 THEN 1.0 ELSE 0.6 END)
+         ) / 3.0, 6) AS quality,
+         CASE WHEN trim(text) = '' THEN 0 ELSE n_words END AS n_tokens
+  FROM bq),
+passed AS (
+  SELECT doc_id, text FROM ann
+  WHERE lang IN ({langs}) AND quality >= {_CUR_MIN_Q}),
+fpt AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM passed),
+exd AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS k FROM fpt)
+  WHERE doc_id != k),
+surv AS (
+  SELECT p.doc_id, p.text FROM passed p
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM exd)),
+pairs AS ({pair_sql}),
+ed AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+       UNION SELECT doc2, doc1 FROM pairs),
+conn(a, b) AS (
+  SELECT a, b FROM ed
+  UNION
+  SELECT c.a, e.b FROM conn c JOIN ed e ON c.b = e.a),
+lab AS (SELECT a AS doc, LEAST(a, MIN(b)) AS cluster FROM conn GROUP BY a),
+neard AS (SELECT doc FROM lab WHERE doc != cluster)
+SELECT doc_id, lang, quality, n_tokens,
+       drop_reason IS NULL AS keep, drop_reason
+FROM (
+  SELECT a.doc_id, a.lang, a.quality, a.n_tokens,
+         CASE WHEN a.lang NOT IN ({langs}) THEN 'lang'
+              WHEN a.quality < {_CUR_MIN_Q} THEN 'quality'
+              WHEN a.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
+              WHEN a.doc_id IN (SELECT doc FROM neard) THEN 'near_dup'
+         END AS drop_reason
+  FROM ann a)
+"""
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -681,7 +757,7 @@ def q_simhash64(spark, sf_dir):
     return dedup.simhash64(d, "doc_id", "text")
 
 
-def _simhash64_sql() -> str:
+def _simhash64_sql(src: str = "documents") -> str:
     def bit(b):
         return (f"((instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1) "
                 f"// {2 ** (b % 4)}) % 2 = 1")
@@ -694,7 +770,7 @@ def _simhash64_sql() -> str:
 WITH toks AS (
   SELECT doc_id AS doc,
          md5(unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS h
-  FROM documents),
+  FROM {src}),
 votes AS (
   SELECT doc,
          {votes}
@@ -755,8 +831,8 @@ def _band_arms_sql(n_blocks: int) -> tuple[str, int]:
     return arms, len(combos)
 
 
-def _simhash_near_dup_sql(n_blocks: int = 4) -> str:
-    sig = _simhash64_sql().strip().rstrip()
+def _simhash_near_dup_sql(n_blocks: int = 4, src: str = "documents") -> str:
+    sig = _simhash64_sql(src).strip().rstrip()
     arms, n_bands = _band_arms_sql(n_blocks)
     return f"""
 WITH sig AS ({sig}),
@@ -793,8 +869,8 @@ def q_dup_clusters(spark, sf_dir):
     )
 
 
-def _dup_clusters_sql() -> str:
-    pair_sql = _simhash_near_dup_sql(4).strip()
+def _dup_clusters_sql(src: str = "documents") -> str:
+    pair_sql = _simhash_near_dup_sql(4, src).strip()
     return f"""
 WITH RECURSIVE pairs AS ({pair_sql}),
 ed AS (SELECT doc1 AS a, doc2 AS b FROM pairs
@@ -2073,7 +2149,6 @@ SELECT doc_id, "offset", kind, text, media_ref FROM '{GOLDEN_OPT_SF001}'
 
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
-    "q03_top_orders": (q03_top_orders, SQL_Q03),
     "q05_region_revenue": (q05_region_revenue, SQL_Q05),
     "q_brand_volume": (q_brand_volume, SQL_BRAND),
     "q_customers_without_orders": (q_customers_without_orders, SQL_ANTI),
@@ -2099,6 +2174,7 @@ REGISTRY: dict[str, tuple] = {
     "q_ann_recall": (q_ann_recall, _ann_recall_sql()),
     "q_ivf_train": (q_ivf_train, _kmeans_sql()),
     "q_quality_sample": (q_quality_sample, _quality_sample_sql()),
+    "q_corpus_curation": (q_corpus_curation, _curate_sql()),
     "q_minhash_bands": (q_minhash_bands, _minhash_bands_sql()),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
@@ -2133,6 +2209,9 @@ REGISTRY: dict[str, tuple] = {
 # — all still hash-checked against DuckDB every pytest run
 # (tests/test_queries_duckdb.py parametrizes over REGISTRY + ANCHOR_REGISTRY).
 ANCHOR_REGISTRY: dict[str, tuple] = {
+    # q03 is round-1 TPC-H scaffolding (no SURVEY §2 row cites it); folded to
+    # make room for q_corpus_curation in the 50-entry driver window
+    "q03_top_orders": (q03_top_orders, SQL_Q03),
     "q_simhash": (q_simhash, _simhash_sql()),
     "q_simhash_near_dup": (q_simhash_near_dup, _simhash_near_dup_sql(4)),
     "q_ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),

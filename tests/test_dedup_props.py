@@ -389,3 +389,47 @@ def test_kmeans_sampled_route_matches_sampled_oracle(spark):
     want = {(c, d): (co, n) for c, d, co, n in con.sql(sql).fetchall()}
     con.close()
     assert got == want
+
+
+def test_curate_corpus_drop_reasons_and_determinism(spark):
+    """Each curation stage fires in order (lang -> quality -> exact_dup ->
+    near_dup), survivors are the minimum ids, and the decision is
+    deterministic across runs."""
+    from complete_ocr_spark.functions.curate import curate_corpus
+
+    good = ("the spark engine shuffles partitioned batches of arrow pages "
+            "and the reader prunes nested columns in a distributed plan " * 3)
+    rows = [
+        (1, good),                      # keep (cluster representative)
+        (2, good),                      # exact_dup of 1
+        (3, good + " extended"),        # near_dup of 1 (hamming <= 3)
+        (4, "zzz qqq xxx " * 20),       # no stopwords -> lang
+        # >20k chars (len band fails) + punct-heavy + stopword ratio < 1%
+        # (but > 0, so lang=en): quality = (0.4+0.5+0.6)/3 = 0.5 < 0.6
+        (5, "the " + "x7%! " * 5000),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in curate_corpus(d, "doc_id", "text").collect()
+    }
+    assert out[1] == (True, None)
+    assert out[2] == (False, "exact_dup")
+    assert out[4] == (False, "lang")
+    assert out[5] == (False, "quality")
+    # doc 3: near-dup of 1 IF its simhash is within 3 — verify agreement with
+    # the underlying operator rather than hardcoding the signature distance
+    from complete_ocr_spark.functions import dedup as dd
+
+    surv = d.filter("doc_id in (1, 3)")
+    pairs = dd.simhash_hamming_pairs(surv, "doc_id", "text").collect()
+    if pairs:
+        assert out[3] == (False, "near_dup")
+    else:
+        assert out[3] == (True, None)
+
+    again = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in curate_corpus(d, "doc_id", "text").collect()
+    }
+    assert again == out

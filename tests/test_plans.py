@@ -23,7 +23,7 @@ def test_q01_filter_pushed_to_scan(spark):
 
 
 def test_q03_small_dim_broadcast(spark):
-    plan = _plan(REGISTRY["q03_top_orders"][0](spark, SF_DIR))
+    plan = _plan(ALL_Q["q03_top_orders"][0](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
 
 
@@ -58,6 +58,7 @@ def test_relational_queries_have_no_python_eval(spark):
             "q_stream_dedup_flags",
             "q_dup_clusters",
             "q_dup_clusters_incr",
+            "q_corpus_curation",
         ):
             continue  # these intentionally contain the pandas kernels
         plan = _plan(fn(spark, SF_DIR))
