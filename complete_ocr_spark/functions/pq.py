@@ -189,10 +189,15 @@ def ann_ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
     dt = adc_table(query_vec, books)
     qc = [round(pydot(query_vec, c), 6) for c in cents]
     qnorm = round(math.sqrt(pydot(query_vec, query_vec)), 6)
+    if qnorm == 0:
+        raise ValueError("query vector has zero norm — cosine is undefined")
     enc = encoded if encoded is not None else pq_encode(
         df, id_col, vec_col, cents, books
     )
-    cand = enc.filter(F.col("cell").isin(probe_cells))
+    # a zero-norm vector has no cosine direction; without this guard the
+    # adc_cos division yields Inf/NaN, polluting the rerank top-N and
+    # diverging from the oracle (engines order NaN differently)
+    cand = enc.filter(F.col("cell").isin(probe_cells) & (F.col("vnorm") != 0))
     adc = F.element_at(
         F.array(*[F.lit(x) for x in qc]), F.col("cell")
     )

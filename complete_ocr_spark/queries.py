@@ -62,13 +62,26 @@ _SCRATCH_BASE = "/tmp/spark_graft_scratch"
 _SCRATCH_TTL_S = 6 * 3600
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
 def _scratch(kind: str, sf_dir: str) -> str:
     """Pid-scoped scratch dir for queries that materialize state (sig_store,
     the cluster-incr log): pid-scoping stops a concurrent process (bench
     interleaving while pytest runs) from overwriting a store under this
     process's lazy reads, and a TTL sweep of the shared parent keeps dead
     processes' leftovers from accumulating — the leak a bare per-pid /tmp
-    path would have."""
+    path would have. The sweep only removes dirs whose embedded pid is DEAD:
+    a >6h session's top-level mtime goes stale (writes inside nested parquet
+    partition dirs don't bump it), so mtime alone would rmtree a live
+    process's store from under its lazy reads."""
     import hashlib
     import shutil
     import time
@@ -78,7 +91,13 @@ def _scratch(kind: str, sf_dir: str) -> str:
     for d in os.listdir(_SCRATCH_BASE):
         p = os.path.join(_SCRATCH_BASE, d)
         try:
-            if now - os.path.getmtime(p) > _SCRATCH_TTL_S:
+            owner = int(d.rsplit("_", 1)[1])
+        except (IndexError, ValueError):
+            owner = None  # not one of ours; TTL alone decides
+        try:
+            if now - os.path.getmtime(p) > _SCRATCH_TTL_S and (
+                owner is None or not _pid_alive(owner)
+            ):
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass  # a concurrent sweep removed it first
@@ -1317,7 +1336,7 @@ cand AS (
   JOIN qcl q ON q.cell = cl.cell
   JOIN adcsum a ON a.vec_id = cl.vec_id
   JOIN vn v ON v.vec_id = cl.vec_id, qn
-  WHERE cl.cell IN (SELECT cell FROM probes)),
+  WHERE cl.cell IN (SELECT cell FROM probes) AND v.vnorm <> 0),
 topr AS (
   SELECT vec_id, cell, adc_cos FROM (
     SELECT *, ROW_NUMBER() OVER (ORDER BY adc_cos DESC, vec_id) AS rn

@@ -422,6 +422,14 @@ def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
         .partitionBy("batch_id", "db")
         .parquet(asg_path)
     )
+    # Record completion independently of row presence: a batch whose docs ALL
+    # had prior assignments (a fully re-crawled batch) writes zero rows, so no
+    # batch_id partition dir appears and _cluster_backlog would treat the
+    # batch as never-processed — re-triggering a full-prefix replay on every
+    # subsequent batch. An (empty) partition dir is the completion marker;
+    # Spark's partition discovery ignores file-less dirs, and wiping the
+    # assignment table for a replay test removes the markers with it.
+    os.makedirs(os.path.join(asg_path, f"batch_id={bid}"), exist_ok=True)
     if prior_roots is not None:
         mv = (
             prior_roots.select(F.col("label").alias("src")).distinct()
@@ -430,6 +438,9 @@ def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
             .select("src", F.col("cluster").alias("dst"))
             .distinct()
             .withColumn("batch_id", F.lit(bid))
+            # the emptiness probe below would otherwise compute the whole
+            # merge-detection subtree once and the write would recompute it
+            .localCheckpoint()
         )
         if not mv.isEmpty():
             (

@@ -3,6 +3,8 @@ signature scheme (exact fingerprint, banded MinHash, SimHash-16/64, SRP)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from complete_ocr_spark.functions import dedup, similarity
@@ -326,6 +328,33 @@ def test_pq_guards_and_code_packing(spark):
         assert 0 <= r["codes"] < 2**32  # 8 subspaces x 4 bits
         assert 1 <= r["cell"] <= 16
         assert abs(r["vnorm"] - 1.0) < 0.01  # synth embeddings are unit-norm
+
+
+def test_pq_zero_norm_vectors_are_guarded(spark):
+    """A zero corpus vector must not reach the ADC rerank (its adc_cos would
+    be Inf/NaN and engines order NaN differently); a zero QUERY vector has no
+    cosine direction at all and is refused outright."""
+    import pytest
+
+    from complete_ocr_spark.functions import pq
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(40)
+    zero = spark.createDataFrame(
+        [(10_000_000, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+    both = e.select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("embedding")).unionByName(zero)
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = similarity.ivf_centroids(64, 4)
+    books = pq.pq_codebooks(64)
+    rows = pq.ann_ivf_pq_topk(both, "vec_id", "embedding", qv, cents, books,
+                              n_probe=4, rerank=50).collect()
+    assert rows and all(r["vec_id"] != 10_000_000 for r in rows)
+    assert all(math.isfinite(r["adc_cos"]) for r in rows)
+    with pytest.raises(ValueError, match="zero norm"):
+        pq.ann_ivf_pq_topk(both, "vec_id", "embedding", [0.0] * 64,
+                           cents, books)
 
 
 def test_pq_index_at_rest_matches_inquery_and_prunes(spark, tmp_path):

@@ -437,6 +437,37 @@ def test_recrawled_doc_keeps_single_assignment(spark, tmp_path):
     assert spark.read.parquet(cluster_paths(out_root)[0]).count() == 5
 
 
+def test_fully_recrawled_batch_records_completion(spark, tmp_path):
+    """A batch whose docs ALL carry prior assignments writes zero assignment
+    rows (first arrival wins) — completion must still be recorded, or
+    _cluster_backlog would see that batch_id as missing forever and every
+    later batch would replay the whole corpus prefix (O(corpus) per batch,
+    the round-4 ADVICE finding)."""
+    import os as _os
+
+    from complete_ocr_spark.streaming.dedup_stream import (
+        _cluster_backlog,
+        cluster_paths,
+        dedup_paths,
+    )
+
+    out_root = str(tmp_path / "out")
+    pb = make_dedup_batch(spark, out_root, sig_fn=_sig_fn_from_map(SIGS))
+    pb(_mk_batch(spark, [10, 11]), 0)
+    pb(_mk_batch(spark, [10, 11]), 1)  # a FULLY re-crawled batch: zero rows
+
+    sig_path = dedup_paths(out_root)[0]
+    asg_path = cluster_paths(out_root)[0]
+    # the completion marker exists even though no rows were written
+    assert _os.path.isdir(_os.path.join(asg_path, "batch_id=1"))
+    assert _cluster_backlog(sig_path, asg_path, 2) == []
+
+    # the stream continues normally (no replay, labels stay exact)
+    pb(_mk_batch(spark, [30]), 2)
+    assert _labels(spark, out_root) == {d: (10, 3) for d in (10, 11, 30)}
+    assert _cluster_backlog(sig_path, asg_path, 3) == []
+
+
 def test_minhash_wiped_cluster_log_replays_from_band_table(spark, tmp_path):
     """MinHash path: the band table IS the signature table — a wiped cluster
     log must replay from it instead of silently dropping earlier docs."""
