@@ -23,8 +23,9 @@ Shapes (all engine-portable, no Python in the hot path):
   plan size, the ann_ivf_topk_broadcast argument); residual -> per-subspace
   argmin is an array fold over that row.
 * ADC: the query's M x K distance table and per-cell query dots are
-  driver-computed LITERALS (they depend only on the query — tiny); scoring a
-  candidate is M element_at lookups + an add chain. No shuffle before the
+  driver-computed (they depend only on the query — tiny) and ride one
+  broadcast row as data, so the probe plan is constant in n_cells; scoring
+  a candidate is M element_at lookups + an add chain. No shuffle before the
   rerank top-k.
 """
 
@@ -76,6 +77,30 @@ def adc_table(query_vec: list[float],
     ]
 
 
+def _residuals(df: DataFrame, id_col: str, vec_col: str,
+               cents: list[list[float]]) -> DataFrame:
+    """(vec_id, v, cell, r): IVF argmax-dot cell assignment and the 6-dp
+    residual vector v - centroid_cell. Centroids ride one broadcast row as
+    data (plan size constant in n_cells)."""
+    spark = df.sparkSession
+    assigned = _with_bcast_cell(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        cents,
+    )
+    cdf = spark.createDataFrame(
+        [([[float(x) for x in c] for c in cents],)],
+        "cvecs array<array<double>>",
+    )
+    cent_v = F.element_at(F.col("cvecs"), F.col("cell"))
+    resid = F.zip_with(
+        F.col("v"), cent_v, lambda a, b: F.round(a.cast("double") - b, 6)
+    )
+    return (
+        assigned.join(F.broadcast(cdf))
+        .select("vec_id", "v", "cell", resid.alias("r"))
+    )
+
+
 def pq_encode(df: DataFrame, id_col: str, vec_col: str,
               cents: list[list[float]],
               books: list[list[list[float]]]) -> DataFrame:
@@ -86,27 +111,16 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
     Code m = argmin over the K codebook entries of the rounded squared L2
     distance to the residual subvector (v - centroid_cell sliced to subspace
     m), lowest code id on ties — the same first-minimum convention every IVF
-    path here uses. Centroids and codebooks ride ONE broadcast row."""
+    path here uses. Centroids and codebooks ride broadcast rows as data."""
     m, k = len(books), len(books[0])
     sub = len(books[0][0])
     if k > 16:
         raise ValueError("codes pack at 4 bits: K must be <= 16")
     spark = df.sparkSession
-    assigned = _with_bcast_cell(
-        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
-        cents,
-    )
-    # centroids AND codebooks ride one broadcast row as data — plan size
-    # stays constant in n_cells x K (the ann_ivf_topk_broadcast argument)
     bdf = spark.createDataFrame(
-        [(books, [[float(x) for x in c] for c in cents])],
-        "books array<array<array<double>>>, cvecs array<array<double>>",
+        [(books,)], "books array<array<array<double>>>"
     )
-    cent_v = F.element_at(F.col("cvecs"), F.col("cell"))
-    resid = F.zip_with(
-        F.col("v"), cent_v, lambda a, b: F.round(a.cast("double") - b, 6)
-    )
-    withr = assigned.join(F.broadcast(bdf)).withColumn("r", resid)
+    withr = _residuals(df, id_col, vec_col, cents).join(F.broadcast(bdf))
     packed = F.lit(0).cast("bigint")
     for mi in range(m):
         rm = F.slice(F.col("r"), mi * sub + 1, sub)
@@ -132,6 +146,144 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
         packed.alias("codes"),
         F.round(norm(F.col("v")), 6).alias("vnorm"),
     )
+
+
+def pq_train_codebooks(df: DataFrame, id_col: str, vec_col: str,
+                       cents: list[list[float]],
+                       books0: list[list[list[float]]] | None = None,
+                       n_iters: int = 2,
+                       sample_fraction: float | None = None) -> DataFrame:
+    """Train the PQ codebooks: per-subspace Lloyd k-means over RESIDUAL
+    vectors (v - centroid_cell), the step the module docstring deferred to
+    deployment (round-4 verdict #1 — untrained Gaussian books are the main
+    recall leak in the IVF-PQ tier).
+
+    One grouped k-means trains all M subspaces at once: points are
+    (vec_id, m, residual-subvector-m) rows, codebook state is a
+    (m, k, ds, coord) table seeded from ``books0`` (default: the seeded
+    Gaussians of ``pq_codebooks`` — training REFINES the same deterministic
+    seeds the oracle generator starts from). Per iteration: (1) assign each
+    (point, m) to the argmin-distance entry of ITS subspace's current
+    codebook — books ride one broadcast row, distances are 6-dp rounded,
+    ties take the lowest code id (the ``pq_encode`` convention); (2) new
+    entry = per-ds mean of its members as exact DECIMAL(28,6) sums (order-
+    independent, so a SQL oracle reproduces coordinates bit-for-bit); empty
+    entries keep their previous coordinates.
+
+    ``sample_fraction``: deterministic md5-threshold sample of the ids (the
+    ``ivf_train_kmeans`` rule) — at 10^12 vectors codebooks train on a
+    sample as one pushed-down filter; full-corpus encode happens later.
+
+    Returns the flattened final codebook table
+    (m 0-based, k 0-based, ds 1-based, coord, n_members). Like
+    ``ivf_train_kmeans`` this is a LAZY chain — no driver collect between
+    iterations; collecting the M x K x dim/M result is a bounded read."""
+    if books0 is None:
+        dim = len(cents[0])
+        books0 = pq_codebooks(dim)
+    if n_iters < 1:
+        raise ValueError(f"pq_train_codebooks needs n_iters >= 1, got {n_iters}")
+    m, k = len(books0), len(books0[0])
+    sub = len(books0[0][0])
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    if sample_fraction is not None:
+        if not 0 < sample_fraction <= 1:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        base = base.filter(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            < int(sample_fraction * 2**32)
+        )
+    pts = (
+        _residuals(base, "vec_id", "v", cents)
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+            F.col("r"),
+        )
+        .select(
+            "vec_id", "m",
+            F.slice(F.col("r"), F.col("m") * sub + 1, F.lit(sub)).alias("rsub"),
+        )
+        .localCheckpoint(eager=False)  # shared by every iteration's two uses
+    )
+    bk = spark.createDataFrame(
+        [
+            (mi, ki, ds + 1, float(c))
+            for mi, bm in enumerate(books0)
+            for ki, entry in enumerate(bm)
+            for ds, c in enumerate(entry)
+        ],
+        "m int, k int, ds int, coord double",
+    )
+    out = None
+    for _ in range(n_iters):
+        barr = (
+            bk.groupBy("m", "k")
+            .agg(F.array_sort(F.collect_list(F.struct("ds", "coord"))).alias("s"))
+            .select("m", "k", F.transform("s", lambda x: x["coord"]).alias("e"))
+            .groupBy("m")
+            .agg(F.array_sort(F.collect_list(F.struct("k", "e"))).alias("s"))
+            .select("m", F.transform("s", lambda x: x["e"]).alias("bm"))
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("m", "bm"))).alias("s"))
+            .select(F.transform("s", lambda x: x["bm"]).alias("books"))
+        )
+        dists = F.transform(
+            F.element_at(F.col("books"), F.col("m") + 1),
+            lambda e, i: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("rsub"), e, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("d"),
+                i.alias("k"),
+            ),
+        )
+        assigned = (
+            pts.join(F.broadcast(barr))
+            .withColumn("k", F.array_min(dists)["k"].cast("int"))
+            .select("m", "k", "rsub")
+        )
+        ex = assigned.select(
+            "m", "k", F.posexplode("rsub").alias("pos", "rv")
+        ).select("m", "k", (F.col("pos") + 1).alias("ds"), "rv")
+        sums = ex.groupBy("m", "k", "ds").agg(
+            F.round(
+                F.sum(F.col("rv").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("new_coord"),
+            F.count("*").alias("n_members"),
+        )
+        out = bk.join(sums, ["m", "k", "ds"], "left").select(
+            "m", "k", "ds",
+            F.coalesce("new_coord", "coord").alias("coord"),
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+        )
+        # lazy localCheckpoint truncates the per-iteration plan doubling
+        # (the ivf_train_kmeans argument)
+        bk = out.select("m", "k", "ds", "coord").localCheckpoint(eager=False)
+    return out
+
+
+def collect_books(trained: DataFrame,
+                  books0: list[list[list[float]]]) -> list[list[list[float]]]:
+    """Bounded driver read of a trained codebook table (M x K x dim/M rows —
+    small by definition) back into the nested-list form every PQ entry point
+    takes; ``books0`` supplies the geometry."""
+    books = [[[0.0] * len(books0[0][0]) for _ in bm] for bm in books0]
+    for r in trained.collect():
+        books[r["m"]][r["k"]][r["ds"] - 1] = r["coord"]
+    return books
 
 
 def write_ivf_pq_index(df: DataFrame, id_col: str, vec_col: str,
@@ -198,19 +350,26 @@ def ann_ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
     # adc_cos division yields Inf/NaN, polluting the rerank top-N and
     # diverging from the oracle (engines order NaN differently)
     cand = enc.filter(F.col("cell").isin(probe_cells) & (F.col("vnorm") != 0))
-    adc = F.element_at(
-        F.array(*[F.lit(x) for x in qc]), F.col("cell")
+    # the query's per-cell dots and M x K lookup table ride ONE broadcast row
+    # as DATA — embedding them as literals would grow the plan linearly in
+    # n_cells (the same argument as ann_ivf_topk_broadcast / pq_encode);
+    # the ADC itself stays code-shifts + array lookups with zero shuffle
+    qdf = df.sparkSession.createDataFrame(
+        [(qc, dt)], "qdots array<double>, qdt array<array<double>>"
     )
-    for mi, row in enumerate(dt):
+    cand = cand.join(F.broadcast(qdf))
+    adc = F.element_at(F.col("qdots"), F.col("cell"))
+    for mi in range(len(dt)):
         code = F.shiftright(F.col("codes"), 4 * mi).bitwiseAND(F.lit(15))
         adc = adc + F.element_at(
-            F.array(*[F.lit(x) for x in row]), (code + 1).cast("int")
+            F.element_at(F.col("qdt"), mi + 1), (code + 1).cast("int")
         )
     ranked = (
         cand.withColumn(
             "adc_cos",
             F.round(F.round(adc, 6) / (F.lit(qnorm) * F.col("vnorm")), 6),
         )
+        .select("vec_id", "cell", "codes", "vnorm", "adc_cos")
         .orderBy(F.col("adc_cos").desc(), "vec_id")
         .limit(rerank)
     )

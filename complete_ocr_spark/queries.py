@@ -1241,6 +1241,25 @@ def q_ann_ivf_bcast(spark, sf_dir):
 _PQ_RERANK = 80  # ADC survivors that fetch true vectors for the exact verify
 
 
+_PQB_ITERS, _PQB_SAMPLE = 4, 0.5  # PQ codebook training: Lloyd iters, sample
+_PQ_TIGHT = 30  # tight rerank for the book-quality recall comparison rows
+
+
+def _trained_books(e) -> list[list[list[float]]]:
+    """PQ codebooks k-means-trained on a deterministic residual sample
+    (pq.pq_train_codebooks, seeded from the Gaussian books) — a bounded
+    driver read of the M x K x dim/M codebook table."""
+    cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
+    books0 = pq.pq_codebooks(_SRP_DIM)
+    return pq.collect_books(
+        pq.pq_train_codebooks(
+            e, "vec_id", "embedding", cents, books0,
+            n_iters=_PQB_ITERS, sample_fraction=_PQB_SAMPLE,
+        ),
+        books0,
+    )
+
+
 def q_ann_pq(spark, sf_dir):
     """IVF-PQ ANN (functions.pq): the in-cell compression tier for
     10^12-vector deployments — candidates are scored from 4-bit product-
@@ -1248,23 +1267,72 @@ def q_ann_pq(spark, sf_dir):
     vector is fetched), and only the top _PQ_RERANK survivors hit true
     vectors for the exact top-10 verify. Returns both the approximate score
     that ranked each survivor (adc_cos) and the exact one (cos). Codebooks
-    are seeded deterministic Gaussians (a deployment trains them on residual
-    samples); every distance is 6-dp rounded so the DuckDB oracle reproduces
-    codes and ADC scores exactly. At this sf the probe pool (~125 vectors) is
-    barely larger than the rerank budget; at scale the pool is millions and
-    the budget stays O(100) — that asymmetry is the tier's point."""
+    are k-means-TRAINED on a deterministic residual sample (round-4 verdict
+    #1 — pq.pq_train_codebooks, per-subspace Lloyd seeded from the Gaussian
+    books); every distance is 6-dp rounded so the DuckDB oracle reproduces
+    the training, the codes, and the ADC scores exactly. At this sf the
+    probe pool (~125 vectors) is barely larger than the rerank budget; at
+    scale the pool is millions and the budget stays O(100) — that asymmetry
+    is the tier's point."""
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in
           e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
-    books = pq.pq_codebooks(_SRP_DIM)
     return pq.ann_ivf_pq_topk(
-        e, "vec_id", "embedding", qv, cents, books,
+        e, "vec_id", "embedding", qv, cents, _trained_books(e),
         n_probe=_IVF_PROBE, rerank=_PQ_RERANK, k=10,
     )
 
 
-def _pq_sql() -> str:
+def _pq_train_ctes(n_iters: int, sample_fraction: float | None, sub: int,
+                   p: str = "", resid: str = "resid",
+                   seed: str = "cb0") -> tuple[list[str], str]:
+    """Chained-CTE per-subspace Lloyd iterations over residuals — the SQL
+    transcription of pq.pq_train_codebooks (assignment by 6-dp-rounded
+    squared distance with lowest-code tie-break, means as exact DECIMAL
+    sums, md5-threshold sampling). ``resid``/``seed`` name in-scope CTEs
+    with (vec_id, dim, r) / (m, ds, k, coord); ``p`` prefixes the generated
+    names so several instantiations share one WITH block. Returns
+    (ctes, final_codebook_cte)."""
+    where = ""
+    if sample_fraction is not None:
+        thresh = int(sample_fraction * 2**32)
+        where = (
+            "\n  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))"
+            f"::BIGINT < {thresh}"
+        )
+    ctes = [f"""{p}tr AS (
+  SELECT vec_id, (dim - 1) // {sub} AS m, (dim - 1) % {sub} + 1 AS ds, r
+  FROM {resid}{where})"""]
+    prev = seed
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""{p}td{i} AS (
+  SELECT t.vec_id, t.m, cb.k,
+         ROUND(SUM((t.r - cb.coord) * (t.r - cb.coord)), 6) AS d
+  FROM {p}tr t JOIN {prev} cb ON cb.m = t.m AND cb.ds = t.ds
+  GROUP BY t.vec_id, t.m, cb.k)""")
+        ctes.append(f"""{p}ta{i} AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM {p}td{i})
+  WHERE rn = 1)""")
+        ctes.append(f"""{p}tm{i} AS (
+  SELECT a.m, t.ds, a.k,
+         ROUND(CAST(SUM(CAST(t.r AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS coord
+  FROM {p}ta{i} a JOIN {p}tr t ON t.vec_id = a.vec_id AND t.m = a.m
+  GROUP BY a.m, t.ds, a.k)""")
+        ctes.append(f"""{p}cb{i} AS (
+  SELECT p.m, p.ds, p.k, COALESCE(x.coord, p.coord) AS coord
+  FROM {prev} p LEFT JOIN {p}tm{i} x
+    ON x.m = p.m AND x.ds = p.ds AND x.k = p.k)""")
+        prev = f"{p}cb{i}"
+    return ctes, prev
+
+
+def _pq_sql(trained: bool = True, rerank: int | None = None) -> str:
+    if rerank is None:
+        rerank = _PQ_RERANK
     cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
     books = pq.pq_codebooks(_SRP_DIM)
     sub = _SRP_DIM // len(books)
@@ -1279,6 +1347,15 @@ def _pq_sql() -> str:
         for k, entry in enumerate(bm)
         for ds, coord in enumerate(entry)
     )
+    if trained:
+        tctes, final = _pq_train_ctes(_PQB_ITERS, _PQB_SAMPLE, sub)
+        book_ctes = ",\n".join(
+            [f"cb0(m, ds, k, coord) AS (SELECT * FROM (VALUES {cb_vals}))"]
+            + tctes
+            + [f"cbl AS (SELECT m, ds, k, coord FROM {final})"]
+        )
+    else:
+        book_ctes = f"cbl(m, ds, k, coord) AS (SELECT * FROM (VALUES {cb_vals}))"
     dots_list = ", ".join(
         f"ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
         f"CAST({c} AS DOUBLE[])), 6)"
@@ -1292,11 +1369,11 @@ ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
               CAST(unnest(embedding) AS DOUBLE) AS raw
        FROM embeddings),
 centl(cell, dim, coord) AS (SELECT * FROM (VALUES {cent_vals})),
-cbl(m, ds, k, coord) AS (SELECT * FROM (VALUES {cb_vals})),
 resid AS (
   SELECT e.vec_id, e.dim, ROUND(e.raw - c.coord, 6) AS r
   FROM ex e JOIN cells cl ON cl.vec_id = e.vec_id
   JOIN centl c ON c.cell = cl.cell AND c.dim = e.dim),
+{book_ctes},
 dist AS (
   SELECT r.vec_id, cb.m, cb.k,
          ROUND(SUM((r.r - cb.coord) * (r.r - cb.coord)), 6) AS d
@@ -1341,7 +1418,7 @@ topr AS (
   SELECT vec_id, cell, adc_cos FROM (
     SELECT *, ROW_NUMBER() OVER (ORDER BY adc_cos DESC, vec_id) AS rn
     FROM cand)
-  WHERE rn <= {_PQ_RERANK}),
+  WHERE rn <= {rerank}),
 x AS (SELECT t.vec_id, t.cell, t.adc_cos,
              CAST(unnest(e.embedding) AS DOUBLE) AS a,
              generate_subscripts(e.embedding, 1) AS i
@@ -1453,23 +1530,23 @@ def _trained_cents(e) -> list[list[float]]:
     return out
 
 
-def _ivf_mean_recall(e, cents: list[list[float]], label: str):
-    """Mean recall@10 over the first _RT_QUERIES vectors as queries: a hit is
-    an exact-top-10 member whose assigned cell is among the query's n_probe
-    nearest cells (such a member always survives the exact rerank, so this
-    equals top-10 intersection). Multi-query averaging is the statistically
-    meaningful form — single-query recall differences are noise."""
-    qrows = sorted(
+def _mq_qrows(e) -> list[tuple[int, list[float]]]:
+    """The first _RT_QUERIES vectors as (qid, vector) — a bounded driver
+    read (k x dim floats) shared by every multi-query recall row."""
+    return sorted(
         (r["vec_id"], [float(x) for x in r["embedding"]])
         for r in e.filter(F.col("vec_id") < _RT_QUERIES)
         .select("vec_id", "embedding").collect()
     )
-    spark = e.sparkSession
-    qdf = spark.createDataFrame(
+
+
+def _mq_exact10(e, qrows):
+    """Exact top-10 per query (qid, vec_id): broadcast the query side onto
+    every vector — the ground truth every recall row compares against."""
+    qdf = e.sparkSession.createDataFrame(
         [(qid, qv) for qid, qv in qrows], "qid bigint, qv array<double>"
     )
-    # exact top-10 per query: broadcast the 20-query side onto every vector
-    ranked = (
+    return (
         e.select("vec_id", "embedding")
         .join(F.broadcast(qdf))
         .select(
@@ -1485,6 +1562,17 @@ def _ivf_mean_recall(e, cents: list[list[float]], label: str):
         .filter(F.col("rn") <= 10)
         .select("qid", "vec_id")
     )
+
+
+def _ivf_mean_recall(e, cents: list[list[float]], label: str):
+    """Mean recall@10 over the first _RT_QUERIES vectors as queries: a hit is
+    an exact-top-10 member whose assigned cell is among the query's n_probe
+    nearest cells (such a member always survives the exact rerank, so this
+    equals top-10 intersection). Multi-query averaging is the statistically
+    meaningful form — single-query recall differences are noise."""
+    qrows = _mq_qrows(e)
+    spark = e.sparkSession
+    ranked = _mq_exact10(e, qrows)
     asg = similarity.ivf_assign_cells(e, "vec_id", "embedding", cents).select(
         "vec_id", "cell"
     )
@@ -1507,6 +1595,75 @@ def _ivf_mean_recall(e, cents: list[list[float]], label: str):
     )
 
 
+def _pq_mean_recall(e, books: list[list[list[float]]], label: str,
+                    rerank: int):
+    """Mean ADC-survival recall@10 over the first _RT_QUERIES queries: a hit
+    is an exact-top-10 member that lands in a probed cell AND survives the
+    ADC rerank cut — any such member wins the exact verify, so this equals
+    final top-10 intersection. At a TIGHT rerank this isolates CODEBOOK
+    quality: cell coverage is book-independent, so the seeded-vs-trained
+    delta is pure ADC ranking power (the round-4 ivf_pq row, at rerank 80,
+    saturates on cell coverage and cannot see the books)."""
+    import math
+
+    spark = e.sparkSession
+    cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
+    qrows = _mq_qrows(e)
+    exact10 = _mq_exact10(e, qrows)
+    probes = spark.createDataFrame(
+        [
+            (qid, c)
+            for qid, qv in qrows
+            for c in similarity._probe_cells(qv, cents, _IVF_PROBE)
+        ],
+        "qid bigint, cell int",
+    )
+    # per-query ADC metadata rides a broadcast row per query — tiny
+    qmeta = spark.createDataFrame(
+        [
+            (
+                qid,
+                [round(similarity.pydot(qv, c), 6) for c in cents],
+                pq.adc_table(qv, books),
+                round(math.sqrt(similarity.pydot(qv, qv)), 6),
+            )
+            for qid, qv in qrows
+        ],
+        "qid bigint, qdots array<double>, qdt array<array<double>>, qnorm double",
+    )
+    enc = pq.pq_encode(e, "vec_id", "embedding", cents, books)
+    cand = (
+        enc.filter(F.col("vnorm") != 0)
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qmeta), "qid")
+    )
+    adc = F.element_at(F.col("qdots"), F.col("cell"))
+    for mi in range(len(books)):
+        code = F.shiftright(F.col("codes"), 4 * mi).bitwiseAND(F.lit(15))
+        adc = adc + F.element_at(
+            F.element_at(F.col("qdt"), mi + 1), (code + 1).cast("int")
+        )
+    survivors = (
+        cand.withColumn(
+            "adc_cos",
+            F.round(F.round(adc, 6) / (F.col("qnorm") * F.col("vnorm")), 6),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("adc_cos").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= rerank)
+        .select("qid", "vec_id")
+    )
+    return exact10.join(survivors, ["qid", "vec_id"], "left_semi").agg(
+        F.lit(label).alias("method"),
+        F.count("*").alias("n_hits"),
+        F.round(F.count("*") / float(10 * _RT_QUERIES), 6).alias("recall"),
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """Index-quality evidence: recall@10 of the ANN scale paths against the
     exact brute-force top-10 — the measurement that justifies probe/cell
@@ -1515,7 +1672,11 @@ def q_ann_recall(spark, sf_dir):
     two MULTI-QUERY mean-recall rows comparing k-means-TRAINED centroids
     against the seeded ones at equal probe count: training the coarse
     quantizer on the data beats random directions (round-3 verdict #5),
-    which single-query recall cannot resolve from noise."""
+    which single-query recall cannot resolve from noise. Round 5 adds the
+    PQ mirror (verdict #1): pq_seeded_mq vs pq_trained_mq — mean ADC-
+    survival recall at a TIGHT rerank (_PQ_TIGHT), where cell coverage is
+    held fixed and the delta is codebook quality alone (the rerank-80
+    ivf_pq row saturates on cell coverage and cannot see the books)."""
     exact = q_ann_topk(spark, sf_dir).select("vec_id")
     probes = {
         "lsh_multiprobe": q_ann_lsh_topk(spark, sf_dir).select("vec_id"),
@@ -1535,6 +1696,16 @@ def q_ann_recall(spark, sf_dir):
     cents0 = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
     parts.append(_ivf_mean_recall(e, cents0, "ivf_seeded_mq"))
     parts.append(_ivf_mean_recall(e, _trained_cents(e), "ivf_trained_mq"))
+    # codebook-quality pair (round-4 verdict #1): same probes, same TIGHT
+    # rerank — the only difference is seeded Gaussian books vs books
+    # k-means-trained on residual samples, so the recall delta is the
+    # training gain itself
+    parts.append(
+        _pq_mean_recall(e, pq.pq_codebooks(_SRP_DIM), "pq_seeded_mq", _PQ_TIGHT)
+    )
+    parts.append(
+        _pq_mean_recall(e, _trained_books(e), "pq_trained_mq", _PQ_TIGHT)
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1568,6 +1739,54 @@ def _mq_recall_ctes(cent_cte: str, p: str) -> list[str]:
     ]
 
 
+def _pq_mq_ctes(p2: str, books_cte: str, sub: int, rerank: int) -> list[str]:
+    """ADC-survival recall CTEs for one codebook set (``books_cte`` with
+    (m, ds, k, coord)) against the shared presid/qs/sdasg/sdpr/pqc/vnr/qnr
+    CTEs — the SQL transcription of _pq_mean_recall."""
+    return [
+        f"""{p2}dist AS (
+  SELECT r.vec_id, cb.m, cb.k,
+         ROUND(SUM((r.r - cb.coord) * (r.r - cb.coord)), 6) AS d
+  FROM presid r JOIN {books_cte} cb
+    ON cb.m = (r.dim - 1) // {sub} AND cb.ds = (r.dim - 1) % {sub} + 1
+  GROUP BY r.vec_id, cb.m, cb.k)""",
+        f"""{p2}code AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM {p2}dist)
+  WHERE rn = 1)""",
+        f"""{p2}qdt AS (
+  SELECT q.qid, cb.m, cb.k, ROUND(SUM(q.raw * cb.coord), 6) AS dt
+  FROM qs q JOIN {books_cte} cb
+    ON cb.m = (q.dim - 1) // {sub} AND cb.ds = (q.dim - 1) % {sub} + 1
+  GROUP BY q.qid, cb.m, cb.k)""",
+        f"""{p2}adc AS (
+  SELECT c.vec_id, d.qid, SUM(d.dt) AS s
+  FROM {p2}code c JOIN {p2}qdt d ON d.m = c.m AND d.k = c.k
+  GROUP BY c.vec_id, d.qid)""",
+        f"""{p2}cand AS (
+  SELECT a.qid, a.vec_id,
+         ROUND(ROUND(q.qc + a.s, 6) / (qn.qnorm * v.vnorm), 6) AS adc_cos
+  FROM {p2}adc a
+  JOIN sdasg g ON g.vec_id = a.vec_id
+  JOIN sdpr pr ON pr.qid = a.qid AND pr.cell = g.cell
+  JOIN pqc q ON q.qid = a.qid AND q.cell = g.cell
+  JOIN vnr v ON v.vec_id = a.vec_id
+  JOIN qnr qn ON qn.qid = a.qid
+  WHERE v.vnorm <> 0)""",
+        f"""{p2}topr AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_cos DESC, vec_id) AS rn
+    FROM {p2}cand)
+  WHERE rn <= {rerank})""",
+        f"""{p2}hit AS (
+  SELECT COUNT(*) AS n
+  FROM ex10 e JOIN {p2}topr t ON t.qid = e.qid AND t.vec_id = e.vec_id)""",
+    ]
+
+
 def _ann_recall_sql() -> str:
     km_ctes, km_final = _kmeans_ctes(_IVF_CELLS, _RT_ITERS, p="t")
     cents0 = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
@@ -1598,6 +1817,33 @@ def _ann_recall_sql() -> str:
     FROM qcos)
   WHERE rn <= 10)""",
     ]
+    books = pq.pq_codebooks(_SRP_DIM)
+    sub = _SRP_DIM // len(books)
+    pcb_vals = ", ".join(
+        f"({m}, {ds + 1}, {k}, {coord})"
+        for m, bm in enumerate(books)
+        for k, entry in enumerate(bm)
+        for ds, coord in enumerate(entry)
+    )
+    pq_shared = [
+        f"pcb0(m, ds, k, coord) AS (SELECT * FROM (VALUES {pcb_vals}))",
+        # residuals w.r.t. the SEEDED cell assignment (sdasg) — the same
+        # cells both book sets encode against
+        """presid AS (
+  SELECT x.vec_id, x.dim, ROUND(x.raw - c.coord, 6) AS r
+  FROM ex2 x JOIN sdasg a ON a.vec_id = x.vec_id
+  JOIN sc c ON c.cell = a.cell AND c.dim = x.dim)""",
+        "vnr AS (SELECT vec_id, ROUND(sqrt(nn), 6) AS vnorm FROM norms)",
+        f"""qnr AS (
+  SELECT vec_id AS qid, ROUND(sqrt(nn), 6) AS qnorm
+  FROM norms WHERE vec_id < {_RT_QUERIES})""",
+        f"""pqc AS (
+  SELECT vec_id AS qid, cell, dt AS qc
+  FROM sdcd WHERE vec_id < {_RT_QUERIES})""",
+    ]
+    pbt_ctes, pbt_final = _pq_train_ctes(
+        _PQB_ITERS, _PQB_SAMPLE, sub, p="pb", resid="presid", seed="pcb0"
+    )
     body = ",\n".join(
         ["exact AS (SELECT vec_id FROM ({}))".format(SQL_ANN),
          "lsh AS (SELECT vec_id FROM ({}))".format(SQL_ANN_LSH),
@@ -1606,6 +1852,9 @@ def _ann_recall_sql() -> str:
         + km_ctes + shared
         + _mq_recall_ctes("sc", "sd")
         + _mq_recall_ctes("tc", "tr")
+        + pq_shared + pbt_ctes
+        + _pq_mq_ctes("ps", "pcb0", sub, _PQ_TIGHT)
+        + _pq_mq_ctes("pt", pbt_final, sub, _PQ_TIGHT)
     )
     denom = float(10 * _RT_QUERIES)
     return f"""
@@ -1623,6 +1872,10 @@ UNION ALL
 SELECT 'ivf_seeded_mq', n, ROUND(n / {denom}, 6) FROM sdhit
 UNION ALL
 SELECT 'ivf_trained_mq', n, ROUND(n / {denom}, 6) FROM trhit
+UNION ALL
+SELECT 'pq_seeded_mq', n, ROUND(n / {denom}, 6) FROM pshit
+UNION ALL
+SELECT 'pq_trained_mq', n, ROUND(n / {denom}, 6) FROM pthit
 """
 
 

@@ -251,6 +251,33 @@ def test_trained_centroids_beat_seeded_at_equal_probe(spark):
     rows = {r["method"]: r["recall"]
             for r in q_ann_recall(spark, "/root/testdata/sf0.01").collect()}
     assert rows["ivf_trained_mq"] > rows["ivf_seeded_mq"], rows
+    # the PQ mirror (round-4 verdict #1): at the TIGHT rerank — where cell
+    # coverage is held fixed and only ADC ranking differs — books k-means-
+    # trained on residual samples must beat the seeded Gaussians
+    assert rows["pq_trained_mq"] > rows["pq_seeded_mq"], rows
+
+
+def test_pq_codebook_training_is_deterministic_and_sampled(spark):
+    """pq_train_codebooks: same inputs -> bit-identical codebooks; the
+    md5-threshold sample is a strict subset; bad arguments raise."""
+    import pytest
+
+    from complete_ocr_spark.functions import pq
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = similarity.ivf_centroids(64, 8)
+    kw = dict(n_iters=2, sample_fraction=0.5)
+    key = lambda r: (r["m"], r["k"], r["ds"])  # noqa: E731
+    a = pq.pq_train_codebooks(e, "vec_id", "embedding", cents, **kw).collect()
+    b = pq.pq_train_codebooks(e, "vec_id", "embedding", cents, **kw).collect()
+    assert {key(r): r["coord"] for r in a} == {key(r): r["coord"] for r in b}
+    n_sampled = sum(r["n_members"] for r in a if r["m"] == 0 and r["ds"] == 1)
+    assert 0 < n_sampled < 500  # a strict subset of the 500 vectors
+    with pytest.raises(ValueError, match="n_iters"):
+        pq.pq_train_codebooks(e, "vec_id", "embedding", cents, n_iters=0)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        pq.pq_train_codebooks(e, "vec_id", "embedding", cents,
+                              sample_fraction=2.0)
 
 
 def test_ivf_index_at_rest_partition_prunes_and_matches_broadcast(spark, tmp_path):

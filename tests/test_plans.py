@@ -130,7 +130,24 @@ def test_plan_size_guard_on_literal_heavy_queries(spark):
         assert len(plan) < bound, f"{name}: plan {len(plan)} chars >= {bound}"
 
 
-def test_spatial_band_join_is_equi_join_not_cartesian(spark):
+def test_pq_probe_plan_is_constant_in_n_cells(spark):
+    """Round-4 verdict note #1: the ADC per-cell query-dot array (and the
+    M x K lookup table) must ride the broadcast row as DATA, not plan
+    literals — at a deployment's 1k+ cells a literal array would grow the
+    plan linearly. Pin: plan size at 1024 cells ~ plan size at 8 cells."""
+    from complete_ocr_spark.functions import pq, similarity
+
+    e = spark.read.parquet(SF_DIR + "/embeddings.parquet").limit(50)
+    qv = [float(x) for x in
+          e.filter("vec_id = 0").select("embedding").head()[0]]
+    books = pq.pq_codebooks(64)
+    sizes = {}
+    for n_cells in (8, 1024):
+        cents = similarity.ivf_centroids(64, n_cells)
+        sizes[n_cells] = len(_plan(pq.ann_ivf_pq_topk(
+            e, "vec_id", "embedding", qv, cents, books, n_probe=4, rerank=30
+        )))
+    assert sizes[1024] < sizes[8] * 1.5, sizes
     """The y-band join must hash on (doc_id, offset, band) with the overlap
     predicate residual — never a nested-loop/cartesian pair blowup."""
     plan = _plan(REGISTRY["q_spatial_band_join"][0](spark, SF_DIR))
