@@ -1432,6 +1432,33 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_pq_idx(spark, sf_dir):
+    """q_ann_pq routed through the AT-REST IVFADC layout (round-4 verdict
+    #7): write_ivf_pq_index lays (vec_id, codes, vnorm, v) out partitioned
+    BY CELL, and the probe partition-prunes to n_probe/n_cells before any
+    file opens, scores the pruned rows from codes+norm alone (the ADC scan
+    never reads the float vector column), and fetches vectors only for the
+    rerank survivors' exact verify. Rows are identical to q_ann_pq — the
+    oracle is the same generated SQL — so the DuckDB gate now covers the
+    layout the 100x deployment would serve from, not only the in-query
+    encode. The pruned/narrow plan shape itself is pinned by
+    tests/test_plans.py::test_pq_index_query_prunes_partitions_and_columns."""
+    import shutil
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
+    books = _trained_books(e)
+    path = _scratch("ivf_pq_index", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    pq.write_ivf_pq_index(e, "vec_id", "embedding", cents, books, path)
+    return pq.ann_ivf_pq_topk_from_index(
+        spark, path, qv, cents, books,
+        n_probe=_IVF_PROBE, rerank=_PQ_RERANK, k=10,
+    )
+
+
 _KM_CELLS, _KM_ITERS = 8, 2
 
 
@@ -2422,11 +2449,9 @@ SELECT doc_id, "offset", kind, text, media_ref FROM '{GOLDEN_OPT_SF001}'
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q05_region_revenue": (q05_region_revenue, SQL_Q05),
-    "q_brand_volume": (q_brand_volume, SQL_BRAND),
     "q_customers_without_orders": (q_customers_without_orders, SQL_ANTI),
     "q_active_suppliers": (q_active_suppliers, SQL_SEMI),
     "q_top3_suppliers_per_nation": (q_top3_suppliers_per_nation, SQL_TOP3),
-    "q_orders_rollup": (q_orders_rollup, SQL_ROLLUP),
     "q_order_bbox": (q_order_bbox, SQL_BBOX),
     "q_value_percentiles": (q_value_percentiles, SQL_PCTL),
     "q_event_type_matrix": (q_event_type_matrix, SQL_MATRIX),
@@ -2454,6 +2479,7 @@ REGISTRY: dict[str, tuple] = {
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "q_ann_ivf_bcast": (q_ann_ivf_bcast, _ivf_sql()),
     "q_ann_pq": (q_ann_pq, _pq_sql()),
+    "q_ann_pq_idx": (q_ann_pq_idx, _pq_sql()),
     "q_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "q_docs_span_stats": (q_docs_span_stats, SQL_DOCS_STATS),
     "q_strip_text_blocks": (q_strip_text_blocks, SQL_STRIP),
@@ -2481,9 +2507,12 @@ REGISTRY: dict[str, tuple] = {
 # — all still hash-checked against DuckDB every pytest run
 # (tests/test_queries_duckdb.py parametrizes over REGISTRY + ANCHOR_REGISTRY).
 ANCHOR_REGISTRY: dict[str, tuple] = {
-    # q03 is round-1 TPC-H scaffolding (no SURVEY §2 row cites it); folded to
-    # make room for q_corpus_curation in the 50-entry driver window
+    # q03/q_brand_volume/q_orders_rollup are round-1 TPC-H scaffolding (no
+    # SURVEY §2 row cites them); folded to make room for q_corpus_curation /
+    # q_ann_pq_idx / q_segment_dedup in the 50-entry driver window
     "q03_top_orders": (q03_top_orders, SQL_Q03),
+    "q_brand_volume": (q_brand_volume, SQL_BRAND),
+    "q_orders_rollup": (q_orders_rollup, SQL_ROLLUP),
     "q_simhash": (q_simhash, _simhash_sql()),
     "q_simhash_near_dup": (q_simhash_near_dup, _simhash_near_dup_sql(4)),
     "q_ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),

@@ -148,6 +148,25 @@ def test_pq_probe_plan_is_constant_in_n_cells(spark):
             e, "vec_id", "embedding", qv, cents, books, n_probe=4, rerank=30
         )))
     assert sizes[1024] < sizes[8] * 1.5, sizes
+
+
+def test_pq_index_query_prunes_partitions_and_columns(spark):
+    """q_ann_pq_idx (the at-rest IVFADC layout under the DuckDB gate): the
+    ADC-side scan must carry a partition filter on cell (the probe prunes to
+    n_probe/n_cells before any file opens) and must NOT read the float
+    vector column — vectors are fetched only by the exact-verify join."""
+    plan = _plan(REGISTRY["q_ann_pq_idx"][0](spark, SF_DIR))
+    adc_scans = [seg for seg in plan.split("FileScan parquet")[1:]
+                 if "codes" in seg.split("ReadSchema:")[1].split("\n")[0]]
+    assert adc_scans, plan
+    for seg in adc_scans:
+        pf = seg.split("PartitionFilters:")[1].split("]")[0]
+        assert "cell" in pf, seg
+        read_schema = seg.split("ReadSchema:")[1].split("\n")[0]
+        assert "v:" not in read_schema, read_schema
+
+
+def test_spatial_band_join_is_equi_join_not_cartesian(spark):
     """The y-band join must hash on (doc_id, offset, band) with the overlap
     predicate residual — never a nested-loop/cartesian pair blowup."""
     plan = _plan(REGISTRY["q_spatial_band_join"][0](spark, SF_DIR))
