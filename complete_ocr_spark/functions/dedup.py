@@ -462,3 +462,77 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "n_inter", "n1", "n2", "jaccard")
     )
+
+
+def segment_dup_spans(df: DataFrame, id_col: str, text_col: str,
+                      win: int = 20, stride: int = 10) -> DataFrame:
+    """SEGMENT-level exact dedup: maximal token spans a document shares with
+    an earlier document — the repeated-SPAN removal pass (boilerplate
+    paragraphs, licenses, templates) that whole-doc dedup cannot see: a
+    repeated span at 10% of each doc moves SimHash-64 far beyond
+    max_hamming=3, yet is exactly what a training-data pipeline must strip.
+
+    Shape (one fingerprint pass, no pairwise join — the reference point is
+    the suffix-array/Bloom "exact substring" dedup of the C4/RefinedWeb
+    lineage, re-expressed as Spark-native window fingerprinting):
+
+    * tokenize the normalized text; fingerprint every ``win``-token window
+      starting at multiples of ``stride`` with md5 — fixed-length shingles,
+      so a shared run of w >= win tokens is guaranteed to share at least one
+      aligned window when ``stride`` divides the alignment offset (stride <=
+      win/2 gives overlap coverage; exact boundaries are quantized to the
+      stride grid).
+    * canonical owner per fingerprint = min doc id, via groupBy (partial
+      aggregation collapses hot boilerplate fingerprints map-side — a
+      window-function MIN over the fp partition would put 10^8 occurrences
+      of one license text into one task; the groupBy form cannot skew).
+    * each later doc's matching windows join back on the fingerprint
+      (AQE skew-join splits any residual hot key) and ADJACENT hits against
+      the same owner merge into maximal spans (gaps-and-islands on the
+      stride grid).
+
+    Returns (doc_id, dup_of, span_start, span_end, n_windows): token-index
+    span [span_start, span_end) of ``doc_id`` also present in ``dup_of``
+    (the earliest doc holding every merged window), n_windows = merged
+    window count. Docs shorter than ``win`` tokens are whole-doc dedup's
+    job (exact_dup_groups) and emit nothing here."""
+    if stride < 1 or win < 1 or stride > win:
+        raise ValueError(f"need 1 <= stride <= win, got win={win} stride={stride}")
+    toks = F.split(normalized(F.col(text_col)), " ")
+    wins = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+        .filter(F.size("t") >= win)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("t") - win, F.lit(stride))
+            ).alias("ws"),
+            "t",
+        )
+        .select(
+            "doc_id", "ws",
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("ws") + 1, win)))
+            .alias("fp"),
+        )
+    )
+    canon = wins.groupBy("fp").agg(F.min("doc_id").alias("dup_of"))
+    hits = (
+        wins.join(canon, "fp")
+        .filter(F.col("doc_id") > F.col("dup_of"))
+        .select("doc_id", "dup_of", "ws")
+    )
+    from pyspark.sql import Window as W
+
+    run = F.expr(f"ws div {stride}") - F.row_number().over(
+        W.partitionBy("doc_id", "dup_of").orderBy("ws")
+    )
+    return (
+        hits.withColumn("g", run)
+        .groupBy("doc_id", "dup_of", "g")
+        .agg(
+            F.min("ws").alias("span_start"),
+            (F.max("ws") + win).cast("int").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("g")
+    )

@@ -1101,6 +1101,53 @@ WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05
 """
 
 
+_SEG_WIN, _SEG_STRIDE = 20, 10  # segment dedup: window tokens, stride grid
+
+
+def q_segment_dedup(spark, sf_dir):
+    """SEGMENT-level exact dedup (round-4 verdict #2): maximal shared token
+    spans across documents via stride-bucketed window fingerprints — the
+    repeated-span pass (boilerplate paragraphs, licenses) that doc-level
+    SimHash at max_hamming=3 provably cannot flag when the shared span is a
+    small fraction of each doc (pinned by
+    tests/test_dedup_props.py::test_segment_dedup_finds_simhash_blind_spans).
+    One fingerprint shuffle, skew-proof canonical-owner groupBy, gaps-and-
+    islands merge — functions.dedup.segment_dup_spans."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.segment_dup_spans(
+        d, "doc_id", "text", win=_SEG_WIN, stride=_SEG_STRIDE
+    )
+
+
+def _segment_dedup_sql(win: int = None, stride: int = None,
+                       src: str = "documents") -> str:
+    win = _SEG_WIN if win is None else win
+    stride = _SEG_STRIDE if stride is None else stride
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM {src}),
+wins AS (
+  SELECT doc_id, CAST(u.ws AS INT) AS ws,
+         md5(array_to_string(t[u.ws + 1 : u.ws + {win}], ' ')) AS fp
+  FROM toks, LATERAL unnest(range(0, len(t) - {win} + 1, {stride})) AS u(ws)),
+canon AS (SELECT fp, MIN(doc_id) AS dup_of FROM wins GROUP BY fp),
+hits AS (
+  SELECT w.doc_id, c.dup_of, w.ws
+  FROM wins w JOIN canon c USING (fp)
+  WHERE w.doc_id > c.dup_of),
+grp AS (
+  SELECT doc_id, dup_of, ws,
+         ws // {stride}
+         - ROW_NUMBER() OVER (PARTITION BY doc_id, dup_of ORDER BY ws) AS g
+  FROM hits)
+SELECT doc_id, dup_of, MIN(ws) AS span_start,
+       CAST(MAX(ws) + {win} AS INT) AS span_end, COUNT(*) AS n_windows
+FROM grp GROUP BY doc_id, dup_of, g
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -2475,6 +2522,7 @@ REGISTRY: dict[str, tuple] = {
     "q_minhash_bands": (q_minhash_bands, _minhash_bands_sql()),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
+    "q_segment_dedup": (q_segment_dedup, _segment_dedup_sql()),
     "q_ann_topk": (q_ann_topk, SQL_ANN),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "q_ann_ivf_bcast": (q_ann_ivf_bcast, _ivf_sql()),

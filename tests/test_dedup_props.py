@@ -489,3 +489,65 @@ def test_curate_corpus_drop_reasons_and_determinism(spark):
         for r in curate_corpus(d, "doc_id", "text").collect()
     }
     assert again == out
+
+
+def test_segment_dedup_finds_simhash_blind_spans(spark):
+    """Two docs share one 25-token paragraph (~12% of each); the rest is
+    unrelated. Doc-level SimHash-64 at max_hamming=3 must NOT pair them —
+    exactly the blind spot segment-level dedup exists for — while
+    segment_dup_spans recovers the shared span with stride-quantized
+    boundaries and the earlier doc as owner."""
+    shared = " ".join(f"license term{i} clause" for i in range(8)) + " end"
+    assert len(shared.split()) == 25
+    fill_a = " ".join(f"alpha{i} beta{i}" for i in range(90))
+    fill_b = " ".join(f"gamma{i} delta{i}" for i in range(90))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{fill_a} {shared}"),
+            (2, f"{fill_b} {shared}"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = dedup.simhash_hamming_pairs(
+        docs, "doc_id", "text", max_hamming=3, n_blocks=4
+    ).collect()
+    assert pairs == [], pairs  # SimHash is blind to the shared span
+
+    spans = dedup.segment_dup_spans(docs, "doc_id", "text",
+                                    win=20, stride=10).collect()
+    assert len(spans) == 1, spans
+    s = spans[0]
+    assert (s["doc_id"], s["dup_of"]) == (2, 1)
+    # both docs are 180 fill + 25 shared tokens; the shared run occupies
+    # [180, 205) in each, so stride-10 windows at ws=180 (fp of tokens
+    # 180..199) hit in both docs; ws=190 would span past token 205 into
+    # unrelated fill, so exactly one aligned window matches
+    assert s["span_start"] == 180 and s["span_end"] == 200
+    assert s["n_windows"] == 1
+
+
+def test_segment_dedup_merges_adjacent_windows_and_guards(spark):
+    """A long shared prefix merges into ONE maximal span per owner;
+    short docs emit nothing; bad geometry raises."""
+    import pytest
+
+    shared = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (10, shared + " " + " ".join(f"xx{i}" for i in range(40))),
+            (11, shared + " " + " ".join(f"yy{i}" for i in range(40))),
+            (12, "tiny doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = dedup.segment_dup_spans(docs, "doc_id", "text",
+                                    win=20, stride=10).collect()
+    # doc 11 shares tokens [0, 60) with doc 10: windows at ws=0..40 hit
+    # (ws=50 spans tokens 50..69, which differ) and merge into one span
+    assert len(spans) == 1, spans
+    s = spans[0]
+    assert (s["doc_id"], s["dup_of"]) == (11, 10)
+    assert s["span_start"] == 0 and s["span_end"] == 60
+    assert s["n_windows"] == 5
+    with pytest.raises(ValueError, match="stride"):
+        dedup.segment_dup_spans(docs, "doc_id", "text", win=10, stride=20)
