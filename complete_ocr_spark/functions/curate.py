@@ -5,19 +5,27 @@ into a training corpus.
 Per document, in the order large pipelines apply them (cheapest filter
 first, each a reason the judge of a dropped doc can audit):
 
-1. ``lang``     — stopword-heuristic language ID (functions.text.lang_id);
-   docs outside ``languages`` drop as ``lang``.
-2. ``quality``  — composite score (functions.text.quality_score); below
-   ``min_quality`` drops as ``quality``.
-3. exact dedup  — md5 fingerprint groups (functions.dedup semantics): only
+1. ``lang``          — stopword-heuristic language ID (functions.text.
+   lang_id); docs outside ``languages`` drop as ``lang``.
+2. ``quality``       — composite score (functions.text.quality_score);
+   below ``min_quality`` drops as ``quality``.
+3. ``dup_lines``     — duplicate-line fraction above ``max_dup_line_frac``
+   (functions.text.dup_line_fraction): templated/machine-generated pages.
+4. ``bigram_repeat`` — modal-bigram mass above ``max_top_bigram_frac``
+   (functions.text.top_bigram_fraction): keyword stuffing, looping text.
+5. ``symbol_ratio``  — symbol characters above ``max_symbol_ratio``
+   (functions.text.symbol_ratio): markup debris, ASCII art.
+   (3-5 are the named, individually auditable Gopher/C4-style heuristic
+   gates — round-4 verdict #3; each is a pure-Catalyst narrow map.)
+6. exact dedup  — md5 fingerprint groups (functions.dedup semantics): only
    the minimum doc id of each identical-content group survives; the rest
    drop as ``exact_dup``.
-4. near dedup   — SimHash <=``max_hamming`` connected components
+7. near dedup   — SimHash <=``max_hamming`` connected components
    (functions.dedup.dup_clusters): only each cluster's minimum doc id
    survives; the rest drop as ``near_dup``.
 
-Output = the input rows annotated with (lang, quality, n_tokens, keep,
-drop_reason) — a VIEW over the corpus, so downstream writers can either
+Output = the input rows annotated with (lang, quality, n_tokens,
+dup_line_frac, top_bigram_frac, sym_ratio, keep, drop_reason) — a VIEW over the corpus, so downstream writers can either
 filter ``keep`` or materialize the audit trail. Every stage is the
 already-oracled operator: one fingerprint shuffle, one banded near-dup
 join + label propagation, everything else a narrow map. The near-dup stage
@@ -33,26 +41,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from . import dedup
-from .text import lang_id, quality_score, token_count
+from .text import (
+    dup_line_fraction,
+    lang_id,
+    quality_score,
+    symbol_ratio,
+    token_count,
+    top_bigram_fraction,
+)
 
 
 def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                   languages: tuple[str, ...] = ("en",),
                   min_quality: float = 0.6,
+                  max_dup_line_frac: float = 0.3,
+                  max_top_bigram_frac: float = 0.12,
+                  max_symbol_ratio: float = 0.25,
                   max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
     """Annotate every document with its keep/drop decision (module doc).
 
-    Returns the input columns plus (lang, quality, n_tokens, keep boolean,
-    drop_reason string|null). Deterministic: survivors of each dedup stage
-    are the minimum doc ids, so re-running curation yields byte-identical
-    decisions."""
+    Returns the input columns plus (lang, quality, n_tokens, dup_line_frac,
+    top_bigram_frac, sym_ratio, keep boolean, drop_reason string|null).
+    Deterministic: survivors of each dedup stage are the minimum doc ids,
+    so re-running curation yields byte-identical decisions."""
     annotated = (
         df.withColumn("lang", lang_id(F.col(text_col)))
         .withColumn("quality", quality_score(F.col(text_col)))
         .withColumn("n_tokens", token_count(F.col(text_col)))
+        .withColumn("dup_line_frac", dup_line_fraction(F.col(text_col)))
+        .withColumn("top_bigram_frac", top_bigram_fraction(F.col(text_col)))
+        .withColumn("sym_ratio", symbol_ratio(F.col(text_col)))
     )
     passed = annotated.filter(
-        F.col("lang").isin(list(languages)) & (F.col("quality") >= min_quality)
+        F.col("lang").isin(list(languages))
+        & (F.col("quality") >= min_quality)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("sym_ratio") <= max_symbol_ratio)
     )
     # exact dedup: every doc that is NOT its fingerprint group's minimum id
     fp = passed.select(
@@ -76,6 +101,9 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
     reason = (
         F.when(~F.col("lang").isin(list(languages)), "lang")
         .when(F.col("quality") < min_quality, "quality")
+        .when(F.col("dup_line_frac") > max_dup_line_frac, "dup_lines")
+        .when(F.col("top_bigram_frac") > max_top_bigram_frac, "bigram_repeat")
+        .when(F.col("sym_ratio") > max_symbol_ratio, "symbol_ratio")
         .when(F.col("_exact_dup"), "exact_dup")
         .when(F.col("_near_dup"), "near_dup")
     )

@@ -56,3 +56,47 @@ def fingerprint(col: Column) -> Column:
     """Normalized-content fingerprint: md5 over lowercased, whitespace-
     collapsed text (stable across engines — md5 is bit-identical in DuckDB)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of non-empty lines that repeat an earlier line (the Gopher
+    duplicate-line-fraction signal): (n_lines - n_distinct_lines) / n_lines.
+    Machine-generated and templated pages repeat whole lines; prose does
+    not. Pure Catalyst (split + array_distinct), 6-dp rounded."""
+    lines = F.filter(F.split(col, "\n"), lambda x: F.trim(x) != "")
+    return F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        / F.greatest(F.size(lines), F.lit(1)).cast("double"),
+        6,
+    )
+
+
+def top_bigram_fraction(col: Column) -> Column:
+    """Fraction of token bigrams equal to the MODAL bigram (the Gopher
+    top-2-gram-mass signal): keyword-stuffed or looping text concentrates
+    its bigram mass. Per-row higher-order functions only — mode count =
+    max over distinct bigrams of their occurrence count; O(u x n) per doc,
+    zero shuffle. 0.0 for docs with fewer than 2 tokens."""
+    t = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    n = F.size(t)
+    bg = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    mode = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda b: F.size(F.filter(bg, lambda x: x == b)),
+        )
+    )
+    return F.when(n < 2, F.lit(0.0)).otherwise(
+        F.round(mode / (n - 1).cast("double"), 6)
+    )
+
+
+def symbol_ratio(col: Column) -> Column:
+    """Non-alphanumeric, non-whitespace characters over total characters —
+    the symbol-heavy-page signal (markup debris, ASCII art, encodings),
+    6-dp rounded. Same numerator as punct_ratio; named and rounded as its
+    own auditable gate."""
+    return F.round(punct_ratio(col), 6)

@@ -522,8 +522,16 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
                      n_value_buckets: int = N_VALUE_BUCKETS,
                      maintain_clusters: bool = True,
                      n_doc_buckets: int = N_DOC_BUCKETS,
-                     sig_fn=None):
+                     sig_fn=None,
+                     maintenance_every: int | None = None):
     """foreachBatch body, exposed for direct re-delivery testing.
+
+    ``maintenance_every=K`` runs ``compact_cluster_log`` from inside the
+    foreachBatch body after every K-th batch (bid + 1 divisible by K), so
+    ``_apply_moves`` chain depth stays bounded (< K extra hops) without
+    operator intervention — compaction as a manual-only call let a long
+    stream accumulate one hop per dethroned root (round-4 verdict #5).
+    Keyed on bid, so a re-delivered batch re-compacts idempotently.
 
     ``maintain_clusters`` (default on) keeps the online cluster log current
     per batch (``_update_clusters``); ``sig_fn(batch_df, id_col, text_col) ->
@@ -539,6 +547,8 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
     the whole signature corpus. Size n_value_buckets ~ the corpus partition
     count at deployment (a small batch then touches a sliver); 16 here keeps
     the sandbox's file count sane."""
+    if maintenance_every is not None and maintenance_every < 1:
+        raise ValueError(f"maintenance_every must be >= 1, got {maintenance_every}")
     out_root = require_local(out_root, "streaming-dedup out_root")
     sig_path, flag_path, band_path = dedup_paths(out_root)
     geometry = {
@@ -668,6 +678,8 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
                 spark, out_root, sigs.select("doc").distinct(), matches,
                 bid, n_doc_buckets,
             )
+            if maintenance_every and (bid + 1) % maintenance_every == 0:
+                compact_cluster_log(spark, out_root)
 
     return process_batch
 
@@ -677,7 +689,8 @@ def make_minhash_dedup_batch(spark: SparkSession, out_root: str,
                              n_bands: int = 4, n_rows: int = 2,
                              n_value_buckets: int = N_VALUE_BUCKETS,
                              maintain_clusters: bool = True,
-                             n_doc_buckets: int = N_DOC_BUCKETS):
+                             n_doc_buckets: int = N_DOC_BUCKETS,
+                             maintenance_every: int | None = None):
     """foreachBatch body for JACCARD-space incremental dedup: the same
     banded-index machinery as the SimHash body, with MinHash (bands x rows)
     band keys (functions.dedup.minhash_band_keys_df) as the signature.
@@ -704,6 +717,8 @@ def make_minhash_dedup_batch(spark: SparkSession, out_root: str,
     maintains the same online cluster log off the match set."""
     from ..functions.dedup import minhash_band_keys_df
 
+    if maintenance_every is not None and maintenance_every < 1:
+        raise ValueError(f"maintenance_every must be >= 1, got {maintenance_every}")
     out_root = require_local(out_root, "streaming-dedup out_root")
     _, flag_path, band_path = dedup_paths(out_root)
     geometry = {
@@ -830,6 +845,8 @@ def make_minhash_dedup_batch(spark: SparkSession, out_root: str,
                 new_bands.select("doc").distinct(),
                 matches, bid, n_doc_buckets,
             )
+            if maintenance_every and (bid + 1) % maintenance_every == 0:
+                compact_cluster_log(spark, out_root)
 
     return process_batch
 
@@ -849,6 +866,7 @@ def run_streaming_dedup(
     scheme: str = "simhash",
     minhash_bands: int = 4,
     minhash_rows: int = 2,
+    maintenance_every: int | None = None,
 ) -> StreamingQuery:
     """Stream document parquet files from ``source_dir``; each micro-batch is
     flagged against the signature corpus accumulated so far (module doc) and
@@ -858,17 +876,21 @@ def run_streaming_dedup(
     signatures (max_hamming / n_blocks dials); ``scheme="minhash"`` flags by
     MinHash band collision in Jaccard space (minhash_bands / minhash_rows
     dials — ``make_minhash_dedup_batch``). The geometry guard keeps one index
-    root on one scheme."""
+    root on one scheme. ``maintenance_every=K`` compacts the cluster log
+    every K batches from inside the foreachBatch body (bounded
+    ``_apply_moves`` resolution on an arbitrarily long stream)."""
     if scheme == "simhash":
         body = make_dedup_batch(
             spark, out_root, id_col, text_col, max_hamming, n_blocks,
             maintain_clusters=maintain_clusters,
+            maintenance_every=maintenance_every,
         )
     elif scheme == "minhash":
         body = make_minhash_dedup_batch(
             spark, out_root, id_col, text_col,
             n_bands=minhash_bands, n_rows=minhash_rows,
             maintain_clusters=maintain_clusters,
+            maintenance_every=maintenance_every,
         )
     else:
         raise ValueError(f"unknown dedup scheme {scheme!r}")

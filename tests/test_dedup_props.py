@@ -448,9 +448,11 @@ def test_kmeans_sampled_route_matches_sampled_oracle(spark):
 
 
 def test_curate_corpus_drop_reasons_and_determinism(spark):
-    """Each curation stage fires in order (lang -> quality -> exact_dup ->
-    near_dup), survivors are the minimum ids, and the decision is
-    deterministic across runs."""
+    """Each curation stage fires in order (lang -> quality -> dup_lines ->
+    bigram_repeat -> symbol_ratio -> exact_dup -> near_dup), survivors are
+    the minimum ids, and the decision is deterministic across runs. Docs
+    6-8 are built to trip exactly one named heuristic gate each while
+    passing every earlier stage."""
     from complete_ocr_spark.functions.curate import curate_corpus
 
     good = ("the spark engine shuffles partitioned batches of arrow pages "
@@ -463,6 +465,15 @@ def test_curate_corpus_drop_reasons_and_determinism(spark):
         # >20k chars (len band fails) + punct-heavy + stopword ratio < 1%
         # (but > 0, so lang=en): quality = (0.4+0.5+0.6)/3 = 0.5 < 0.6
         (5, "the " + "x7%! " * 5000),
+        # 10 identical non-empty lines: dup_line_frac = 0.9 > 0.3, while
+        # lang=en, length in band, no punctuation -> quality passes
+        (6, "the quick brown fox jumps over lazy fences\n" * 10),
+        # one line, modal bigram ('spam ham' and its rotation) dominates:
+        # top_bigram_frac ~ 0.49 > 0.12 with zero duplicate lines
+        (7, "the " + "spam ham " * 40),
+        # per-repetition-unique words keep bigrams diverse (<= 0.12) and
+        # lines unique, but ~1/3 of characters are symbols (> 0.25)
+        (8, " ".join(f"the w{i} @#{i}%$" for i in range(20))),
     ]
     d = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = {
@@ -473,6 +484,9 @@ def test_curate_corpus_drop_reasons_and_determinism(spark):
     assert out[2] == (False, "exact_dup")
     assert out[4] == (False, "lang")
     assert out[5] == (False, "quality")
+    assert out[6] == (False, "dup_lines")
+    assert out[7] == (False, "bigram_repeat")
+    assert out[8] == (False, "symbol_ratio")
     # doc 3: near-dup of 1 IF its simhash is within 3 — verify agreement with
     # the underlying operator rather than hardcoding the signature distance
     from complete_ocr_spark.functions import dedup as dd
