@@ -42,6 +42,11 @@ BENCH_QUERIES = [
     "q_stream_dedup_flags",
     "q_ann_ivf_bcast",
     "q_ann_pq",
+    # round-5 additions (round-4 verdict #6 + the new segment operator): the
+    # heaviest curation/cluster surfaces measured, not inferred
+    "q_corpus_curation",
+    "q_dup_clusters_incr",
+    "q_segment_dedup",
 ]
 
 N_REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -13,10 +13,11 @@ an exact top-k verify.
 Prototype geometry here: dim 64 -> M=8 subspaces x 8 dims, K=16 codes per
 subspace -> 4-bit codes, so a whole vector's PQ payload packs into ONE
 BIGINT (8 codes x 4 bits) + a 6-dp norm — 256 B of float vector becomes
-~12 B. Codebooks are seeded deterministic Gaussians (like ivf_centroids —
-a deployment k-means-trains them on residual samples; the encode/ADC/verify
-plan is identical), and every distance is rounded to 6 decimals so the
-DuckDB oracle reproduces codes and ADC scores bit-for-bit.
+~12 B. Codebooks start as seeded deterministic Gaussians (like
+ivf_centroids) and are k-means-TRAINED on residual samples
+(``pq_train_codebooks`` — per-subspace Lloyd, exact DECIMAL means), and
+every distance is rounded to 6 decimals so the DuckDB oracle reproduces the
+training, the codes, and the ADC scores bit-for-bit.
 
 Shapes (all engine-portable, no Python in the hot path):
 * encode: ONE broadcast row carries centroids + codebooks as DATA (constant

@@ -74,20 +74,36 @@ def dup_line_fraction(col: Column) -> Column:
 def top_bigram_fraction(col: Column) -> Column:
     """Fraction of token bigrams equal to the MODAL bigram (the Gopher
     top-2-gram-mass signal): keyword-stuffed or looping text concentrates
-    its bigram mass. Per-row higher-order functions only — mode count =
-    max over distinct bigrams of their occurrence count; O(u x n) per doc,
-    zero shuffle. 0.0 for docs with fewer than 2 tokens."""
+    its bigram mass. Per-row higher-order functions only, zero shuffle:
+    bigrams via one zip_with over two slices (each input array evaluated
+    once), modal count = longest equal run of the SORTED bigram array via a
+    single aggregate fold — O(n log n) per doc. (A count-per-distinct-bigram
+    formulation looks natural but re-evaluates the bigram-array expression
+    inside every nested lambda — O(u x n) re-builds of n concatenated
+    strings per doc, measured as minutes over 5k docs.) 0.0 for docs with
+    fewer than 2 tokens."""
     t = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
     n = F.size(t)
-    bg = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    pair_len = F.greatest(n - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(t, 1, pair_len),
+        F.slice(t, 2, pair_len),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    mode = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda b: F.size(F.filter(bg, lambda x: x == b)),
-        )
+    run_now = lambda acc, x: (  # noqa: E731 — shared by run and mx fields
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+    )
+    mode = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_now(acc, x).alias("run"),
+            F.greatest(acc["mx"], run_now(acc, x)).alias("mx"),
+        ),
+        lambda acc: acc["mx"],
     )
     return F.when(n < 2, F.lit(0.0)).otherwise(
         F.round(mode / (n - 1).cast("double"), 6)
