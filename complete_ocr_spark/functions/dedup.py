@@ -536,3 +536,56 @@ def segment_dup_spans(df: DataFrame, id_col: str, text_col: str,
         )
         .drop("g")
     )
+
+
+def strip_dup_segments(df: DataFrame, id_col: str, text_col: str,
+                       win: int = 20, stride: int = 10) -> DataFrame:
+    """The consumer of ``segment_dup_spans``: every document re-emitted with
+    its duplicated token spans REMOVED — the pass a training-data pipeline
+    actually runs after span detection (keep the first occurrence, strip the
+    repeats from later docs).
+
+    Returns (doc_id, text_clean, n_kept, n_dropped) for EVERY input doc:
+    text_clean = the normalized tokens outside every detected span, joined
+    by single spaces (docs with no detected spans keep their full normalized
+    token stream); n_dropped counts the stripped tokens. Overlapping spans
+    from different canonical owners union naturally — a token inside ANY
+    span is dropped.
+
+    Scale shape: segment detection's shuffles plus ONE doc-keyed left join
+    (spans aggregate to a per-doc list first, so the join is 1:1) and a
+    per-row token filter over that bounded span list. The span list and
+    token array are materialized as real columns before the lambda filter —
+    inlining them would re-evaluate the split per token (the modal-bigram
+    lesson, BASELINE.md round-5)."""
+    spans = segment_dup_spans(df, id_col, text_col, win=win, stride=stride)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized(F.col(text_col)), " ").alias("_t"),
+    )
+    indexed = F.transform(
+        F.col("_t"), lambda x, i: F.struct(x.alias("tok"), i.alias("pos"))
+    )
+    in_any_span = lambda s: F.coalesce(  # noqa: E731
+        F.exists(
+            F.col("_spans"),
+            lambda sp_: (s["pos"] >= sp_["span_start"])
+            & (s["pos"] < sp_["span_end"]),
+        ),
+        F.lit(False),  # no spans detected for this doc -> keep everything
+    )
+    return (
+        base.join(sp, "doc_id", "left")
+        .withColumn("_kept", F.filter(indexed, lambda s: ~in_any_span(s)))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.transform("_kept", lambda s: s["tok"])
+            ).alias("text_clean"),
+            F.size("_kept").cast("bigint").alias("n_kept"),
+            (F.size("_t") - F.size("_kept")).cast("bigint").alias("n_dropped"),
+        )
+    )

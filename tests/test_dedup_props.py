@@ -565,3 +565,30 @@ def test_segment_dedup_merges_adjacent_windows_and_guards(spark):
     assert s["n_windows"] == 5
     with pytest.raises(ValueError, match="stride"):
         dedup.segment_dup_spans(docs, "doc_id", "text", win=10, stride=20)
+
+
+def test_strip_dup_segments_removes_exactly_the_shared_span(spark):
+    """The first occurrence keeps its full text; the later doc loses exactly
+    the detected span's tokens; untouched docs pass through with zero
+    drops (normalized token stream either way)."""
+    shared = " ".join(f"license term{i} clause" for i in range(8)) + " end"
+    fill_a = " ".join(f"alpha{i} beta{i}" for i in range(90))
+    fill_b = " ".join(f"gamma{i} delta{i}" for i in range(90))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{fill_a} {shared}"),
+            (2, f"{fill_b} {shared}"),
+            (3, "a short unrelated doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.strip_dup_segments(
+        docs, "doc_id", "text", win=20, stride=10).collect()}
+    assert out[1]["n_dropped"] == 0 and out[1]["n_kept"] == 205
+    assert out[1]["text_clean"] == f"{fill_a} {shared}"
+    # doc 2 loses the one aligned 20-token window [180, 200)
+    assert out[2]["n_dropped"] == 20 and out[2]["n_kept"] == 185
+    toks_b = f"{fill_b} {shared}".split(" ")
+    assert out[2]["text_clean"] == " ".join(toks_b[:180] + toks_b[200:])
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["text_clean"] == "a short unrelated doc"
