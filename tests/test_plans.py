@@ -171,3 +171,17 @@ def test_spatial_band_join_is_equi_join_not_cartesian(spark):
     predicate residual — never a nested-loop/cartesian pair blowup."""
     plan = _plan(REGISTRY["q_spatial_band_join"][0](spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_segment_dedup_plans_are_equi_join_shaped(spark):
+    """Segment dedup and its strip consumer: fingerprint equi-joins and
+    keyed aggregations only — no cartesian/nested-loop pair blowup, and a
+    bounded exchange count (canonical-owner groupBy + fp join + islands
+    merge; strip adds one per-doc span aggregate + one 1:1 doc join)."""
+    for name, max_exchanges in (("q_segment_dedup", 4),
+                                ("q_strip_dup_segments", 7)):
+        plan = _plan(REGISTRY[name][0](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        n = plan.count("Exchange")
+        assert n <= max_exchanges, f"{name}: {n} exchanges"
