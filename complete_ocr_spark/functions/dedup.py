@@ -495,7 +495,14 @@ def segment_dup_spans(df: DataFrame, id_col: str, text_col: str,
     span [span_start, span_end) of ``doc_id`` also present in ``dup_of``
     (the earliest doc holding every merged window), n_windows = merged
     window count. Docs shorter than ``win`` tokens are whole-doc dedup's
-    job (exact_dup_groups) and emit nothing here."""
+    job (exact_dup_groups) and emit nothing here.
+
+    The window subtree feeds both the canon groupBy and the probe side, so
+    tokenize+md5 runs twice (Spark reuses no exchanges across join sides) —
+    deliberate: both passes are map-side JVM work, while caching the
+    n_tokens/stride fingerprint rows would cost more IO than recomputing
+    them (same call as the sig_store trade-off, which went the other way
+    because its signature kernel is Python)."""
     if stride < 1 or win < 1 or stride > win:
         raise ValueError(f"need 1 <= stride <= win, got win={win} stride={stride}")
     toks = F.split(normalized(F.col(text_col)), " ")

@@ -592,3 +592,68 @@ def test_strip_dup_segments_removes_exactly_the_shared_span(spark):
     assert out[2]["text_clean"] == " ".join(toks_b[:180] + toks_b[200:])
     assert out[3]["n_dropped"] == 0
     assert out[3]["text_clean"] == "a short unrelated doc"
+
+
+def _segment_oracle(docs, win, stride):
+    """Pure-Python transcription of segment_dup_spans: window fingerprints on
+    the stride grid, global min-doc canonical owner, per-(doc, owner) merge
+    of stride-consecutive hits."""
+    import re
+    from collections import defaultdict
+
+    toks = {
+        d: re.sub(r"\s+", " ", t.strip().lower()).split(" ") for d, t in docs
+    }
+    owner: dict[str, int] = {}
+    per_doc: dict[int, list] = defaultdict(list)
+    for d, tk in sorted(toks.items()):
+        for ws in range(0, len(tk) - win + 1, stride):
+            fp = " ".join(tk[ws:ws + win])
+            owner[fp] = min(owner.get(fp, d), d)
+            per_doc[d].append((ws, fp))
+    out = []
+    for d, lst in per_doc.items():
+        byo = defaultdict(list)
+        for ws, fp in lst:
+            if owner[fp] < d:
+                byo[owner[fp]].append(ws)
+        for o, wss in byo.items():
+            wss.sort()
+            start = prev = wss[0]
+            cnt = 1
+            for ws in wss[1:]:
+                if ws == prev + stride:
+                    prev = ws
+                    cnt += 1
+                else:
+                    out.append((d, o, start, prev + win, cnt))
+                    start = prev = ws
+                    cnt = 1
+            out.append((d, o, start, prev + win, cnt))
+    return sorted(out)
+
+
+def test_segment_dedup_matches_python_oracle_randomized(spark):
+    """Randomized cross-check: token streams over a tiny alphabet (forcing
+    many shared windows, overlaps, multi-owner splits) must produce exactly
+    the oracle's merged span set under several (win, stride) geometries."""
+    import random
+
+    rng = random.Random(421)
+    alphabet = ["aa", "bb", "cc", "dd"]
+    for trial in range(6):
+        docs = [
+            (i, " ".join(rng.choice(alphabet)
+                         for _ in range(rng.randrange(0, 40))))
+            for i in range(rng.randrange(2, 7))
+        ]
+        win, stride = rng.choice([(4, 2), (5, 5), (6, 3)])
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = sorted(
+            (r["doc_id"], r["dup_of"], r["span_start"], r["span_end"],
+             r["n_windows"])
+            for r in dedup.segment_dup_spans(
+                df, "doc_id", "text", win=win, stride=stride).collect()
+        )
+        want = _segment_oracle(docs, win, stride)
+        assert got == want, (trial, win, stride, got, want)
