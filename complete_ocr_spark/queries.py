@@ -1566,6 +1566,21 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_pq_seeded(spark, sf_dir):
+    """The round-4 form of q_ann_pq — seeded Gaussian codebooks, no
+    training — kept as the pytest-only oracle anchor for the untrained
+    encode/ADC/verify path (ANCHOR_REGISTRY; the driver rows run the
+    trained books)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
+    return pq.ann_ivf_pq_topk(
+        e, "vec_id", "embedding", qv, cents, pq.pq_codebooks(_SRP_DIM),
+        n_probe=_IVF_PROBE, rerank=_PQ_RERANK, k=10,
+    )
+
+
 def q_ann_pq_idx(spark, sf_dir):
     """q_ann_pq routed through the AT-REST IVFADC layout (round-4 verdict
     #7): write_ivf_pq_index lays (vec_id, codes, vnorm, v) out partitioned
@@ -2655,6 +2670,8 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     "q_ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
     "q_embed_near_dup": (q_embed_near_dup, SQL_NEAR_DUP),
     "q_layout_classes_prima": (q_layout_classes_prima, _layout_prima_sql()),
+    # the untrained PQ path (round-4's q_ann_pq) stays under the hash gate
+    "q_ann_pq_seeded": (q_ann_pq_seeded, _pq_sql(trained=False)),
 }
 
 _DRIVER_CAP = 50  # the driver checks at most this many registry rows
