@@ -12,7 +12,11 @@ first, each a reason the judge of a dropped doc can audit):
 3. ``dup_lines``     — duplicate-line fraction above ``max_dup_line_frac``
    (functions.text.dup_line_fraction): templated/machine-generated pages.
 4. ``bigram_repeat`` — modal-bigram mass above ``max_top_bigram_frac``
-   (functions.text.top_bigram_fraction): keyword stuffing, looping text.
+   (functions.text.top_bigram_fraction), applied only at
+   ``min_bigram_tokens`` tokens and up: the modal fraction is >= 1/(n-1),
+   so on short docs the signal measures LENGTH, not repetition (Gopher
+   applies its n-gram gates above a minimum word count for the same
+   reason).
 5. ``symbol_ratio``  — symbol characters above ``max_symbol_ratio``
    (functions.text.symbol_ratio): markup debris, ASCII art.
    (3-5 are the named, individually auditable Gopher/C4-style heuristic
@@ -55,7 +59,8 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                   languages: tuple[str, ...] = ("en",),
                   min_quality: float = 0.6,
                   max_dup_line_frac: float = 0.3,
-                  max_top_bigram_frac: float = 0.12,
+                  max_top_bigram_frac: float = 0.1,
+                  min_bigram_tokens: int = 20,
                   max_symbol_ratio: float = 0.25,
                   max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
     """Annotate every document with its keep/drop decision (module doc).
@@ -72,11 +77,14 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
         .withColumn("top_bigram_frac", top_bigram_fraction(F.col(text_col)))
         .withColumn("sym_ratio", symbol_ratio(F.col(text_col)))
     )
+    bigram_trips = (F.col("top_bigram_frac") > max_top_bigram_frac) & (
+        F.col("n_tokens") >= min_bigram_tokens
+    )
     passed = annotated.filter(
         F.col("lang").isin(list(languages))
         & (F.col("quality") >= min_quality)
         & (F.col("dup_line_frac") <= max_dup_line_frac)
-        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & ~bigram_trips
         & (F.col("sym_ratio") <= max_symbol_ratio)
     )
     # exact dedup: every doc that is NOT its fingerprint group's minimum id
@@ -102,7 +110,7 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
         F.when(~F.col("lang").isin(list(languages)), "lang")
         .when(F.col("quality") < min_quality, "quality")
         .when(F.col("dup_line_frac") > max_dup_line_frac, "dup_lines")
-        .when(F.col("top_bigram_frac") > max_top_bigram_frac, "bigram_repeat")
+        .when(bigram_trips, "bigram_repeat")
         .when(F.col("sym_ratio") > max_symbol_ratio, "symbol_ratio")
         .when(F.col("_exact_dup"), "exact_dup")
         .when(F.col("_near_dup"), "near_dup")

@@ -60,6 +60,7 @@ def _media_spans(spark):
 
 _SCRATCH_BASE = "/tmp/spark_graft_scratch"
 _SCRATCH_TTL_S = 6 * 3600
+_SCRATCH_HARD_TTL_S = 48 * 3600  # swept regardless of pid (pid-reuse guard)
 
 
 def _pid_alive(pid: int) -> bool:
@@ -95,8 +96,13 @@ def _scratch(kind: str, sf_dir: str) -> str:
         except (IndexError, ValueError):
             owner = None  # not one of ours; TTL alone decides
         try:
-            if now - os.path.getmtime(p) > _SCRATCH_TTL_S and (
-                owner is None or not _pid_alive(owner)
+            age = now - os.path.getmtime(p)
+            # past the hard TTL the pid check is skipped: a recycled pid
+            # (or another user's process answering os.kill probes) must not
+            # shield a dead process's leftovers forever
+            if age > _SCRATCH_HARD_TTL_S or (
+                age > _SCRATCH_TTL_S
+                and (owner is None or not _pid_alive(owner))
             ):
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
@@ -613,9 +619,12 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
 _CUR_MIN_Q = 0.6
 _CUR_LANGS = ("en",)
 # named heuristic gates (Gopher/C4-style): duplicate-line fraction, modal-
-# bigram mass, symbol ratio. The bigram bound is set where the driver corpus
-# actually exercises it (a handful of docs at sf0.01/sf0.1 sit above 0.12)
-_CUR_MAX_DLF, _CUR_MAX_TBF, _CUR_MAX_SYM = 0.3, 0.12, 0.25
+# bigram mass (applied at >= _CUR_MIN_BGT tokens — below that the modal
+# fraction floor 1/(n-1) measures length, not repetition), symbol ratio.
+# Bounds sit where the driver corpus actually exercises the bigram gate
+# (2 long docs at sf0.01, 6 at sf0.1 trip 0.10 at >= 20 tokens)
+_CUR_MAX_DLF, _CUR_MAX_TBF, _CUR_MAX_SYM = 0.3, 0.1, 0.25
+_CUR_MIN_BGT = 20
 
 
 def q_corpus_curation(spark, sf_dir):
@@ -634,7 +643,7 @@ def q_corpus_curation(spark, sf_dir):
     return curate_corpus(
         d, "doc_id", "text", languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
         max_dup_line_frac=_CUR_MAX_DLF, max_top_bigram_frac=_CUR_MAX_TBF,
-        max_symbol_ratio=_CUR_MAX_SYM,
+        min_bigram_tokens=_CUR_MIN_BGT, max_symbol_ratio=_CUR_MAX_SYM,
         max_hamming=_SH_MAX_HAMMING, n_blocks=4,
     ).select(
         "doc_id", "lang", "quality", "n_tokens", "dup_line_frac",
@@ -681,7 +690,8 @@ ann AS (
 passed AS (
   SELECT doc_id, text FROM ann
   WHERE lang IN ({langs}) AND quality >= {_CUR_MIN_Q}
-    AND dup_line_frac <= {_CUR_MAX_DLF} AND top_bigram_frac <= {_CUR_MAX_TBF}
+    AND dup_line_frac <= {_CUR_MAX_DLF}
+    AND NOT (top_bigram_frac > {_CUR_MAX_TBF} AND n_tokens >= {_CUR_MIN_BGT})
     AND sym_ratio <= {_CUR_MAX_SYM}),
 fpt AS (
   SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -710,7 +720,8 @@ FROM (
          CASE WHEN a.lang NOT IN ({langs}) THEN 'lang'
               WHEN a.quality < {_CUR_MIN_Q} THEN 'quality'
               WHEN a.dup_line_frac > {_CUR_MAX_DLF} THEN 'dup_lines'
-              WHEN a.top_bigram_frac > {_CUR_MAX_TBF} THEN 'bigram_repeat'
+              WHEN a.top_bigram_frac > {_CUR_MAX_TBF}
+                   AND a.n_tokens >= {_CUR_MIN_BGT} THEN 'bigram_repeat'
               WHEN a.sym_ratio > {_CUR_MAX_SYM} THEN 'symbol_ratio'
               WHEN a.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
               WHEN a.doc_id IN (SELECT doc FROM neard) THEN 'near_dup'
@@ -1607,6 +1618,9 @@ def q_ann_pq_idx(spark, sf_dir):
         n_probe=_IVF_PROBE, rerank=_PQ_RERANK, k=10,
     )
 
+
+# generated once: q_ann_pq and q_ann_pq_idx share the identical oracle
+_PQ_SQL_TRAINED = _pq_sql()
 
 _KM_CELLS, _KM_ITERS = 8, 2
 
@@ -2628,8 +2642,8 @@ REGISTRY: dict[str, tuple] = {
     "q_ann_topk": (q_ann_topk, SQL_ANN),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "q_ann_ivf_bcast": (q_ann_ivf_bcast, _ivf_sql()),
-    "q_ann_pq": (q_ann_pq, _pq_sql()),
-    "q_ann_pq_idx": (q_ann_pq_idx, _pq_sql()),
+    "q_ann_pq": (q_ann_pq, _PQ_SQL_TRAINED),
+    "q_ann_pq_idx": (q_ann_pq_idx, _PQ_SQL_TRAINED),
     "q_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "q_docs_span_stats": (q_docs_span_stats, SQL_DOCS_STATS),
     "q_strip_text_blocks": (q_strip_text_blocks, SQL_STRIP),

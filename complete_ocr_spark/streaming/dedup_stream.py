@@ -422,14 +422,6 @@ def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
         .partitionBy("batch_id", "db")
         .parquet(asg_path)
     )
-    # Record completion independently of row presence: a batch whose docs ALL
-    # had prior assignments (a fully re-crawled batch) writes zero rows, so no
-    # batch_id partition dir appears and _cluster_backlog would treat the
-    # batch as never-processed — re-triggering a full-prefix replay on every
-    # subsequent batch. An (empty) partition dir is the completion marker;
-    # Spark's partition discovery ignores file-less dirs, and wiping the
-    # assignment table for a replay test removes the markers with it.
-    os.makedirs(os.path.join(asg_path, f"batch_id={bid}"), exist_ok=True)
     if prior_roots is not None:
         mv = (
             prior_roots.select(F.col("label").alias("src")).distinct()
@@ -450,6 +442,19 @@ def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
                 .partitionBy("batch_id")
                 .parquet(mov_path)
             )
+    # Record completion independently of row presence: a batch whose docs ALL
+    # had prior assignments (a fully re-crawled batch) writes zero rows, so no
+    # batch_id partition dir appears and _cluster_backlog would treat the
+    # batch as never-processed — re-triggering a full-prefix replay on every
+    # subsequent batch. An (empty) partition dir is the completion marker;
+    # Spark's partition discovery ignores file-less dirs, and wiping the
+    # assignment table for a replay test removes the markers with it.
+    # Ordering matters: the marker goes LAST, after the label_moves write —
+    # a fully re-crawled batch can carry a merge (its e2/e3 edges dethrone a
+    # root) while writing zero assignment rows, and a marker laid down before
+    # that move landed would make a crash in between unreplayable, silently
+    # losing the merge.
+    os.makedirs(os.path.join(asg_path, f"batch_id={bid}"), exist_ok=True)
 
 
 def read_cluster_labels(spark: SparkSession, out_root: str,

@@ -365,7 +365,8 @@ def test_pq_zero_norm_vectors_are_guarded(spark):
 
     from complete_ocr_spark.functions import pq
 
-    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(40)
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .filter(F.col("vec_id") < 40)  # deterministic subset (limit() is not)
     zero = spark.createDataFrame(
         [(10_000_000, [0.0] * 64)], "vec_id bigint, embedding array<double>"
     )
@@ -468,12 +469,17 @@ def test_curate_corpus_drop_reasons_and_determinism(spark):
         # 10 identical non-empty lines: dup_line_frac = 0.9 > 0.3, while
         # lang=en, length in band, no punctuation -> quality passes
         (6, "the quick brown fox jumps over lazy fences\n" * 10),
-        # one line, modal bigram ('spam ham' and its rotation) dominates:
-        # top_bigram_frac ~ 0.49 > 0.12 with zero duplicate lines
+        # one line, 81 tokens (gate applicable), modal bigram ('spam ham'
+        # and its rotation) dominates: top_bigram_frac ~ 0.49 > 0.1
         (7, "the " + "spam ham " * 40),
-        # per-repetition-unique words keep bigrams diverse (<= 0.12) and
+        # per-repetition-unique words keep bigrams diverse (<= 0.1) and
         # lines unique, but ~1/3 of characters are symbols (> 0.25)
         (8, " ".join(f"the w{i} @#{i}%$" for i in range(20))),
+        # 9 tokens, every bigram distinct: modal fraction 1/8 = 0.125 is
+        # ABOVE the 0.1 bound yet the doc is below min_bigram_tokens — the
+        # gate must not fire (on short docs the modal-fraction floor
+        # 1/(n-1) measures length, not repetition)
+        (9, "the quick brown fox jumps over seven lazy dogs"),
     ]
     d = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = {
@@ -487,6 +493,7 @@ def test_curate_corpus_drop_reasons_and_determinism(spark):
     assert out[6] == (False, "dup_lines")
     assert out[7] == (False, "bigram_repeat")
     assert out[8] == (False, "symbol_ratio")
+    assert out[9] == (True, None)
     # doc 3: near-dup of 1 IF its simhash is within 3 — verify agreement with
     # the underlying operator rather than hardcoding the signature distance
     from complete_ocr_spark.functions import dedup as dd
@@ -602,7 +609,11 @@ def _segment_oracle(docs, win, stride):
     from collections import defaultdict
 
     toks = {
-        d: re.sub(r"\s+", " ", t.strip().lower()).split(" ") for d, t in docs
+        # match normalized() exactly: trim SPACES only, then collapse \s+
+        # (str.strip() would also eat leading newlines/tabs and shift every
+        # token position by one vs the product)
+        d: re.sub(r"\s+", " ", t.strip(" ").lower()).split(" ")
+        for d, t in docs
     }
     owner: dict[str, int] = {}
     per_doc: dict[int, list] = defaultdict(list)
