@@ -578,8 +578,10 @@ def test_recrawl_with_changed_content_still_merges_old_cluster(spark, tmp_path):
 
 def test_run_streaming_dedup_minhash_scheme_end_to_end(spark, tmp_path):
     """The readStream wrapper's scheme='minhash' branch: file-source batches
-    flow through the MinHash body (band flags + cluster log) and an unknown
-    scheme is refused."""
+    flow through the MinHash body (band flags + cluster log) with scheduled
+    compaction threaded through (maintenance_every=1 compacts after every
+    batch — the move log must be empty at stream end while the promoted
+    labels stay exact), and an unknown scheme is refused."""
     import pytest
 
     src = str(tmp_path / "src")
@@ -592,13 +594,18 @@ def test_run_streaming_dedup_minhash_scheme_end_to_end(spark, tmp_path):
     q = run_streaming_dedup(
         spark, source_dir=src + "/*", out_root=out_root,
         checkpoint_dir=str(tmp_path / "ckpt"), schema=SCHEMA,
-        scheme="minhash",
+        scheme="minhash", maintenance_every=1,
     )
     q.awaitTermination(300)
     flags = {r["doc"]: (r["dup_of"], r["n_bands_hit"])
              for r in read_flags(spark, out_root).collect()}
     assert flags == {2: (1, 4)}  # identical text: all 4 bands collide
     assert _labels(spark, out_root) == {1: (1, 2), 2: (1, 2)}
+
+    from complete_ocr_spark.streaming.dedup_stream import cluster_paths
+
+    # per-batch compaction ran inside foreachBatch: no move log survives
+    assert not os.path.exists(cluster_paths(out_root)[1])
 
     with pytest.raises(ValueError, match="unknown dedup scheme"):
         run_streaming_dedup(
