@@ -24,9 +24,13 @@ first, each a reason the judge of a dropped doc can audit):
 6. exact dedup  — md5 fingerprint groups (functions.dedup semantics): only
    the minimum doc id of each identical-content group survives; the rest
    drop as ``exact_dup``.
-7. near dedup   — SimHash <=``max_hamming`` connected components
-   (functions.dedup.dup_clusters): only each cluster's minimum doc id
-   survives; the rest drop as ``near_dup``.
+7. segment dedup (optional) — duplicated-span coverage above
+   ``max_dup_segment_frac`` (functions.dedup.strip_dup_segments over the
+   exact survivors): a doc mostly composed of spans already present in
+   earlier docs drops as ``dup_segments``.
+8. near dedup   — SimHash <=``max_hamming`` connected components
+   (functions.dedup.dup_clusters) over what the earlier tiers kept: only
+   each cluster's minimum doc id survives; the rest drop as ``near_dup``.
 
 Output = the input rows annotated with (lang, quality, n_tokens,
 dup_line_frac, top_bigram_frac, sym_ratio, keep, drop_reason) — a VIEW over the corpus, so downstream writers can either
@@ -62,8 +66,18 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                   max_top_bigram_frac: float = 0.1,
                   min_bigram_tokens: int = 20,
                   max_symbol_ratio: float = 0.25,
+                  max_dup_segment_frac: float | None = None,
+                  seg_win: int = 20, seg_stride: int = 10,
                   max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
     """Annotate every document with its keep/drop decision (module doc).
+
+    ``max_dup_segment_frac`` (off by default) inserts a SEGMENT-level stage
+    between exact and near dedup: a doc whose duplicated-span coverage
+    (dedup.strip_dup_segments' n_dropped over total tokens, win/stride =
+    ``seg_win``/``seg_stride``) exceeds the bound drops as ``dup_segments``
+    — the mostly-copied-from-an-earlier-doc case. It runs over exact
+    survivors, and near-dup CC then runs over ITS survivors, so each dedup
+    tier sees only what the cheaper tiers kept.
 
     Returns the input columns plus (lang, quality, n_tokens, dup_line_frac,
     top_bigram_frac, sym_ratio, keep boolean, drop_reason string|null).
@@ -100,9 +114,26 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
         exact_drops.select("doc").withColumnRenamed("doc", id_col),
         id_col, "left_anti",
     )
-    # near dedup over the exact survivors: drop all but each cluster's min id
+    # segment stage (optional): coverage by spans duplicated from earlier
+    # surviving docs; mostly-copied docs drop before the near-dup kernel runs
+    seg_survivors = exact_survivors
+    seg_drops = None
+    if max_dup_segment_frac is not None:
+        stripped = dedup.strip_dup_segments(
+            exact_survivors, id_col, text_col, win=seg_win, stride=seg_stride
+        )
+        seg_drops = (
+            stripped.filter(
+                F.col("n_dropped")
+                / F.greatest(F.col("n_kept") + F.col("n_dropped"), F.lit(1))
+                > max_dup_segment_frac
+            )
+            .select(F.col("doc_id").alias(id_col))
+        )
+        seg_survivors = exact_survivors.join(seg_drops, id_col, "left_anti")
+    # near dedup over the remaining survivors: drop all but each cluster's min
     clusters = dedup.dup_clusters(
-        exact_survivors, id_col, text_col,
+        seg_survivors, id_col, text_col,
         max_hamming=max_hamming, n_blocks=n_blocks,
     )
     near_drops = clusters.filter(F.col("doc") != F.col("cluster")).select("doc")
@@ -113,9 +144,10 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
         .when(bigram_trips, "bigram_repeat")
         .when(F.col("sym_ratio") > max_symbol_ratio, "symbol_ratio")
         .when(F.col("_exact_dup"), "exact_dup")
+        .when(F.col("_seg_dup"), "dup_segments")
         .when(F.col("_near_dup"), "near_dup")
     )
-    return (
+    out = (
         annotated.join(
             exact_drops.select(F.col("doc").alias(id_col))
             .withColumn("_exact_dup", F.lit(True)),
@@ -126,9 +158,18 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
             .withColumn("_near_dup", F.lit(True)),
             id_col, "left",
         )
+    )
+    if seg_drops is not None:
+        out = out.join(seg_drops.withColumn("_seg_dup", F.lit(True)),
+                       id_col, "left")
+    else:
+        out = out.withColumn("_seg_dup", F.lit(False))
+    return (
+        out
         .withColumn("_exact_dup", F.coalesce("_exact_dup", F.lit(False)))
+        .withColumn("_seg_dup", F.coalesce("_seg_dup", F.lit(False)))
         .withColumn("_near_dup", F.coalesce("_near_dup", F.lit(False)))
         .withColumn("drop_reason", reason)
         .withColumn("keep", F.col("drop_reason").isNull())
-        .drop("_exact_dup", "_near_dup")
+        .drop("_exact_dup", "_seg_dup", "_near_dup")
     )

@@ -625,18 +625,22 @@ _CUR_LANGS = ("en",)
 # (2 long docs at sf0.01, 6 at sf0.1 trip 0.10 at >= 20 tokens)
 _CUR_MAX_DLF, _CUR_MAX_TBF, _CUR_MAX_SYM = 0.3, 0.1, 0.25
 _CUR_MIN_BGT = 20
+_CUR_MAX_SEGF = 0.5  # duplicated-span coverage bound (dup_segments stage)
 
 
 def q_corpus_curation(spark, sf_dir):
     """Corpus curation (functions.curate): the C4/RefinedWeb-shaped keep/drop
     decision composed from the package's oracled primitives — language gate,
     quality gate, three NAMED heuristic gates (duplicate-line fraction,
-    modal-bigram mass, symbol ratio — the individually auditable
-    Gopher/C4-style signals, round-4 verdict #3), exact dedup (fingerprint-
-    group minimum survives), SimHash near-dup connected components (cluster
-    minimum survives) — with the FIRST failing stage recorded as drop_reason
-    for auditability. One fingerprint shuffle + the banded near-dup join
-    over survivors; every other stage is a narrow map."""
+    modal-bigram mass at >= 20 tokens, symbol ratio — the individually
+    auditable Gopher/C4-style signals, round-4 verdict #3), exact dedup
+    (fingerprint-group minimum survives), SEGMENT dedup (duplicated-span
+    coverage > 50% of tokens drops as dup_segments — the mostly-copied
+    case, via strip_dup_segments), SimHash near-dup connected components
+    over what every earlier tier kept (cluster minimum survives) — with the
+    FIRST failing stage recorded as drop_reason for auditability. One
+    fingerprint shuffle + the segment fingerprint pass + the banded
+    near-dup join over survivors; every other stage is a narrow map."""
     from .functions.curate import curate_corpus
 
     d = _t(spark, sf_dir, "documents")
@@ -644,6 +648,8 @@ def q_corpus_curation(spark, sf_dir):
         d, "doc_id", "text", languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
         max_dup_line_frac=_CUR_MAX_DLF, max_top_bigram_frac=_CUR_MAX_TBF,
         min_bigram_tokens=_CUR_MIN_BGT, max_symbol_ratio=_CUR_MAX_SYM,
+        max_dup_segment_frac=_CUR_MAX_SEGF,
+        seg_win=_SEG_WIN, seg_stride=_SEG_STRIDE,
         max_hamming=_SH_MAX_HAMMING, n_blocks=4,
     ).select(
         "doc_id", "lang", "quality", "n_tokens", "dup_line_frac",
@@ -653,7 +659,8 @@ def q_corpus_curation(spark, sf_dir):
 
 def _curate_sql() -> str:
     langs = ", ".join(f"'{lg}'" for lg in _CUR_LANGS)
-    pair_sql = _simhash_near_dup_sql(4, "surv").strip()
+    pair_sql = _simhash_near_dup_sql(4, "surv2").strip()
+    seg_sql = _segment_dedup_sql(src="surv").strip()
     return rf"""
 WITH RECURSIVE bq AS (
   SELECT doc_id, text, length(text) AS n,
@@ -703,6 +710,24 @@ exd AS (
 surv AS (
   SELECT p.doc_id, p.text FROM passed p
   WHERE p.doc_id NOT IN (SELECT doc_id FROM exd)),
+seg AS ({seg_sql}),
+stoks2 AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM surv),
+tp2 AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos FROM stoks2),
+segdrop AS (
+  SELECT x.doc_id FROM (
+    SELECT d.doc_id, COUNT(*) AS nd FROM (
+      SELECT DISTINCT tp2.doc_id, tp2.pos
+      FROM tp2 JOIN seg s ON s.doc_id = tp2.doc_id
+        AND tp2.pos >= s.span_start AND tp2.pos < s.span_end) d
+    GROUP BY d.doc_id) x
+  JOIN (SELECT doc_id, len(t) AS n FROM stoks2) tt USING (doc_id)
+  WHERE x.nd / greatest(tt.n, 1) > {_CUR_MAX_SEGF}),
+surv2 AS (
+  SELECT doc_id, text FROM surv
+  WHERE doc_id NOT IN (SELECT doc_id FROM segdrop)),
 pairs AS ({pair_sql}),
 ed AS (SELECT doc1 AS a, doc2 AS b FROM pairs
        UNION SELECT doc2, doc1 FROM pairs),
@@ -724,6 +749,7 @@ FROM (
                    AND a.n_tokens >= {_CUR_MIN_BGT} THEN 'bigram_repeat'
               WHEN a.sym_ratio > {_CUR_MAX_SYM} THEN 'symbol_ratio'
               WHEN a.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
+              WHEN a.doc_id IN (SELECT doc_id FROM segdrop) THEN 'dup_segments'
               WHEN a.doc_id IN (SELECT doc FROM neard) THEN 'near_dup'
          END AS drop_reason
   FROM ann a)

@@ -668,3 +668,40 @@ def test_segment_dedup_matches_python_oracle_randomized(spark):
         )
         want = _segment_oracle(docs, win, stride)
         assert got == want, (trial, win, stride, got, want)
+
+
+def test_curate_segment_stage_complements_near_dup(spark):
+    """The dup_segments stage and the SimHash stage catch DIFFERENT dup
+    shapes: a doc >50% composed of an earlier doc's grid-aligned spans drops
+    as dup_segments (even though hamming may exceed 3), while a one-token-
+    SHIFTED near-copy has zero grid-aligned window matches (stride
+    quantization) and must fall through to the near-dup stage."""
+    from complete_ocr_spark.functions.curate import curate_corpus
+
+    a = " ".join(f"the word{i}" for i in range(30))  # 60 tokens, grid-aligned
+    docs = [
+        (1, a),
+        # first 40 of A's tokens (grid-aligned) + 25 unique: coverage
+        # 40/65 = 0.615 > 0.5 -> dup_segments
+        (2, " ".join(a.split()[:40]) + " "
+            + " ".join(f"uniq{i} the" for i in range(12))),
+        # one token prepended: every window shifts off the stride grid, so
+        # segment coverage is ZERO; only SimHash can see this near-copy
+        (3, "the " + a),
+    ]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in curate_corpus(d, "doc_id", "text",
+                               max_dup_segment_frac=0.5).collect()
+    }
+    assert out[1] == (True, None)
+    assert out[2] == (False, "dup_segments")
+    # doc 3's fate depends on the signature distance, exactly like the
+    # near-dup arm of the base curation test: agree with the operator
+    pairs = dedup.simhash_hamming_pairs(
+        d.filter("doc_id in (1, 3)"), "doc_id", "text").collect()
+    assert out[3] == ((False, "near_dup") if pairs else (True, None))
+    # and the segment stage really did NOT see doc 3
+    spans = dedup.segment_dup_spans(d, "doc_id", "text").collect()
+    assert all(r["doc_id"] != 3 for r in spans), spans
