@@ -114,6 +114,15 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
         exact_drops.select("doc").withColumnRenamed("doc", id_col),
         id_col, "left_anti",
     )
+    # The downstream dedup tiers consume the survivor set several times
+    # (segment detection walks it twice, strip joins it back, CC signs it)
+    # and each consumption would re-evaluate the whole heuristic-gate
+    # subtree — including the per-row bigram fold, the most expensive
+    # expression here (measured ~2x the query). A LAZY localCheckpoint
+    # materializes the narrow (id, text) survivor set once at first use.
+    exact_survivors = exact_survivors.select(
+        id_col, text_col
+    ).localCheckpoint(eager=False)
     # segment stage (optional): coverage by spans duplicated from earlier
     # surviving docs; mostly-copied docs drop before the near-dup kernel runs
     seg_survivors = exact_survivors
