@@ -138,6 +138,10 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                 > max_dup_segment_frac
             )
             .select(F.col("doc_id").alias(id_col))
+            # id-only and tiny, but its lineage is the whole multi-shuffle
+            # segment-detection subtree — which would otherwise re-run per
+            # consumer (both SimHash self-join sides + the audit join)
+            .localCheckpoint(eager=False)
         )
         seg_survivors = exact_survivors.join(seg_drops, id_col, "left_anti")
     # near dedup over the remaining survivors: drop all but each cluster's min

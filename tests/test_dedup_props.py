@@ -681,8 +681,8 @@ def test_curate_segment_stage_complements_near_dup(spark):
     a = " ".join(f"the word{i}" for i in range(30))  # 60 tokens, grid-aligned
     docs = [
         (1, a),
-        # first 40 of A's tokens (grid-aligned) + 25 unique: coverage
-        # 40/65 = 0.615 > 0.5 -> dup_segments
+        # first 40 of A's tokens (grid-aligned) + 24 tail tokens: coverage
+        # 40/64 = 0.625 > 0.5 -> dup_segments
         (2, " ".join(a.split()[:40]) + " "
             + " ".join(f"uniq{i} the" for i in range(12))),
         # one token prepended: every window shifts off the stride grid, so

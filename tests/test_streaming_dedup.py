@@ -589,8 +589,11 @@ def test_run_streaming_dedup_minhash_scheme_end_to_end(spark, tmp_path):
     os.makedirs(src)
     base = ("spark shuffles partitioned batches of vectorized arrow pages "
             "through catalyst while the reader prunes nested columns")
-    spark.createDataFrame([(1, base)], SCHEMA).coalesce(1).write.parquet(src + "/f1")
-    spark.createDataFrame([(2, base)], SCHEMA).coalesce(1).write.parquet(src + "/f2")
+    # doc 2 arrives FIRST: batch 1's doc 1 takes over as cluster root, so a
+    # real label_move is recorded — the compaction assert below would be
+    # vacuous with ids in arrival order (no dethroning, no move log at all)
+    spark.createDataFrame([(2, base)], SCHEMA).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame([(1, base)], SCHEMA).coalesce(1).write.parquet(src + "/f2")
     q = run_streaming_dedup(
         spark, source_dir=src + "/*", out_root=out_root,
         checkpoint_dir=str(tmp_path / "ckpt"), schema=SCHEMA,
@@ -599,7 +602,7 @@ def test_run_streaming_dedup_minhash_scheme_end_to_end(spark, tmp_path):
     q.awaitTermination(300)
     flags = {r["doc"]: (r["dup_of"], r["n_bands_hit"])
              for r in read_flags(spark, out_root).collect()}
-    assert flags == {2: (1, 4)}  # identical text: all 4 bands collide
+    assert flags == {1: (2, 4)}  # identical text: all 4 bands collide
     assert _labels(spark, out_root) == {1: (1, 2), 2: (1, 2)}
 
     from complete_ocr_spark.streaming.dedup_stream import cluster_paths
