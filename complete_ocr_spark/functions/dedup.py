@@ -596,3 +596,85 @@ def strip_dup_segments(df: DataFrame, id_col: str, text_col: str,
             (F.size("_t") - F.size("_kept")).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+def cdc_dup_chunks(df: DataFrame, id_col: str, text_col: str,
+                   avg_chunk: int = 8, min_tokens: int = 5) -> DataFrame:
+    """CONTENT-DEFINED chunking dedup: shared chunks across documents where
+    chunk boundaries derive from token content, not positions — the
+    shift-robust complement to ``segment_dup_spans``. A token inserted at
+    the head of a copied paragraph shifts every stride-grid window off
+    alignment (the fixed-window scheme finds nothing), but leaves every
+    content-defined boundary after it untouched, so the copied chunks still
+    collide (the classic CDC argument from storage dedup, re-expressed over
+    token streams).
+
+    Boundary rule: a token STARTS a new chunk when
+    ``int(md5(token)[:4], 16) % avg_chunk == 0`` — md5 is bit-identical in
+    Spark and DuckDB, so the oracle reproduces boundaries exactly; expected
+    chunk length is ``avg_chunk`` tokens. Chunks shorter than
+    ``min_tokens`` are noise (a single common word matches everywhere) and
+    are dropped before the join.
+
+    Returns (doc_id, dup_of, chunk_start, chunk_end, n_tokens): token-index
+    chunk [chunk_start, chunk_end) of ``doc_id`` whose exact token sequence
+    also appears as a chunk of the earlier doc ``dup_of`` (global min doc
+    per chunk fingerprint, the segment_dup_spans convention).
+
+    Scale shape: one per-doc cumulative-sum window (doc-sized partitions),
+    one (doc, chunk) groupBy with map-side partial agg, one skew-proof
+    canonical-owner groupBy on the fingerprint, one fp equi-join."""
+    from pyspark.sql import Window as W
+
+    if avg_chunk < 1 or min_tokens < 1:
+        raise ValueError(
+            f"need avg_chunk >= 1 and min_tokens >= 1, "
+            f"got {avg_chunk}/{min_tokens}"
+        )
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(normalized(F.col(text_col)), " "))
+            .alias("pos", "tok"),
+        )
+        .withColumn(
+            "b",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+                % avg_chunk
+                == 0
+            ).cast("int"),
+        )
+        .withColumn(
+            "chunk_id",
+            F.sum("b").over(
+                W.partitionBy("doc_id").orderBy("pos")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    chunks = (
+        toks.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.min("pos").alias("chunk_start"),
+            (F.max("pos") + 1).cast("int").alias("chunk_end"),
+            F.count("*").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("fp"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+        .withColumn("chunk_start", F.col("chunk_start").cast("int"))
+    )
+    canon = chunks.groupBy("fp").agg(F.min("doc_id").alias("dup_of"))
+    return (
+        chunks.join(canon, "fp")
+        .filter(F.col("doc_id") > F.col("dup_of"))
+        .select("doc_id", "dup_of", "chunk_start", "chunk_end", "n_tokens")
+    )

@@ -1218,6 +1218,54 @@ FROM grp GROUP BY doc_id, dup_of, g
 """
 
 
+_CDC_AVG, _CDC_MIN = 8, 5  # CDC dedup: expected chunk tokens, min chunk size
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """CONTENT-DEFINED chunking dedup (functions.dedup.cdc_dup_chunks):
+    chunk boundaries derive from token content (md5 mod avg_chunk), so a
+    copied span found SHIFTED by an insertion still collides — the
+    complement of q_segment_dedup's stride grid, whose windows all fall off
+    alignment under a one-token shift (pinned by
+    tests/test_dedup_props.py::test_cdc_dedup_catches_shifted_copies). One
+    per-doc cumulative-sum window, one (doc, chunk) groupBy, one skew-proof
+    canonical-owner groupBy, one fingerprint equi-join."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.cdc_dup_chunks(
+        d, "doc_id", "text", avg_chunk=_CDC_AVG, min_tokens=_CDC_MIN
+    )
+
+
+def _cdc_dedup_sql(src: str = "documents") -> str:
+    return rf"""
+WITH ctoks AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM {src})),
+cbnd AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN ('0x' || substr(md5(tok), 1, 4))::INT % {_CDC_AVG} = 0
+              THEN 1 ELSE 0 END AS b
+  FROM ctoks),
+cid AS (
+  SELECT doc_id, pos, tok,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM cbnd),
+chunks AS (
+  SELECT doc_id, chunk_id, CAST(MIN(pos) AS INT) AS chunk_start,
+         CAST(MAX(pos) + 1 AS INT) AS chunk_end, COUNT(*) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+  FROM cid GROUP BY doc_id, chunk_id
+  HAVING COUNT(*) >= {_CDC_MIN}),
+ccanon AS (SELECT fp, MIN(doc_id) AS dup_of FROM chunks GROUP BY fp)
+SELECT c.doc_id, cc.dup_of, c.chunk_start, c.chunk_end, c.n_tokens
+FROM chunks c JOIN ccanon cc USING (fp)
+WHERE c.doc_id > cc.dup_of
+"""
+
+
 def q_strip_dup_segments(spark, sf_dir):
     """The segment-dedup CONSUMER (functions.dedup.strip_dup_segments):
     every document re-emitted with its duplicated token spans removed —
@@ -2642,7 +2690,6 @@ REGISTRY: dict[str, tuple] = {
     "q_active_suppliers": (q_active_suppliers, SQL_SEMI),
     "q_top3_suppliers_per_nation": (q_top3_suppliers_per_nation, SQL_TOP3),
     "q_order_bbox": (q_order_bbox, SQL_BBOX),
-    "q_event_type_matrix": (q_event_type_matrix, SQL_MATRIX),
     "q_sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "q_session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "q_asof_last_click": (q_asof_last_click, SQL_ASOF),
@@ -2664,6 +2711,7 @@ REGISTRY: dict[str, tuple] = {
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
     "q_segment_dedup": (q_segment_dedup, _segment_dedup_sql()),
+    "q_cdc_dedup": (q_cdc_dedup, _cdc_dedup_sql()),
     "q_strip_dup_segments": (q_strip_dup_segments, _strip_segments_sql()),
     "q_ann_topk": (q_ann_topk, SQL_ANN),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
@@ -2705,6 +2753,7 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     "q_brand_volume": (q_brand_volume, SQL_BRAND),
     "q_orders_rollup": (q_orders_rollup, SQL_ROLLUP),
     "q_value_percentiles": (q_value_percentiles, SQL_PCTL),
+    "q_event_type_matrix": (q_event_type_matrix, SQL_MATRIX),
     "q_simhash": (q_simhash, _simhash_sql()),
     "q_simhash_near_dup": (q_simhash_near_dup, _simhash_near_dup_sql(4)),
     "q_ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),

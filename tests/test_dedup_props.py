@@ -705,3 +705,85 @@ def test_curate_segment_stage_complements_near_dup(spark):
     # and the segment stage really did NOT see doc 3
     spans = dedup.segment_dup_spans(d, "doc_id", "text").collect()
     assert all(r["doc_id"] != 3 for r in spans), spans
+
+
+def test_cdc_dedup_catches_shifted_copies(spark):
+    """The content-defined scheme's reason to exist: a copied block behind a
+    one-token insertion shares ZERO stride-grid windows (segment_dup_spans
+    finds nothing) but its content-defined chunk boundaries re-align right
+    after the insertion, so cdc_dup_chunks still catches the copy."""
+    import pytest
+
+    a = " ".join(f"the word{i}" for i in range(30))  # 60 tokens
+    docs = spark.createDataFrame(
+        [(1, a), (3, "intro " + a)], "doc_id bigint, text string"
+    )
+    assert dedup.segment_dup_spans(docs, "doc_id", "text").collect() == []
+    hits = dedup.cdc_dup_chunks(docs, "doc_id", "text").collect()
+    assert hits, "CDC must catch the shifted copy"
+    assert all(r["doc_id"] == 3 and r["dup_of"] == 1 for r in hits)
+    # the caught chunks cover a substantial share of the copied block
+    covered = sum(r["n_tokens"] for r in hits)
+    assert covered >= 30, hits
+    with pytest.raises(ValueError, match="avg_chunk"):
+        dedup.cdc_dup_chunks(docs, "doc_id", "text", avg_chunk=0)
+
+
+def _cdc_oracle(docs, avg_chunk, min_tokens):
+    """Pure-Python transcription of cdc_dup_chunks."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    chunks = []  # (doc, start, end, n, fp)
+    for d, t in sorted(docs):
+        toks = re.sub(r"\s+", " ", t.strip(" ").lower()).split(" ")
+        cid, by_cid = 0, defaultdict(list)
+        for pos, tok in enumerate(toks):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16)
+            if h % avg_chunk == 0:
+                cid += 1
+            by_cid[cid].append((pos, tok))
+        for members in by_cid.values():
+            if len(members) >= min_tokens:
+                fp = hashlib.md5(
+                    " ".join(tok for _, tok in members).encode()
+                ).hexdigest()
+                chunks.append(
+                    (d, members[0][0], members[-1][0] + 1, len(members), fp)
+                )
+    owner = {}
+    for d, _s, _e, _n, fp in chunks:
+        owner[fp] = min(owner.get(fp, d), d)
+    return sorted(
+        (d, owner[fp], s, e, n)
+        for d, s, e, n, fp in chunks
+        if owner[fp] < d
+    )
+
+
+def test_cdc_dedup_matches_python_oracle_randomized(spark):
+    """Randomized cross-check over tiny-alphabet token streams — boundary
+    placement, chunk grouping, min-size filter, and canonical ownership all
+    reproduce the Python transcription exactly."""
+    import random
+
+    rng = random.Random(97)
+    alphabet = [f"t{i}" for i in range(12)]
+    for trial in range(5):
+        docs = [
+            (i, " ".join(rng.choice(alphabet)
+                         for _ in range(rng.randrange(0, 50))))
+            for i in range(rng.randrange(2, 6))
+        ]
+        avg_chunk, min_tokens = rng.choice([(4, 2), (8, 3), (2, 1)])
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = sorted(
+            (r["doc_id"], r["dup_of"], r["chunk_start"], r["chunk_end"],
+             r["n_tokens"])
+            for r in dedup.cdc_dup_chunks(
+                df, "doc_id", "text",
+                avg_chunk=avg_chunk, min_tokens=min_tokens).collect()
+        )
+        want = _cdc_oracle(docs, avg_chunk, min_tokens)
+        assert got == want, (trial, avg_chunk, min_tokens, got, want)
