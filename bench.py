@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "q_corpus_curation",
     "q_dup_clusters_incr",
     "q_segment_dedup",
+    "q_cdc_dedup",
 ]
 
 N_REPS = int(os.environ.get("BENCH_REPS", "3"))
