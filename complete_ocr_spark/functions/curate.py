@@ -46,7 +46,7 @@ constituent operators — nothing here adds a shuffle beyond theirs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from . import dedup
 from .text import (
@@ -101,12 +101,18 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
         & ~bigram_trips
         & (F.col("sym_ratio") <= max_symbol_ratio)
     )
-    # exact dedup: every doc that is NOT its fingerprint group's minimum id
+    # exact dedup: every doc that is NOT its fingerprint group's minimum id.
+    # groupBy + join back, NOT a window over fp: a window puts every row of a
+    # hot fingerprint (a boilerplate page repeated 10^7 times) into ONE task's
+    # sort buffer, while the groupBy collapses the group map-side to a single
+    # (fp, min) row before the shuffle — the package's canonical-owner rule
+    # (dedup.segment_dup_spans' canon groupBy, exact_dup_groups).
     fp = passed.select(
         F.col(id_col).alias("doc"), dedup.normalized(F.col(text_col)).alias("norm")
     ).withColumn("fp", F.md5("norm"))
+    fp_canon = fp.groupBy("fp").agg(F.min("doc").alias("keep_id"))
     exact_drops = (
-        fp.withColumn("keep_id", F.min("doc").over(Window.partitionBy("fp")))
+        fp.join(fp_canon, "fp")
         .filter(F.col("doc") != F.col("keep_id"))
         .select("doc", F.col("keep_id").alias("dup_of"))
     )

@@ -82,19 +82,30 @@ def _scratch(kind: str, sf_dir: str) -> str:
     path would have. The sweep only removes dirs whose embedded pid is DEAD:
     a >6h session's top-level mtime goes stale (writes inside nested parquet
     partition dirs don't bump it), so mtime alone would rmtree a live
-    process's store from under its lazy reads."""
+    process's store from under its lazy reads. Each call also touches THIS
+    process's existing dirs, so a live session's stores never age into the
+    48h hard TTL (which exists for pid reuse: without the touch, a >48h
+    session would lose its own store to the sweep — the hard TTL should only
+    ever collect dead-pid leftovers whose pid got recycled)."""
     import hashlib
     import shutil
     import time
 
     os.makedirs(_SCRATCH_BASE, exist_ok=True)
     now = time.time()
+    me = os.getpid()
     for d in os.listdir(_SCRATCH_BASE):
         p = os.path.join(_SCRATCH_BASE, d)
         try:
             owner = int(d.rsplit("_", 1)[1])
         except (IndexError, ValueError):
             owner = None  # not one of ours; TTL alone decides
+        if owner == me:
+            try:
+                os.utime(p)
+            except OSError:
+                pass
+            continue
         try:
             age = now - os.path.getmtime(p)
             # past the hard TTL the pid check is skipped: a recycled pid
@@ -1666,6 +1677,11 @@ def q_ann_pq_seeded(spark, sf_dir):
     )
 
 
+# at-rest IVFADC index paths already written by this process (see
+# q_ann_pq_idx docstring — protects earlier calls' lazy reads)
+_PQ_IDX_BUILT: set[str] = set()
+
+
 def q_ann_pq_idx(spark, sf_dir):
     """q_ann_pq routed through the AT-REST IVFADC layout (round-4 verdict
     #7): write_ivf_pq_index lays (vec_id, codes, vnorm, v) out partitioned
@@ -1676,7 +1692,14 @@ def q_ann_pq_idx(spark, sf_dir):
     oracle is the same generated SQL — so the DuckDB gate now covers the
     layout the 100x deployment would serve from, not only the in-query
     encode. The pruned/narrow plan shape itself is pinned by
-    tests/test_plans.py::test_pq_index_query_prunes_partitions_and_columns."""
+    tests/test_plans.py::test_pq_index_query_prunes_partitions_and_columns.
+
+    The index write is memoized per sf_dir (mirroring ``_trained_books``):
+    an unconditional rmtree+rewrite per call would yank the directory out
+    from under any LAZY DataFrame a prior call in this process returned —
+    re-evaluating that earlier result after a later call would hit a
+    missing/partially-rewritten path. Index build is a per-corpus step; the
+    driver tables are immutable, so the memo cannot go stale in-process."""
     import shutil
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1685,8 +1708,10 @@ def q_ann_pq_idx(spark, sf_dir):
     cents = similarity.ivf_centroids(_SRP_DIM, _IVF_CELLS)
     books = _trained_books(e, sf_dir)
     path = _scratch("ivf_pq_index", sf_dir)
-    shutil.rmtree(path, ignore_errors=True)
-    pq.write_ivf_pq_index(e, "vec_id", "embedding", cents, books, path)
+    if path not in _PQ_IDX_BUILT or not os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+        pq.write_ivf_pq_index(e, "vec_id", "embedding", cents, books, path)
+        _PQ_IDX_BUILT.add(path)
     return pq.ann_ivf_pq_topk_from_index(
         spark, path, qv, cents, books,
         n_probe=_IVF_PROBE, rerank=_PQ_RERANK, k=10,

@@ -185,3 +185,18 @@ def test_segment_dedup_plans_are_equi_join_shaped(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         n = plan.count("Exchange")
         assert n <= max_exchanges, f"{name}: {n} exchanges"
+
+
+def test_curation_exact_dedup_has_no_window_over_fingerprint(spark):
+    """The curation exact-dedup stage must be the skew-proof canonical-owner
+    groupBy (map-side partial agg), never a window partitioned by the
+    fingerprint: a window puts every row of a hot fp (boilerplate repeated
+    10^7 times) into ONE task's sort buffer (round-5 verdict, "What's
+    wrong" #1). Windows partitioned by doc_id (segment strip) are fine —
+    doc-sized partitions are bounded."""
+    plan = REGISTRY["q_corpus_curation"][0](
+        spark, SF_DIR
+    )._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "fp#" not in line and "norm#" not in line, line
