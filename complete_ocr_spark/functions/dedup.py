@@ -599,7 +599,8 @@ def strip_dup_segments(df: DataFrame, id_col: str, text_col: str,
 
 
 def cdc_dup_chunks(df: DataFrame, id_col: str, text_col: str,
-                   avg_chunk: int = 8, min_tokens: int = 5) -> DataFrame:
+                   avg_chunk: int = 8, min_tokens: int = 5,
+                   window_k: int = 3) -> DataFrame:
     """CONTENT-DEFINED chunking dedup: shared chunks across documents where
     chunk boundaries derive from token content, not positions — the
     shift-robust complement to ``segment_dup_spans``. A token inserted at
@@ -609,28 +610,49 @@ def cdc_dup_chunks(df: DataFrame, id_col: str, text_col: str,
     collide (the classic CDC argument from storage dedup, re-expressed over
     token streams).
 
-    Boundary rule: a token STARTS a new chunk when
-    ``int(md5(token)[:4], 16) % avg_chunk == 0`` — md5 is bit-identical in
-    Spark and DuckDB, so the oracle reproduces boundaries exactly; expected
-    chunk length is ``avg_chunk`` tokens. Chunks shorter than
-    ``min_tokens`` are noise (a single common word matches everywhere) and
-    are dropped before the join.
+    Boundary rule: token i STARTS a new chunk when
+    ``int(md5(tok[i-k+1] .. tok[i] joined by ' ')[:4], 16) % avg_chunk == 0``
+    with ``k = window_k`` — a rolling k-token window, the token-stream form
+    of classic CDC's Rabin window (md5 of the joined window instead of a
+    Rabin fingerprint keeps it bit-identical in Spark and DuckDB, so the
+    oracle reproduces boundaries exactly). Hashing a k-token CONTEXT rather
+    than the single token matters on real corpora: with k=1 a corpus-common
+    token ('the') is globally always-or-never a boundary, so a doc repeating
+    one boundary token degenerates to all-1-token chunks (all dropped by
+    ``min_tokens``) and a doc with no boundary token forms one giant chunk —
+    chunk length becomes content-pathological instead of ~``avg_chunk``.
+    With k>=2 the boundary depends on the local context, restoring the
+    ~geometric chunk-length distribution wherever context varies (a doc
+    that is literally ONE token repeated stays degenerate under any
+    content-defined rule — its content is constant; ``min_tokens`` bounds
+    that residual case, as classic CDC's min-chunk floor does). The first
+    ``k-1`` tokens of a doc have no full window and are never boundaries
+    (they belong to the head chunk). ``window_k=1`` recovers the
+    single-token rule. Chunks shorter than ``min_tokens`` are noise and are
+    dropped before the join.
 
     Returns (doc_id, dup_of, chunk_start, chunk_end, n_tokens): token-index
     chunk [chunk_start, chunk_end) of ``doc_id`` whose exact token sequence
     also appears as a chunk of the earlier doc ``dup_of`` (global min doc
     per chunk fingerprint, the segment_dup_spans convention).
 
-    Scale shape: one per-doc cumulative-sum window (doc-sized partitions),
-    one (doc, chunk) groupBy with map-side partial agg, one skew-proof
+    Scale shape: the boundary lags ride the same per-doc window partitioning
+    as the cumulative sum (doc-sized partitions, one shuffle), then one
+    (doc, chunk) groupBy with map-side partial agg, one skew-proof
     canonical-owner groupBy on the fingerprint, one fp equi-join."""
     from pyspark.sql import Window as W
 
-    if avg_chunk < 1 or min_tokens < 1:
+    if avg_chunk < 1 or min_tokens < 1 or window_k < 1:
         raise ValueError(
-            f"need avg_chunk >= 1 and min_tokens >= 1, "
-            f"got {avg_chunk}/{min_tokens}"
+            f"need avg_chunk >= 1, min_tokens >= 1 and window_k >= 1, "
+            f"got {avg_chunk}/{min_tokens}/{window_k}"
         )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    wtext = F.concat_ws(
+        " ",
+        *[F.lag("tok", j).over(wdoc) for j in range(window_k - 1, 0, -1)],
+        F.col("tok"),
+    )
     toks = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -640,9 +662,13 @@ def cdc_dup_chunks(df: DataFrame, id_col: str, text_col: str,
         .withColumn(
             "b",
             (
-                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
-                % avg_chunk
-                == 0
+                (F.col("pos") >= window_k - 1)
+                & (
+                    F.conv(F.substring(F.md5(wtext), 1, 4), 16, 10)
+                    .cast("int")
+                    % avg_chunk
+                    == 0
+                )
             ).cast("int"),
         )
         .withColumn(

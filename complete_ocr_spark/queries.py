@@ -1230,35 +1230,47 @@ FROM grp GROUP BY doc_id, dup_of, g
 
 
 _CDC_AVG, _CDC_MIN = 8, 5  # CDC dedup: expected chunk tokens, min chunk size
+_CDC_WINK = 3  # rolling boundary-hash window (tokens) — classic CDC shape
 
 
 def q_cdc_dedup(spark, sf_dir):
     """CONTENT-DEFINED chunking dedup (functions.dedup.cdc_dup_chunks):
-    chunk boundaries derive from token content (md5 mod avg_chunk), so a
-    copied span found SHIFTED by an insertion still collides — the
-    complement of q_segment_dedup's stride grid, whose windows all fall off
-    alignment under a one-token shift (pinned by
+    chunk boundaries derive from token content (md5 of a rolling
+    _CDC_WINK-token window mod avg_chunk — the token-stream form of CDC's
+    Rabin window), so a copied span found SHIFTED by an insertion still
+    collides — the complement of q_segment_dedup's stride grid, whose
+    windows all fall off alignment under a one-token shift (pinned by
     tests/test_dedup_props.py::test_cdc_dedup_catches_shifted_copies). One
-    per-doc cumulative-sum window, one (doc, chunk) groupBy, one skew-proof
+    per-doc window pass (boundary lags + cumulative sum share the doc
+    partitioning), one (doc, chunk) groupBy, one skew-proof
     canonical-owner groupBy, one fingerprint equi-join."""
     d = _t(spark, sf_dir, "documents")
     return dedup.cdc_dup_chunks(
-        d, "doc_id", "text", avg_chunk=_CDC_AVG, min_tokens=_CDC_MIN
+        d, "doc_id", "text", avg_chunk=_CDC_AVG, min_tokens=_CDC_MIN,
+        window_k=_CDC_WINK,
     )
 
 
 def _cdc_dedup_sql(src: str = "documents") -> str:
+    lags = ", ".join(
+        f"lag(tok, {j}) OVER wd" for j in range(_CDC_WINK - 1, 0, -1)
+    )
+    wexpr = f"concat_ws(' ', {lags}, tok)" if lags else "tok"
     return rf"""
 WITH ctoks AS (
   SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
   FROM (SELECT doc_id,
                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
         FROM {src})),
+cwin AS (
+  SELECT doc_id, pos, tok, {wexpr} AS w
+  FROM ctoks WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
 cbnd AS (
   SELECT doc_id, pos, tok,
-         CASE WHEN ('0x' || substr(md5(tok), 1, 4))::INT % {_CDC_AVG} = 0
+         CASE WHEN pos >= {_CDC_WINK - 1}
+                   AND ('0x' || substr(md5(w), 1, 4))::INT % {_CDC_AVG} = 0
               THEN 1 ELSE 0 END AS b
-  FROM ctoks),
+  FROM cwin),
 cid AS (
   SELECT doc_id, pos, tok,
          SUM(b) OVER (PARTITION BY doc_id ORDER BY pos

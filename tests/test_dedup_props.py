@@ -729,8 +729,9 @@ def test_cdc_dedup_catches_shifted_copies(spark):
         dedup.cdc_dup_chunks(docs, "doc_id", "text", avg_chunk=0)
 
 
-def _cdc_oracle(docs, avg_chunk, min_tokens):
-    """Pure-Python transcription of cdc_dup_chunks."""
+def _cdc_oracle(docs, avg_chunk, min_tokens, window_k=3):
+    """Pure-Python transcription of cdc_dup_chunks (rolling k-token boundary
+    window)."""
     import hashlib
     import re
     from collections import defaultdict
@@ -740,8 +741,9 @@ def _cdc_oracle(docs, avg_chunk, min_tokens):
         toks = re.sub(r"\s+", " ", t.strip(" ").lower()).split(" ")
         cid, by_cid = 0, defaultdict(list)
         for pos, tok in enumerate(toks):
-            h = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16)
-            if h % avg_chunk == 0:
+            win = " ".join(toks[pos - window_k + 1 : pos + 1])
+            h = int(hashlib.md5(win.encode()).hexdigest()[:4], 16)
+            if pos >= window_k - 1 and h % avg_chunk == 0:
                 cid += 1
             by_cid[cid].append((pos, tok))
         for members in by_cid.values():
@@ -777,13 +779,46 @@ def test_cdc_dedup_matches_python_oracle_randomized(spark):
             for i in range(rng.randrange(2, 6))
         ]
         avg_chunk, min_tokens = rng.choice([(4, 2), (8, 3), (2, 1)])
+        window_k = rng.choice([1, 2, 3])
         df = spark.createDataFrame(docs, "doc_id bigint, text string")
         got = sorted(
             (r["doc_id"], r["dup_of"], r["chunk_start"], r["chunk_end"],
              r["n_tokens"])
             for r in dedup.cdc_dup_chunks(
                 df, "doc_id", "text",
-                avg_chunk=avg_chunk, min_tokens=min_tokens).collect()
+                avg_chunk=avg_chunk, min_tokens=min_tokens,
+                window_k=window_k).collect()
         )
-        want = _cdc_oracle(docs, avg_chunk, min_tokens)
-        assert got == want, (trial, avg_chunk, min_tokens, got, want)
+        want = _cdc_oracle(docs, avg_chunk, min_tokens, window_k)
+        assert got == want, (trial, avg_chunk, min_tokens, window_k, got, want)
+
+
+def test_cdc_rolling_window_fixes_common_boundary_token_pathology(spark):
+    """With a 1-token boundary hash, a corpus-common token that happens to
+    hash to a boundary is a boundary EVERYWHERE: text interleaving it every
+    other token degenerates to 2-token chunks, all below min_tokens, so an
+    exact full-document copy is invisible to the k=1 scheme. The rolling
+    3-token window hashes the varying context instead, so chunk lengths
+    return to ~avg_chunk and the copy is caught."""
+    import hashlib
+
+    # find a token whose SINGLE-token hash is a boundary at avg_chunk=8
+    b = next(
+        t for t in (f"w{i}" for i in range(1000))
+        if int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 8 == 0
+    )
+    text = " ".join(x for i in range(40) for x in (b, f"u{i}"))  # 80 tokens
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id bigint, text string"
+    )
+    k1 = dedup.cdc_dup_chunks(
+        docs, "doc_id", "text", avg_chunk=8, min_tokens=5, window_k=1
+    ).collect()
+    assert k1 == [], "k=1 must degenerate (the pathology under test)"
+    k3 = dedup.cdc_dup_chunks(
+        docs, "doc_id", "text", avg_chunk=8, min_tokens=5, window_k=3
+    ).collect()
+    assert k3 and all(
+        r["doc_id"] == 2 and r["dup_of"] == 1 for r in k3
+    ), k3
+    assert sum(r["n_tokens"] for r in k3) >= 40, k3
