@@ -26,7 +26,6 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
-    "q05_region_revenue",
     "q_order_bbox",
     "q_sessionize_events",
     "q_asof_last_click",
@@ -48,6 +47,14 @@ BENCH_QUERIES = [
     "q_dup_clusters_incr",
     "q_segment_dedup",
     "q_cdc_dedup",
+    # round 6: the CDC-scheme curation variant (q05_region_revenue folded to
+    # anchors to make driver-window room; its join shape stays covered by
+    # q01/q_top3/broadcast plan tests), the incremental segment-dedup batch
+    # form (driver-coordination bound like q_dup_clusters_incr), and the
+    # media perceptual-dedup tier (committed fixture, kernel + banded join)
+    "q_corpus_curation_cdc",
+    "q_stream_seg_dedup",
+    "q_media_near_dup",
 ]
 
 N_REPS = int(os.environ.get("BENCH_REPS", "3"))
@@ -131,7 +138,14 @@ def main() -> None:
         "q_dup_clusters_incr": {
             "batches_executed": _SD_BATCHES,
             "bound_by": "driver coordination (sequential foreachBatch bodies)",
-        }
+        },
+        "q_stream_seg_dedup": {
+            "batches_executed": _SD_BATCHES,
+            "bound_by": "driver coordination (sequential foreachBatch bodies)",
+        },
+        "q_media_near_dup": {
+            "input": "committed 133-row media fixture (constant across sf)",
+        },
     }
     result = {
         "metric": "end_to_end_extraction_plus_operator_suite",

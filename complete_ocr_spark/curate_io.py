@@ -1,0 +1,155 @@
+"""Curation-integrated output writer (round-5 verdict #5): one pass from a
+raw document table to the TRAINING table + the AUDIT table, through the
+TableIO conventions (bucketed dynamic-overwrite writes, per-bucket lineage,
+broadcast anti-join resume).
+
+* ``training`` — the kept documents, with their duplicated segments
+  STRIPPED (functions.dedup.strip_dup_segments over the kept set): doc_id,
+  text_clean, n_kept, n_dropped, bucket. What a tokenizer consumes.
+* ``audit``    — EVERY input document with its curation verdict (keep,
+  drop_reason, and each gate's measured signal): the judge of any dropped
+  doc can see which gate fired and at what value. kept + every drop_reason
+  reconciles to the input row count by construction (curate_corpus emits
+  exactly one row per input doc).
+* ``lineage``  — per-bucket (doc_range, doc_count, token_count, checksum)
+  over the training table, the TableIO lineage shape with tokens in place
+  of spans.
+
+Resume semantics: curation DECISIONS are global (every dedup tier compares
+docs across the whole corpus), so the curate computation always runs over
+the FULL input — deterministic, byte-identical across runs (curate_corpus
+docstring) — and only the WRITES are pruned to buckets without a lineage
+row. A crashed run resumes by rewriting exactly the missing buckets; a
+completed run is a no-op. This mirrors run_job: recomputing the decision
+plan is the price of global dedup; rewriting finished output is not.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import DEFAULT_N_BUCKETS
+from .functions.curate import curate_corpus
+from .functions.dedup import strip_dup_segments
+from .io import require_local
+
+AUDIT_COLS = ("lang", "quality", "n_tokens", "dup_line_frac",
+              "top_bigram_frac", "sym_ratio", "keep", "drop_reason")
+
+
+def curated_paths(out_root: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(out_root, "training"),
+        os.path.join(out_root, "audit"),
+        os.path.join(out_root, "curated_lineage"),
+    )
+
+
+def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n_buckets: int = DEFAULT_N_BUCKETS,
+                  seg_win: int = 20, seg_stride: int = 10,
+                  fail_after_buckets: int | None = None,
+                  **curate_kwargs) -> dict:
+    """Curate + strip + write (module doc). ``curate_kwargs`` pass through
+    to curate_corpus (thresholds, segment_scheme, embeddings=...);
+    ``fail_after_buckets`` simulates a mid-job crash for restart tests.
+
+    Returns {'docs_in', 'kept', 'buckets_written', 'skipped'}."""
+    out_root = require_local(out_root, "write_curated out_root")
+    train_path, audit_path, lin_path = curated_paths(out_root)
+
+    def _bucket(df):
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int")
+        )
+
+    # resume probe: buckets with a lineage row are complete
+    done = None
+    if os.path.exists(lin_path):
+        done = spark.read.parquet(lin_path).select("bucket").distinct()
+    curated = curate_corpus(
+        docs, id_col, text_col,
+        seg_win=seg_win, seg_stride=seg_stride, **curate_kwargs
+    ).localCheckpoint(eager=False)  # feeds audit AND the kept/strip branch
+    kept = curated.filter("keep").select(id_col, text_col)
+    training = _bucket(
+        strip_dup_segments(kept, id_col, text_col,
+                           win=seg_win, stride=seg_stride)
+        .withColumnRenamed("doc_id", id_col)
+    )
+    audit = _bucket(curated.select(id_col, *AUDIT_COLS))
+    if done is not None:
+        # global decisions, pruned writes: only pending buckets are written
+        training = training.join(F.broadcast(done), "bucket", "left_anti")
+        audit = audit.join(F.broadcast(done), "bucket", "left_anti")
+    if fail_after_buckets is not None:
+        keep_b = [
+            r["bucket"]
+            for r in audit.select("bucket").distinct()
+            .orderBy("bucket").collect()
+        ][:fail_after_buckets]
+        training = training.filter(F.col("bucket").isin(keep_b))
+        audit = audit.filter(F.col("bucket").isin(keep_b))
+    if audit.isEmpty():
+        return {"docs_in": 0, "kept": 0, "buckets_written": 0, "skipped": True}
+    for frame, path in ((training, train_path), (audit, audit_path)):
+        (
+            frame.repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    # lineage from the files just written (one cheap scan), this run's
+    # buckets only; <= n_buckets rows collected driver-side
+    back = spark.read.parquet(train_path)
+    audit_back = spark.read.parquet(audit_path)
+    if done is not None:
+        back = back.join(F.broadcast(done), "bucket", "left_anti")
+        audit_back = audit_back.join(F.broadcast(done), "bucket", "left_anti")
+    lin = (
+        audit_back.groupBy("bucket")
+        .agg(
+            F.min(id_col).alias("doc_range_min"),
+            F.max(id_col).alias("doc_range_max"),
+            F.count("*").alias("doc_count"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_count"),
+        )
+        .join(
+            back.withColumn(
+                "h", F.xxhash64(F.col(id_col), F.col("text_clean"))
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_kept").alias("token_count"),
+                F.expr("bit_xor(h)").alias("checksum"),
+            ),
+            "bucket", "left",
+        )
+    )
+    rows = lin.collect()
+    if rows:
+        (
+            spark.createDataFrame(rows, lin.schema)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(lin_path)
+        )
+    return {
+        "docs_in": sum(r["doc_count"] for r in rows),
+        "kept": sum(r["kept_count"] for r in rows),
+        "buckets_written": len(rows),
+        "skipped": False,
+    }
+
+
+def read_training(spark: SparkSession, out_root: str) -> DataFrame:
+    return spark.read.parquet(curated_paths(require_local(out_root, "root"))[0])
+
+
+def read_audit(spark: SparkSession, out_root: str) -> DataFrame:
+    return spark.read.parquet(curated_paths(require_local(out_root, "root"))[1])

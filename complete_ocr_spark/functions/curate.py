@@ -5,6 +5,10 @@ into a training corpus.
 Per document, in the order large pipelines apply them (cheapest filter
 first, each a reason the judge of a dropped doc can audit):
 
+0. ``empty``         — NULL or whitespace-only text: nothing downstream
+   (dedup fingerprints, signatures, embeddings) is meaningful on it, so it
+   drops first under its own auditable reason rather than tripping the
+   language gate by vacuity.
 1. ``lang``          — stopword-heuristic language ID (functions.text.
    lang_id); docs outside ``languages`` drop as ``lang``.
 2. ``quality``       — composite score (functions.text.quality_score);
@@ -25,12 +29,25 @@ first, each a reason the judge of a dropped doc can audit):
    the minimum doc id of each identical-content group survives; the rest
    drop as ``exact_dup``.
 7. segment dedup (optional) — duplicated-span coverage above
-   ``max_dup_segment_frac`` (functions.dedup.strip_dup_segments over the
-   exact survivors): a doc mostly composed of spans already present in
-   earlier docs drops as ``dup_segments``.
+   ``max_dup_segment_frac`` over the exact survivors: a doc mostly
+   composed of spans already present in earlier docs drops as
+   ``dup_segments``. ``segment_scheme`` picks the detector: ``"stride"``
+   (functions.dedup.strip_dup_segments — fixed stride-grid windows,
+   maximal coverage on aligned copies) or ``"cdc"``
+   (functions.dedup.cdc_dup_chunks — content-defined chunk boundaries,
+   robust to insertions that shift every grid window off alignment; the
+   right choice for shift-heavy corpora).
 8. near dedup   — SimHash <=``max_hamming`` connected components
    (functions.dedup.dup_clusters) over what the earlier tiers kept: only
    each cluster's minimum doc id survives; the rest drop as ``near_dup``.
+9. semantic dedup (optional) — SemDeDup-shaped: over the docs every
+   earlier tier kept, join the corpus embedding table and find tight
+   embedding clusters (functions.similarity.embedding_near_dup_srp
+   SRP-LSH candidates -> exact cosine >= ``semantic_threshold`` ->
+   connected components); only each cluster's minimum doc id survives, the
+   rest drop as ``semantic_dup`` — the paraphrase/re-render case no
+   lexical tier can see. Docs without an embedding row pass through (no
+   vector, no semantic evidence).
 
 Output = the input rows annotated with (lang, quality, n_tokens,
 dup_line_frac, top_bigram_frac, sym_ratio, keep, drop_reason) — a VIEW over the corpus, so downstream writers can either
@@ -48,7 +65,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from . import dedup
+from . import dedup, similarity
 from .text import (
     dup_line_fraction,
     lang_id,
@@ -67,22 +84,51 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                   min_bigram_tokens: int = 20,
                   max_symbol_ratio: float = 0.25,
                   max_dup_segment_frac: float | None = None,
+                  segment_scheme: str = "stride",
                   seg_win: int = 20, seg_stride: int = 10,
-                  max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
+                  cdc_avg_chunk: int = 8, cdc_min_tokens: int = 5,
+                  cdc_window_k: int = 3,
+                  max_hamming: int = 3, n_blocks: int = 4,
+                  embeddings: DataFrame | None = None,
+                  emb_id_col: str = "vec_id",
+                  emb_vec_col: str = "embedding",
+                  emb_dim: int = 64,
+                  semantic_threshold: float = 0.95,
+                  sem_bits: int = 10, sem_tables: int = 2) -> DataFrame:
     """Annotate every document with its keep/drop decision (module doc).
 
     ``max_dup_segment_frac`` (off by default) inserts a SEGMENT-level stage
     between exact and near dedup: a doc whose duplicated-span coverage
-    (dedup.strip_dup_segments' n_dropped over total tokens, win/stride =
-    ``seg_win``/``seg_stride``) exceeds the bound drops as ``dup_segments``
-    — the mostly-copied-from-an-earlier-doc case. It runs over exact
-    survivors, and near-dup CC then runs over ITS survivors, so each dedup
-    tier sees only what the cheaper tiers kept.
+    exceeds the bound drops as ``dup_segments`` — the
+    mostly-copied-from-an-earlier-doc case. ``segment_scheme="stride"``
+    measures coverage as dedup.strip_dup_segments' n_dropped over total
+    tokens (win/stride = ``seg_win``/``seg_stride``); ``"cdc"`` as the
+    token count of dedup.cdc_dup_chunks' duplicated chunks (avg/min/window
+    = ``cdc_avg_chunk``/``cdc_min_tokens``/``cdc_window_k``) — chunks are
+    disjoint per doc, so the sum IS the coverage. Either way the stage runs
+    over exact survivors, and near-dup CC then runs over ITS survivors, so
+    each dedup tier sees only what the cheaper tiers kept.
+
+    ``embeddings`` (off by default) appends the SEMANTIC tier: a second
+    DataFrame holding (``emb_id_col``, ``emb_vec_col``) rows keyed by the
+    same ids as ``df``; docs the lexical tiers kept whose embeddings sit in
+    one tight cosine cluster (>= ``semantic_threshold`` via SRP-LSH with
+    ``sem_bits`` x ``sem_tables``, sized by similarity.suggest_bits at
+    deployment) keep only the minimum id, the rest drop as
+    ``semantic_dup``. The embedding join is an inner join: a doc with no
+    embedding row cannot be semantically deduped and passes through.
 
     Returns the input columns plus (lang, quality, n_tokens, dup_line_frac,
     top_bigram_frac, sym_ratio, keep boolean, drop_reason string|null).
     Deterministic: survivors of each dedup stage are the minimum doc ids,
     so re-running curation yields byte-identical decisions."""
+    if segment_scheme not in ("stride", "cdc"):
+        raise ValueError(f"unknown segment_scheme {segment_scheme!r}")
+    # NOTE: trim() strips only ASCII spaces in both engines, so the blank
+    # test collapses ALL whitespace via regexp (\n\t-only docs are empty too)
+    empty = F.col(text_col).isNull() | (
+        F.regexp_replace(F.col(text_col), r"\s+", "") == ""
+    )
     annotated = (
         df.withColumn("lang", lang_id(F.col(text_col)))
         .withColumn("quality", quality_score(F.col(text_col)))
@@ -95,7 +141,8 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
         F.col("n_tokens") >= min_bigram_tokens
     )
     passed = annotated.filter(
-        F.col("lang").isin(list(languages))
+        ~empty
+        & F.col("lang").isin(list(languages))
         & (F.col("quality") >= min_quality)
         & (F.col("dup_line_frac") <= max_dup_line_frac)
         & ~bigram_trips
@@ -134,15 +181,42 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
     seg_survivors = exact_survivors
     seg_drops = None
     if max_dup_segment_frac is not None:
-        stripped = dedup.strip_dup_segments(
-            exact_survivors, id_col, text_col, win=seg_win, stride=seg_stride
-        )
-        seg_drops = (
-            stripped.filter(
-                F.col("n_dropped")
-                / F.greatest(F.col("n_kept") + F.col("n_dropped"), F.lit(1))
-                > max_dup_segment_frac
+        if segment_scheme == "stride":
+            stripped = dedup.strip_dup_segments(
+                exact_survivors, id_col, text_col,
+                win=seg_win, stride=seg_stride,
             )
+            seg_cov = stripped.select(
+                "doc_id",
+                (
+                    F.col("n_dropped")
+                    / F.greatest(
+                        F.col("n_kept") + F.col("n_dropped"), F.lit(1)
+                    )
+                ).alias("_cov"),
+            )
+        else:  # cdc: dup-chunk token count over total tokens (chunks are
+            # disjoint per doc — the token stream partitions into chunks)
+            chunks = dedup.cdc_dup_chunks(
+                exact_survivors, id_col, text_col,
+                avg_chunk=cdc_avg_chunk, min_tokens=cdc_min_tokens,
+                window_k=cdc_window_k,
+            )
+            nd = chunks.groupBy("doc_id").agg(
+                F.sum("n_tokens").alias("_nd")
+            )
+            nt = exact_survivors.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(
+                    F.split(dedup.normalized(F.col(text_col)), " ")
+                ).alias("_nt"),
+            )
+            seg_cov = nd.join(nt, "doc_id").select(
+                "doc_id",
+                (F.col("_nd") / F.greatest("_nt", F.lit(1))).alias("_cov"),
+            )
+        seg_drops = (
+            seg_cov.filter(F.col("_cov") > max_dup_segment_frac)
             .select(F.col("doc_id").alias(id_col))
             # id-only and tiny, but its lineage is the whole multi-shuffle
             # segment-detection subtree — which would otherwise re-run per
@@ -156,8 +230,39 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
         max_hamming=max_hamming, n_blocks=n_blocks,
     )
     near_drops = clusters.filter(F.col("doc") != F.col("cluster")).select("doc")
+    # semantic tier (optional): tight embedding clusters over what every
+    # lexical tier kept — candidate buckets + exact cosine + CC, all the
+    # already-oracled primitives; the embedding payload never rides the
+    # candidate shuffle (embedding_near_dup_srp's bare-id join shape)
+    sem_drops = None
+    if embeddings is not None:
+        lex_survivors = seg_survivors.join(
+            near_drops.select(F.col("doc").alias(id_col)), id_col, "left_anti"
+        )
+        emb = lex_survivors.select(id_col).join(
+            embeddings.select(
+                F.col(emb_id_col).alias(id_col),
+                F.col(emb_vec_col).alias("_v"),
+            ),
+            id_col,
+        )
+        sem_pairs = similarity.embedding_near_dup_srp(
+            emb, id_col, "_v", dim=emb_dim,
+            threshold=semantic_threshold,
+            n_bits=sem_bits, n_tables=sem_tables,
+        )
+        sem_cc = dedup.connected_components(
+            sem_pairs.select(
+                F.col("id1").alias("doc1"), F.col("id2").alias("doc2")
+            )
+        )
+        sem_drops = (
+            sem_cc.filter(F.col("doc") != F.col("cluster"))
+            .select(F.col("doc").alias(id_col))
+        )
     reason = (
-        F.when(~F.col("lang").isin(list(languages)), "lang")
+        F.when(empty, "empty")
+        .when(~F.col("lang").isin(list(languages)), "lang")
         .when(F.col("quality") < min_quality, "quality")
         .when(F.col("dup_line_frac") > max_dup_line_frac, "dup_lines")
         .when(bigram_trips, "bigram_repeat")
@@ -165,6 +270,7 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
         .when(F.col("_exact_dup"), "exact_dup")
         .when(F.col("_seg_dup"), "dup_segments")
         .when(F.col("_near_dup"), "near_dup")
+        .when(F.col("_sem_dup"), "semantic_dup")
     )
     out = (
         annotated.join(
@@ -183,12 +289,18 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                        id_col, "left")
     else:
         out = out.withColumn("_seg_dup", F.lit(False))
+    if sem_drops is not None:
+        out = out.join(sem_drops.withColumn("_sem_dup", F.lit(True)),
+                       id_col, "left")
+    else:
+        out = out.withColumn("_sem_dup", F.lit(False))
     return (
         out
         .withColumn("_exact_dup", F.coalesce("_exact_dup", F.lit(False)))
         .withColumn("_seg_dup", F.coalesce("_seg_dup", F.lit(False)))
         .withColumn("_near_dup", F.coalesce("_near_dup", F.lit(False)))
+        .withColumn("_sem_dup", F.coalesce("_sem_dup", F.lit(False)))
         .withColumn("drop_reason", reason)
         .withColumn("keep", F.col("drop_reason").isNull())
-        .drop("_exact_dup", "_seg_dup", "_near_dup")
+        .drop("_exact_dup", "_seg_dup", "_near_dup", "_sem_dup")
     )

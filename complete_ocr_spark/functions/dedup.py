@@ -464,6 +464,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def segment_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                         win: int = 20, stride: int = 10) -> DataFrame:
+    """(doc_id, ws, fp) window fingerprints: md5 of every ``win``-token
+    window starting at stride-grid offsets of the normalized token stream —
+    the shared signature step of ``segment_dup_spans`` (batch) and
+    streaming.dedup_stream.make_segment_dedup_batch (incremental store).
+    Docs shorter than ``win`` tokens emit nothing (whole-doc dedup's job)."""
+    if stride < 1 or win < 1 or stride > win:
+        raise ValueError(f"need 1 <= stride <= win, got win={win} stride={stride}")
+    toks = F.split(normalized(F.col(text_col)), " ")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+        .filter(F.size("t") >= win)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("t") - win, F.lit(stride))
+            ).alias("ws"),
+            "t",
+        )
+        .select(
+            "doc_id", "ws",
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("ws") + 1, win)))
+            .alias("fp"),
+        )
+    )
+
+
 def segment_dup_spans(df: DataFrame, id_col: str, text_col: str,
                       win: int = 20, stride: int = 10) -> DataFrame:
     """SEGMENT-level exact dedup: maximal token spans a document shares with
@@ -503,25 +531,7 @@ def segment_dup_spans(df: DataFrame, id_col: str, text_col: str,
     n_tokens/stride fingerprint rows would cost more IO than recomputing
     them (same call as the sig_store trade-off, which went the other way
     because its signature kernel is Python)."""
-    if stride < 1 or win < 1 or stride > win:
-        raise ValueError(f"need 1 <= stride <= win, got win={win} stride={stride}")
-    toks = F.split(normalized(F.col(text_col)), " ")
-    wins = (
-        df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
-        .filter(F.size("t") >= win)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(0), F.size("t") - win, F.lit(stride))
-            ).alias("ws"),
-            "t",
-        )
-        .select(
-            "doc_id", "ws",
-            F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("ws") + 1, win)))
-            .alias("fp"),
-        )
-    )
+    wins = segment_fingerprints(df, id_col, text_col, win=win, stride=stride)
     canon = wins.groupBy("fp").agg(F.min("doc_id").alias("dup_of"))
     hits = (
         wins.join(canon, "fp")

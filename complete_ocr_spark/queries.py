@@ -639,22 +639,36 @@ _CUR_MIN_BGT = 20
 _CUR_MAX_SEGF = 0.5  # duplicated-span coverage bound (dup_segments stage)
 
 
+# semantic tier (SemDeDup-shaped) driver calibration: the synthetic
+# embeddings are near-orthogonal cluster draws (max pairwise cosine ~0.51 at
+# sf0.01), so the deployment default 0.95 would never trip on fixture data;
+# 0.45 with 4-bit x 8-table SRP makes the tier's candidate join, cosine
+# verify and CC all EXERCISED at sf (14 true pairs at sf0.01). A real corpus
+# keeps curate_corpus' 0.95 default and sizes bits via suggest_bits(n).
+_CUR_SEM_THR, _CUR_SEM_BITS, _CUR_SEM_TABLES = 0.45, 4, 8
+
+
 def q_corpus_curation(spark, sf_dir):
     """Corpus curation (functions.curate): the C4/RefinedWeb-shaped keep/drop
-    decision composed from the package's oracled primitives — language gate,
-    quality gate, three NAMED heuristic gates (duplicate-line fraction,
-    modal-bigram mass at >= 20 tokens, symbol ratio — the individually
-    auditable Gopher/C4-style signals, round-4 verdict #3), exact dedup
-    (fingerprint-group minimum survives), SEGMENT dedup (duplicated-span
-    coverage > 50% of tokens drops as dup_segments — the mostly-copied
-    case, via strip_dup_segments), SimHash near-dup connected components
-    over what every earlier tier kept (cluster minimum survives) — with the
-    FIRST failing stage recorded as drop_reason for auditability. One
-    fingerprint shuffle + the segment fingerprint pass + the banded
-    near-dup join over survivors; every other stage is a narrow map."""
+    decision composed from the package's oracled primitives — empty gate,
+    language gate, quality gate, three NAMED heuristic gates (duplicate-line
+    fraction, modal-bigram mass at >= 20 tokens, symbol ratio — the
+    individually auditable Gopher/C4-style signals, round-4 verdict #3),
+    exact dedup (fingerprint-group minimum survives), SEGMENT dedup
+    (duplicated-span coverage > 50% of tokens drops as dup_segments — the
+    mostly-copied case, via strip_dup_segments), SimHash near-dup connected
+    components over what every earlier tier kept (cluster minimum
+    survives), and a SEMANTIC tier (round-5 verdict #2): tight embedding
+    clusters over the lexical survivors (SRP-LSH + exact cosine + CC, the
+    q_embed_near_dup_srp machinery over a docs-to-embeddings id join) drop
+    all but their minimum id as semantic_dup — with the FIRST failing stage
+    recorded as drop_reason for auditability. One fingerprint shuffle + the
+    segment fingerprint pass + the banded near-dup join + the SRP candidate
+    join over survivors; every other stage is a narrow map."""
     from .functions.curate import curate_corpus
 
     d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
     return curate_corpus(
         d, "doc_id", "text", languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
         max_dup_line_frac=_CUR_MAX_DLF, max_top_bigram_frac=_CUR_MAX_TBF,
@@ -662,16 +676,134 @@ def q_corpus_curation(spark, sf_dir):
         max_dup_segment_frac=_CUR_MAX_SEGF,
         seg_win=_SEG_WIN, seg_stride=_SEG_STRIDE,
         max_hamming=_SH_MAX_HAMMING, n_blocks=4,
+        embeddings=e, emb_dim=_SRP_DIM, semantic_threshold=_CUR_SEM_THR,
+        sem_bits=_CUR_SEM_BITS, sem_tables=_CUR_SEM_TABLES,
     ).select(
         "doc_id", "lang", "quality", "n_tokens", "dup_line_frac",
         "top_bigram_frac", "sym_ratio", "keep", "drop_reason",
     )
 
 
-def _curate_sql() -> str:
+def q_corpus_curation_cdc(spark, sf_dir):
+    """q_corpus_curation with the CONTENT-DEFINED segment tier
+    (segment_scheme="cdc", round-5 verdict #7): duplicated-chunk coverage
+    from cdc_dup_chunks replaces the stride-grid detector, so a mostly-
+    copied doc whose copy sits behind an insertion (invisible to every
+    grid-aligned window) still drops as dup_segments. Same gates, same
+    exact/near tiers; the scheme choice is the only delta, so diffing the
+    two queries' dup_segments sets measures the shift-robustness gap on
+    real data."""
+    from .functions.curate import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        d, "doc_id", "text", languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
+        max_dup_line_frac=_CUR_MAX_DLF, max_top_bigram_frac=_CUR_MAX_TBF,
+        min_bigram_tokens=_CUR_MIN_BGT, max_symbol_ratio=_CUR_MAX_SYM,
+        max_dup_segment_frac=_CUR_MAX_SEGF, segment_scheme="cdc",
+        cdc_avg_chunk=_CDC_AVG, cdc_min_tokens=_CDC_MIN,
+        cdc_window_k=_CDC_WINK,
+        max_hamming=_SH_MAX_HAMMING, n_blocks=4,
+    ).select(
+        "doc_id", "lang", "quality", "n_tokens", "dup_line_frac",
+        "top_bigram_frac", "sym_ratio", "keep", "drop_reason",
+    )
+
+
+def _srp_pairs_sql(src: str, n_bits: int, n_tables: int, dim: int,
+                   threshold: float, prefix: str = "srp") -> str:
+    """(id1, id2, cos) SRP-LSH near-dup pairs over CTE ``src`` holding
+    (vec_id, embedding) — the exact SQL transcription of
+    similarity.embedding_near_dup_srp (seeded hyperplane literals, 6-dp
+    rounded sign test and cosine), in nested-WITH form so it can sit inside
+    a larger query's CTE. ``prefix`` namespaces the internal CTEs."""
+    tables = []
+    for t in range(n_tables):
+        planes = similarity.srp_hyperplanes(dim, n_bits, table=t)
+        bits = " + ".join(
+            f"(CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({planes[j]} AS DOUBLE[])), 6) >= 0 THEN {2**j} ELSE 0 END)"
+            for j in range(n_bits)
+        )
+        tables.append(
+            f"{prefix}b{t} AS "
+            f"(SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM {src})"
+        )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT x.vec_id AS id1, y.vec_id AS id2 FROM {prefix}b{t} x "
+        f"JOIN {prefix}b{t} y ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
+        for t in range(n_tables)
+    )
+    return f"""WITH {", ".join(tables)},
+{prefix}cand AS (SELECT DISTINCT id1, id2 FROM ({unions})),
+{prefix}pairs AS (
+  SELECT id1, id2, ex.embedding AS e1, ey.embedding AS e2
+  FROM {prefix}cand JOIN {src} ex ON ex.vec_id = id1
+  JOIN {src} ey ON ey.vec_id = id2),
+{prefix}u AS (SELECT id1, id2, CAST(unnest(e1) AS DOUBLE) AS a,
+                     CAST(unnest(e2) AS DOUBLE) AS c
+              FROM {prefix}pairs),
+{prefix}d AS (SELECT id1, id2, SUM(a * c) AS dot, SUM(a * a) AS na,
+                     SUM(c * c) AS nc
+              FROM {prefix}u GROUP BY id1, id2)
+SELECT id1, id2, ROUND(dot / (sqrt(na) * sqrt(nc)), 6) AS cos
+FROM {prefix}d WHERE ROUND(dot / (sqrt(na) * sqrt(nc)), 6) >= {threshold}"""
+
+
+def _curate_sql(segment_scheme: str = "stride", semantic: bool = False) -> str:
     langs = ", ".join(f"'{lg}'" for lg in _CUR_LANGS)
     pair_sql = _simhash_near_dup_sql(4, "surv2").strip()
-    seg_sql = _segment_dedup_sql(src="surv").strip()
+    if segment_scheme == "stride":
+        seg_clause = rf"""seg AS MATERIALIZED ({_segment_dedup_sql(src="surv").strip()}),
+stoks2 AS MATERIALIZED (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM surv),
+tp2 AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos FROM stoks2),
+segdrop AS MATERIALIZED (
+  SELECT x.doc_id FROM (
+    SELECT d.doc_id, COUNT(*) AS nd FROM (
+      SELECT DISTINCT tp2.doc_id, tp2.pos
+      FROM tp2 JOIN seg s ON s.doc_id = tp2.doc_id
+        AND tp2.pos >= s.span_start AND tp2.pos < s.span_end) d
+    GROUP BY d.doc_id) x
+  JOIN (SELECT doc_id, len(t) AS n FROM stoks2) tt USING (doc_id)
+  WHERE x.nd / greatest(tt.n, 1) > {_CUR_MAX_SEGF})"""
+    else:  # cdc: duplicated-chunk token count over total tokens
+        seg_clause = rf"""cdcp AS MATERIALIZED ({_cdc_dedup_sql(src="surv").strip()}),
+stoks2 AS MATERIALIZED (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM surv),
+segdrop AS MATERIALIZED (
+  SELECT x.doc_id FROM (
+    SELECT doc_id, SUM(n_tokens) AS nd FROM cdcp GROUP BY doc_id) x
+  JOIN (SELECT doc_id, len(t) AS n FROM stoks2) tt USING (doc_id)
+  WHERE x.nd / greatest(tt.n, 1) > {_CUR_MAX_SEGF})"""
+    if semantic:
+        sem_pairs = _srp_pairs_sql(
+            "semsrc", _CUR_SEM_BITS, _CUR_SEM_TABLES, _SRP_DIM, _CUR_SEM_THR
+        )
+        sem_clause = f""",
+surv3 AS MATERIALIZED (
+  SELECT doc_id FROM surv2 WHERE doc_id NOT IN (SELECT doc FROM neard)),
+semsrc AS MATERIALIZED (
+  SELECT e.vec_id AS vec_id, e.embedding AS embedding
+  FROM embeddings e JOIN surv3 s ON e.vec_id = s.doc_id),
+sempairs AS MATERIALIZED ({sem_pairs}),
+semed AS (SELECT id1 AS a, id2 AS b FROM sempairs
+          UNION SELECT id2, id1 FROM sempairs),
+semconn(a, b) AS (
+  SELECT a, b FROM semed
+  UNION
+  SELECT c.a, e.b FROM semconn c JOIN semed e ON c.b = e.a),
+semlab AS (SELECT a AS doc, LEAST(a, MIN(b)) AS cluster
+           FROM semconn GROUP BY a),
+semd AS (SELECT doc FROM semlab WHERE doc != cluster)"""
+        sem_when = ("\n              WHEN a.doc_id IN (SELECT doc FROM semd) "
+                    "THEN 'semantic_dup'")
+    else:
+        sem_clause, sem_when = "", ""
     return rf"""
 WITH RECURSIVE bq AS (
   SELECT doc_id, text, length(text) AS n,
@@ -691,7 +823,7 @@ bgf AS (
     WHERE len(t) >= 2
     GROUP BY doc_id, b)
   GROUP BY doc_id),
-ann AS (
+ann AS MATERIALIZED (
   SELECT bq.doc_id, text,
          CASE WHEN n_stop > 0 THEN 'en' ELSE 'unknown' END AS lang,
          ROUND((
@@ -705,41 +837,28 @@ ann AS (
          COALESCE(bgf.tbf, 0.0) AS top_bigram_frac,
          ROUND(n_punct / greatest(n, 1), 6) AS sym_ratio
   FROM bq LEFT JOIN bgf ON bgf.doc_id = bq.doc_id),
-passed AS (
+passed AS MATERIALIZED (
   SELECT doc_id, text FROM ann
-  WHERE lang IN ({langs}) AND quality >= {_CUR_MIN_Q}
+  WHERE NOT (text IS NULL OR regexp_replace(text, '\s+', '', 'g') = '')
+    AND lang IN ({langs}) AND quality >= {_CUR_MIN_Q}
     AND dup_line_frac <= {_CUR_MAX_DLF}
     AND NOT (top_bigram_frac > {_CUR_MAX_TBF} AND n_tokens >= {_CUR_MIN_BGT})
     AND sym_ratio <= {_CUR_MAX_SYM}),
 fpt AS (
   SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
   FROM passed),
-exd AS (
+exd AS MATERIALIZED (
   SELECT doc_id FROM (
     SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS k FROM fpt)
   WHERE doc_id != k),
-surv AS (
+surv AS MATERIALIZED (
   SELECT p.doc_id, p.text FROM passed p
   WHERE p.doc_id NOT IN (SELECT doc_id FROM exd)),
-seg AS ({seg_sql}),
-stoks2 AS (
-  SELECT doc_id,
-         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-  FROM surv),
-tp2 AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos FROM stoks2),
-segdrop AS (
-  SELECT x.doc_id FROM (
-    SELECT d.doc_id, COUNT(*) AS nd FROM (
-      SELECT DISTINCT tp2.doc_id, tp2.pos
-      FROM tp2 JOIN seg s ON s.doc_id = tp2.doc_id
-        AND tp2.pos >= s.span_start AND tp2.pos < s.span_end) d
-    GROUP BY d.doc_id) x
-  JOIN (SELECT doc_id, len(t) AS n FROM stoks2) tt USING (doc_id)
-  WHERE x.nd / greatest(tt.n, 1) > {_CUR_MAX_SEGF}),
-surv2 AS (
+{seg_clause},
+surv2 AS MATERIALIZED (
   SELECT doc_id, text FROM surv
   WHERE doc_id NOT IN (SELECT doc_id FROM segdrop)),
-pairs AS ({pair_sql}),
+pairs AS MATERIALIZED ({pair_sql}),
 ed AS (SELECT doc1 AS a, doc2 AS b FROM pairs
        UNION SELECT doc2, doc1 FROM pairs),
 conn(a, b) AS (
@@ -747,13 +866,15 @@ conn(a, b) AS (
   UNION
   SELECT c.a, e.b FROM conn c JOIN ed e ON c.b = e.a),
 lab AS (SELECT a AS doc, LEAST(a, MIN(b)) AS cluster FROM conn GROUP BY a),
-neard AS (SELECT doc FROM lab WHERE doc != cluster)
+neard AS MATERIALIZED (SELECT doc FROM lab WHERE doc != cluster){sem_clause}
 SELECT doc_id, lang, quality, n_tokens, dup_line_frac, top_bigram_frac,
        sym_ratio, drop_reason IS NULL AS keep, drop_reason
 FROM (
   SELECT a.doc_id, a.lang, a.quality, a.n_tokens, a.dup_line_frac,
          a.top_bigram_frac, a.sym_ratio,
-         CASE WHEN a.lang NOT IN ({langs}) THEN 'lang'
+         CASE WHEN a.text IS NULL
+                   OR regexp_replace(a.text, '\s+', '', 'g') = '' THEN 'empty'
+              WHEN a.lang NOT IN ({langs}) THEN 'lang'
               WHEN a.quality < {_CUR_MIN_Q} THEN 'quality'
               WHEN a.dup_line_frac > {_CUR_MAX_DLF} THEN 'dup_lines'
               WHEN a.top_bigram_frac > {_CUR_MAX_TBF}
@@ -761,7 +882,7 @@ FROM (
               WHEN a.sym_ratio > {_CUR_MAX_SYM} THEN 'symbol_ratio'
               WHEN a.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
               WHEN a.doc_id IN (SELECT doc_id FROM segdrop) THEN 'dup_segments'
-              WHEN a.doc_id IN (SELECT doc FROM neard) THEN 'near_dup'
+              WHEN a.doc_id IN (SELECT doc FROM neard) THEN 'near_dup'{sem_when}
          END AS drop_reason
   FROM ann a)
 """
@@ -972,7 +1093,7 @@ def q_dup_clusters(spark, sf_dir):
 def _dup_clusters_sql(src: str = "documents") -> str:
     pair_sql = _simhash_near_dup_sql(4, src).strip()
     return f"""
-WITH RECURSIVE pairs AS ({pair_sql}),
+WITH RECURSIVE pairs AS MATERIALIZED ({pair_sql}),
 ed AS (SELECT doc1 AS a, doc2 AS b FROM pairs
        UNION SELECT doc2, doc1 FROM pairs),
 conn(a, b) AS (
@@ -1122,35 +1243,13 @@ def q_embed_near_dup_srp(spark, sf_dir):
 
 
 def _srp_sql() -> str:
-    tables = []
-    for t in range(_SRP_TABLES):
-        planes = similarity.srp_hyperplanes(_SRP_DIM, _SRP_BITS, table=t)
-        bits = " + ".join(
-            f"(CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
-            f"CAST({planes[j]} AS DOUBLE[])), 6) >= 0 THEN {2**j} ELSE 0 END)"
-            for j in range(_SRP_BITS)
-        )
-        tables.append(
-            f"b{t} AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM e)"
-        )
-    unions = "\n  UNION ALL ".join(
-        f"SELECT x.vec_id AS id1, y.vec_id AS id2 FROM b{t} x "
-        f"JOIN b{t} y ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
-        for t in range(_SRP_TABLES)
-    )
+    # one generator for every SRP transcription (see _srp_pairs_sql — the
+    # curation semantic tier embeds the same SQL against a survivor join)
+    pair_sql = _srp_pairs_sql("e", _SRP_BITS, _SRP_TABLES, _SRP_DIM, _SRP_THR)
     return f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
-{", ".join(tables)},
-cand AS (SELECT DISTINCT id1, id2 FROM ({unions})),
-pairs AS (
-  SELECT id1, id2, ex.embedding AS e1, ey.embedding AS e2
-  FROM cand JOIN e ex ON ex.vec_id = id1 JOIN e ey ON ey.vec_id = id2),
-u AS (SELECT id1, id2, CAST(unnest(e1) AS DOUBLE) AS a, CAST(unnest(e2) AS DOUBLE) AS c
-      FROM pairs),
-d AS (SELECT id1, id2, SUM(a * c) AS dot, SUM(a * a) AS na, SUM(c * c) AS nc
-      FROM u GROUP BY id1, id2)
-SELECT id1, id2, ROUND(dot / (sqrt(na) * sqrt(nc)), 6) AS cos
-FROM d WHERE ROUND(dot / (sqrt(na) * sqrt(nc)), 6) >= {_SRP_THR}
+p AS ({pair_sql})
+SELECT id1, id2, cos FROM p
 """
 
 
@@ -1226,6 +1325,77 @@ grp AS (
 SELECT doc_id, dup_of, MIN(ws) AS span_start,
        CAST(MAX(ws) + {win} AS INT) AS span_end, COUNT(*) AS n_windows
 FROM grp GROUP BY doc_id, dup_of, g
+"""
+
+
+def q_stream_seg_dedup(spark, sf_dir):
+    """Incremental SEGMENT-level dedup (round-5 verdict #4) in
+    oracle-checkable batch form: documents arrive in _SD_BATCHES
+    md5-derived batches and each batch runs the REAL foreachBatch body
+    (streaming.segment_stream.make_segment_dedup_batch — window
+    fingerprints probed against the (batch_id, fb)-partition-pruned
+    fingerprint store, strictly-earlier arrival rule, gaps-and-islands
+    merge). The union of all batches' detected spans must equal a GLOBAL
+    computation with owner = earliest (batch, doc) arrival per fingerprint
+    — which is exactly what the generated oracle evaluates, so staleness
+    (a span whose owner arrived in an earlier batch) is the invariant
+    under test."""
+    import shutil
+
+    from .streaming.segment_stream import (
+        make_segment_dedup_batch, read_segment_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    root = _scratch("seg_stream", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    batched = d.withColumn(
+        "b",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % _SD_BATCHES,
+    )
+    pb = make_segment_dedup_batch(
+        spark, root, id_col="doc_id", text_col="text",
+        win=_SEG_WIN, stride=_SEG_STRIDE,
+    )
+    for k in range(_SD_BATCHES):
+        pb(batched.filter(F.col("b") == k).drop("b"), k)
+    return read_segment_spans(spark, root).select(
+        "doc_id", "dup_of", "span_start", "span_end", "n_windows",
+        F.col("batch_id").cast("int").alias("batch_id"),
+    )
+
+
+def _stream_seg_sql() -> str:
+    win, stride = _SEG_WIN, _SEG_STRIDE
+    return rf"""
+WITH sdocs AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % {_SD_BATCHES} AS b
+  FROM documents),
+stoks AS (
+  SELECT doc_id, b,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM sdocs),
+swins AS (
+  SELECT doc_id, b, CAST(u.ws AS INT) AS ws,
+         md5(array_to_string(t[u.ws + 1 : u.ws + {win}], ' ')) AS fp
+  FROM stoks, LATERAL unnest(range(0, len(t) - {win} + 1, {stride})) AS u(ws)),
+sown AS (SELECT fp, MIN(b * 4294967296 + doc_id) AS ok FROM swins GROUP BY fp),
+shits AS (
+  SELECT w.doc_id, w.b, CAST(o.ok % 4294967296 AS BIGINT) AS dup_of, w.ws
+  FROM swins w JOIN sown o USING (fp)
+  WHERE w.b * 4294967296 + w.doc_id > o.ok),
+sgrp AS (
+  SELECT doc_id, b, dup_of, ws,
+         ws // {stride}
+         - ROW_NUMBER() OVER (PARTITION BY doc_id, dup_of ORDER BY ws) AS g
+  FROM shits)
+SELECT doc_id, dup_of, MIN(ws) AS span_start,
+       CAST(MAX(ws) + {win} AS INT) AS span_end, COUNT(*) AS n_windows,
+       CAST(MIN(b) AS INT) AS batch_id
+FROM sgrp GROUP BY doc_id, dup_of, g
 """
 
 
@@ -2425,6 +2595,36 @@ GROUP BY modality
 """
 
 
+MEDIA_FIXTURE = os.path.join(_REPO, "data", "media_fixture.parquet")
+MEDIA_NEAR_DUP_GOLDEN = os.path.join(
+    _REPO, "data", "media_near_dup_golden.parquet"
+)
+
+
+def q_media_near_dup(spark, sf_dir):
+    """Perceptual near-dup over MEDIA payloads (functions.media_dedup,
+    round-5 verdict #1): 64-bit average-hash per media row (Arrow kernel,
+    zero shuffle) -> Manku-banded candidate join + popcount verify (the
+    SimHash machinery reused verbatim on the perceptual signatures) ->
+    connected components -> (media_ref, dup_of, n_members) visual
+    clusters. Runs over the committed media fixture (the sf docs tables
+    carry all-unique payloads — no dedup signal), which plants light
+    re-encodes (nudged bytes, Hamming <= 3) and exact re-crawls; the
+    oracle side scans the committed golden produced by the INDEPENDENT
+    pure-Python brute-force oracle (oracle/media.py: all-pairs popcount +
+    union-find — no banding, no numpy pooling), so the driver performs a
+    full value-level cross-implementation comparison."""
+    from .functions.media_dedup import media_dup_clusters
+
+    media = spark.read.parquet(MEDIA_FIXTURE)
+    return media_dup_clusters(media, max_hamming=3, n_blocks=8)
+
+
+SQL_MEDIA_NEAR_DUP = f"""
+SELECT media_ref, dup_of, n_members FROM '{MEDIA_NEAR_DUP_GOLDEN}'
+"""
+
+
 def q_nested_hocr(spark, sf_dir):
     """Nested-OCR pipeline (F3/U3/A7/F7): every media span -> full
     ocr_page/ocr_carea/ocr_par/ocr_line/ocrx_word hOCR with monotone id
@@ -2722,9 +2922,7 @@ SELECT doc_id, "offset", kind, text, media_ref FROM '{GOLDEN_OPT_SF001}'
 
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
-    "q05_region_revenue": (q05_region_revenue, SQL_Q05),
     "q_customers_without_orders": (q_customers_without_orders, SQL_ANTI),
-    "q_active_suppliers": (q_active_suppliers, SQL_SEMI),
     "q_top3_suppliers_per_nation": (q_top3_suppliers_per_nation, SQL_TOP3),
     "q_order_bbox": (q_order_bbox, SQL_BBOX),
     "q_sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
@@ -2738,12 +2936,15 @@ REGISTRY: dict[str, tuple] = {
     "q_simhash64": (q_simhash64, _simhash64_sql()),
     "q_simhash_near_dup_mb": (q_simhash_near_dup_mb, _simhash_near_dup_sql(8)),
     "q_stream_dedup_flags": (q_stream_dedup_flags, _stream_dedup_sql()),
+    "q_stream_seg_dedup": (q_stream_seg_dedup, _stream_seg_sql()),
     "q_dup_clusters": (q_dup_clusters, _dup_clusters_sql()),
     "q_dup_clusters_incr": (q_dup_clusters_incr, _dup_clusters_sql()),
     "q_ann_recall": (q_ann_recall, _ann_recall_sql()),
     "q_ivf_train": (q_ivf_train, _kmeans_sql()),
     "q_quality_sample": (q_quality_sample, _quality_sample_sql()),
-    "q_corpus_curation": (q_corpus_curation, _curate_sql()),
+    "q_corpus_curation": (q_corpus_curation,
+                          _curate_sql("stride", semantic=True)),
+    "q_corpus_curation_cdc": (q_corpus_curation_cdc, _curate_sql("cdc")),
     "q_minhash_bands": (q_minhash_bands, _minhash_bands_sql()),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
@@ -2755,7 +2956,6 @@ REGISTRY: dict[str, tuple] = {
     "q_ann_ivf_bcast": (q_ann_ivf_bcast, _ivf_sql()),
     "q_ann_pq": (q_ann_pq, _PQ_SQL_TRAINED),
     "q_ann_pq_idx": (q_ann_pq_idx, _PQ_SQL_TRAINED),
-    "q_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "q_docs_span_stats": (q_docs_span_stats, SQL_DOCS_STATS),
     "q_strip_text_blocks": (q_strip_text_blocks, SQL_STRIP),
     "q_extract_pipeline": (q_extract_pipeline, SQL_EXTRACT),
@@ -2764,6 +2964,7 @@ REGISTRY: dict[str, tuple] = {
     "q_hocr_documents": (q_hocr_documents, SQL_HOCR_DOCS),
     "q_merge_short_spans": (q_merge_short_spans, SQL_MERGE_SHORT),
     "q_media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAMES),
+    "q_media_near_dup": (q_media_near_dup, SQL_MEDIA_NEAR_DUP),
     "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "q_nested_hocr": (q_nested_hocr, SQL_NESTED),
     "q_layout_classes": (q_layout_classes, SQL_LAYOUT),
@@ -2787,6 +2988,9 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     # for q_corpus_curation / q_ann_pq_idx / q_segment_dedup /
     # q_strip_dup_segments in the 50-entry driver window
     "q03_top_orders": (q03_top_orders, SQL_Q03),
+    "q05_region_revenue": (q05_region_revenue, SQL_Q05),
+    "q_active_suppliers": (q_active_suppliers, SQL_SEMI),
+    "q_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "q_brand_volume": (q_brand_volume, SQL_BRAND),
     "q_orders_rollup": (q_orders_rollup, SQL_ROLLUP),
     "q_value_percentiles": (q_value_percentiles, SQL_PCTL),

@@ -158,6 +158,72 @@ def gen_singular_golden(docs) -> None:
     print("singular_golden_sf0.001:", len(rows), "rows")
 
 
+def gen_media_fixture_and_golden(n_base: int = 90) -> None:
+    """Media-dedup fixture + golden (round-5 verdict #1).
+
+    The committed docs tables carry all-UNIQUE media_refs (every payload
+    distinct — no dedup signal), so the perceptual tier gets its own
+    committed fixture with PLANTED duplicates: every 3rd base ref gains a
+    perturbed-payload variant (a few bytes nudged — a light re-encode; the
+    perturbation stride is chosen per ref, deterministically, so the
+    variant's average-hash stays within Hamming 3) and every 7th gains an
+    exact-payload copy under a different ref (the same file re-crawled).
+    The golden is the INDEPENDENT pure-Python oracle's brute-force
+    all-pairs clustering (oracle/media.py) over that fixture."""
+    from complete_ocr_spark.functions.multimodal import _seed_bytes, media_meta
+    from complete_ocr_spark.oracle.media import avg_hash_py, near_dup_clusters
+
+    rows = []  # (media_ref, modality, width, height, n_frames, payload)
+    for i in range(n_base):
+        ref = f"media-fixture-{i:04d}"
+        modality, w, h, nf, rate = media_meta(ref)
+        payload = _seed_bytes(ref, min(w * h * nf, 65536))
+        rows.append((ref, modality, w, h, nf, payload))
+        if i % 3 == 0:  # light re-encode: nudge bytes until hash-near
+            base_hash = avg_hash_py(payload, w, h)
+            for stride, delta in ((997, 5), (2003, 5), (4001, 3)):
+                cand = bytearray(payload)
+                for k in range(0, len(cand), stride):
+                    cand[k] = (cand[k] + delta) % 256
+                cand = bytes(cand)
+                ham = bin(base_hash ^ avg_hash_py(cand, w, h)).count("1")
+                if ham <= 3:
+                    rows.append((f"{ref}~re", modality, w, h, nf, cand))
+                    break
+            else:
+                raise AssertionError(f"no near variant found for {ref}")
+        if i % 7 == 0:  # exact-payload copy under a new ref
+            rows.append((f"{ref}~copy", modality, w, h, nf, payload))
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "media_ref": [r[0] for r in rows],
+                "modality": [r[1] for r in rows],
+                "width": pa.array([r[2] for r in rows], pa.int32()),
+                "height": pa.array([r[3] for r in rows], pa.int32()),
+                "n_frames": pa.array([r[4] for r in rows], pa.int32()),
+                "payload": pa.array([r[5] for r in rows], pa.binary()),
+            }
+        ),
+        os.path.join(DATA, "media_fixture.parquet"),
+    )
+    golden = near_dup_clusters(
+        [(r[0], r[2], r[3], r[5]) for r in rows], max_hamming=3
+    )
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "media_ref": [g[0] for g in golden],
+                "dup_of": [g[1] for g in golden],
+                "n_members": pa.array([g[2] for g in golden], pa.int64()),
+            }
+        ),
+        os.path.join(DATA, "media_near_dup_golden.parquet"),
+    )
+    print("media_fixture:", len(rows), "rows;",
+          "media_near_dup_golden:", len(golden), "rows")
+
+
 if __name__ == "__main__":
     docs = _docs()
     gen_extract_golden(docs)
@@ -166,3 +232,4 @@ if __name__ == "__main__":
     gen_layout_golden(docs)
     gen_pages_golden(docs)
     gen_singular_golden(docs)
+    gen_media_fixture_and_golden()

@@ -822,3 +822,116 @@ def test_cdc_rolling_window_fixes_common_boundary_token_pathology(spark):
         r["doc_id"] == 2 and r["dup_of"] == 1 for r in k3
     ), k3
     assert sum(r["n_tokens"] for r in k3) >= 40, k3
+
+
+def test_curate_empty_gate_fires_first(spark):
+    """NULL and whitespace-only docs drop as 'empty' — their own auditable
+    reason, not a vacuous 'lang' trip — and keep=true therefore implies the
+    doc passed every REAL gate (round-5 ADVICE)."""
+    from complete_ocr_spark.functions.curate import curate_corpus
+
+    rows = [
+        (1, None),
+        (2, "   \n\t "),
+        (3, ""),
+        (4, "the quick brown fox jumps over seven lazy dogs"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in curate_corpus(d, "doc_id", "text").collect()
+    }
+    assert out[1] == (False, "empty")
+    assert out[2] == (False, "empty")
+    assert out[3] == (False, "empty")
+    assert out[4] == (True, None)
+
+
+def test_curate_semantic_tier_catches_embedding_close_simhash_far(spark):
+    """The SemDeDup-shaped tier: two docs with NO lexical overlap (SimHash
+    must not pair them; zero shared segments) but near-identical embeddings
+    — a paraphrase — keep only the minimum id; the other drops as
+    semantic_dup. A doc with no embedding row passes through (no vector, no
+    semantic evidence), and an exact_dup doc keeps its earlier reason (the
+    semantic tier never sees it)."""
+    from complete_ocr_spark.functions import dedup as dd
+    from complete_ocr_spark.functions.curate import curate_corpus
+
+    t1 = ("the spark engine shuffles partitioned batches of arrow pages "
+          "and the reader prunes nested columns in a distributed plan " * 3)
+    t2 = ("a query optimizer rewrites relational trees into physical "
+          "operators while the scheduler assigns tasks to executor slots "
+          * 3)
+    t3 = ("the storage layer compacts sorted runs of immutable files and "
+          "a manifest tracks snapshots for time travel in the table " * 3)
+    d = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t1), (4, t3)], "doc_id bigint, text string"
+    )
+    # paraphrase pair (1, 2): same meaning-vector up to tiny noise; doc 4
+    # orthogonal; doc 3 (exact dup of 1) has NO embedding row — and must
+    # still drop as exact_dup, proving tier order
+    base = [1.0, 0.5, -0.25, 2.0, -1.5, 0.75, 0.1, -0.6]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    ortho = [-0.5, 2.0, 1.0, -0.25, 0.6, -1.5, 0.2, 0.9]
+    e = spark.createDataFrame(
+        [(1, base), (2, near), (4, ortho)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # precondition: the pair really is SimHash-far (no lexical near-dup)
+    assert dd.simhash_hamming_pairs(
+        d.filter("doc_id in (1, 2)"), "doc_id", "text"
+    ).collect() == []
+    out = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in curate_corpus(
+            d, "doc_id", "text",
+            embeddings=e, emb_dim=8, semantic_threshold=0.95,
+            sem_bits=4, sem_tables=2,
+        ).collect()
+    }
+    assert out[1] == (True, None)
+    assert out[2] == (False, "semantic_dup")
+    assert out[3] == (False, "exact_dup")
+    assert out[4] == (True, None)
+
+
+def test_curate_cdc_scheme_catches_shifted_mostly_copied_doc(spark):
+    """segment_scheme='cdc' vs 'stride' on a SHIFTED mostly-copied doc: doc
+    2 embeds all of doc 1 behind a one-token insertion plus an unrelated
+    tail. Every stride-grid window is off alignment (coverage 0 -> stride
+    keeps it) while the content-defined chunks re-align right after the
+    insertion (coverage > 0.5 -> cdc drops it as dup_segments)."""
+    from complete_ocr_spark.functions import dedup as dd
+    from complete_ocr_spark.functions.curate import curate_corpus
+
+    # one stopword only: repeating 'the' per clause would dominate the
+    # SimHash vote (multiplicity-weighted) and glue the two signatures
+    copied = "the " + " ".join(
+        f"clause{i} section{i} term{i}" for i in range(40)
+    )
+    tail = " ".join(f"zulu{i} quux{i}" for i in range(20))
+    d = spark.createDataFrame(
+        [(1, copied), (2, f"intro {copied} {tail}")],
+        "doc_id bigint, text string",
+    )
+    # precondition: SimHash must not already pair them (the tail diverges)
+    assert dd.simhash_hamming_pairs(d, "doc_id", "text").collect() == []
+
+    def run(scheme):
+        return {
+            r["doc_id"]: (r["keep"], r["drop_reason"])
+            for r in curate_corpus(
+                d, "doc_id", "text", max_dup_segment_frac=0.5,
+                segment_scheme=scheme,
+            ).collect()
+        }
+
+    stride, cdc = run("stride"), run("cdc")
+    assert stride[1] == (True, None) and cdc[1] == (True, None)
+    assert stride[2] == (True, None), "grid windows must all miss"
+    assert cdc[2] == (False, "dup_segments"), "CDC chunks must re-align"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="segment_scheme"):
+        curate_corpus(d, "doc_id", "text", segment_scheme="nope")

@@ -52,3 +52,103 @@ def test_frame_sample_is_plan_side(spark, docs_df):
     assert "ArrowEvalPython" not in plan.split("mapInPandas")[0].split("MapInPandas")[0]
     rows = sampled.groupBy("media_ref").agg(F.max("frame_idx").alias("mx")).collect()
     assert all(r["mx"] % 2 == 0 for r in rows)
+
+
+def _media_rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "media_ref string, width int, height int, n_frames int, payload binary",
+    )
+
+
+def test_media_near_dup_catches_near_and_not_distinct(spark):
+    """The media-dedup acceptance shape (round-5 verdict #1): two visually
+    NEAR page descriptors (same payload with a handful of nudged bytes — a
+    light re-encode) cluster together; visually distinct descriptors do
+    not; an exact re-crawl under a different ref clusters at Hamming 0."""
+    import hashlib
+
+    from complete_ocr_spark.functions.media_dedup import (
+        media_dup_clusters, media_near_dup,
+    )
+
+    def keystream(seed, n):
+        out = bytearray()
+        c = 0
+        while len(out) < n:
+            out += hashlib.blake2b(f"{seed}:{c}".encode(), digest_size=64).digest()
+            c += 1
+        return bytes(out[:n])
+
+    base = keystream("page-a", 64 * 64)
+    near = bytearray(base)
+    for k in range(0, len(near), 997):  # a few bytes nudged
+        near[k] = (near[k] + 5) % 256
+    rows = [
+        ("img-a", 64, 64, 1, base),
+        ("img-a-reenc", 64, 64, 1, bytes(near)),
+        ("img-a-copy", 64, 64, 1, base),
+        ("img-b", 64, 64, 1, keystream("page-b", 64 * 64)),
+        ("img-c", 48, 80, 1, keystream("page-c", 48 * 80)),
+    ]
+    media = _media_rows(spark, rows)
+    pairs = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in media_near_dup(media, max_hamming=3).collect()
+    }
+    assert pairs.get(("img-a", "img-a-copy")) == 0
+    assert ("img-a", "img-a-reenc") in pairs
+    assert all("img-b" not in p and "img-c" not in p for p in pairs)
+    clusters = {
+        r["media_ref"]: (r["dup_of"], r["n_members"])
+        for r in media_dup_clusters(media, max_hamming=3).collect()
+    }
+    assert clusters == {
+        "img-a": ("img-a", 3),
+        "img-a-copy": ("img-a", 3),
+        "img-a-reenc": ("img-a", 3),
+    }
+
+
+def test_media_phash_banding_is_result_invariant(spark):
+    """The popcount verify makes the perceptual pair set banding-independent
+    — the SimHash invariant holds on media signatures too."""
+    from complete_ocr_spark.functions.media_dedup import media_phash
+    from complete_ocr_spark.functions import dedup as dd
+
+    media = spark.read.parquet(
+        __import__("complete_ocr_spark.queries", fromlist=["MEDIA_FIXTURE"])
+        .MEDIA_FIXTURE
+    )
+    sigs = media_phash(media).localCheckpoint()
+
+    def pairs(n_blocks):
+        return {
+            (r["doc1"], r["doc2"], r["hamming"])
+            for r in dd.simhash_hamming_pairs_from_sigs(
+                sigs, max_hamming=3, n_blocks=n_blocks
+            ).collect()
+        }
+
+    p4, p8 = pairs(4), pairs(8)
+    assert p4 == p8
+    assert p8, "fixture must contain planted near-dups"
+
+
+def test_media_avg_hash_kernel_matches_python_oracle(spark):
+    """Spark kernel signatures == the independent pure-Python oracle's
+    (oracle/media.py shares no pooling code with the kernel)."""
+    from complete_ocr_spark.functions.media_dedup import media_phash
+    from complete_ocr_spark.oracle.media import avg_hash_py
+    from complete_ocr_spark.queries import MEDIA_FIXTURE
+
+    media = spark.read.parquet(MEDIA_FIXTURE).limit(25)
+    rows = {r["media_ref"]: r for r in media.collect()}
+    got = {
+        r["doc"]: (r["simhash_hi"] << 32) | r["simhash_lo"]
+        for r in media_phash(media).collect()
+    }
+    for ref, r in rows.items():
+        assert got[ref] == avg_hash_py(
+            bytes(r["payload"]), r["width"], r["height"]
+        ), ref

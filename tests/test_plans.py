@@ -28,7 +28,7 @@ def test_q03_small_dim_broadcast(spark):
 
 
 def test_q05_region_nation_broadcast(spark):
-    plan = _plan(REGISTRY["q05_region_revenue"][0](spark, SF_DIR))
+    plan = _plan(ALL_Q["q05_region_revenue"][0](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2  # nation and region sides
 
 

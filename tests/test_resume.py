@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from complete_ocr_spark.io import TableIO, run_job
 
 
@@ -60,3 +62,66 @@ def test_rerun_of_completed_bucket_is_idempotent(spark, docs_df, tmp_path):
 
     io.write(run_extraction(spark, docs_df))
     assert _canon(io.read_docs_out()) == before
+
+
+def test_write_curated_resume_and_reconciliation(spark, tmp_path):
+    """write_curated (round-5 verdict #5): a crashed run resumes by writing
+    exactly the missing buckets; a completed run is a no-op; the audit
+    table reconciles — kept + every drop_reason == input rows — and the
+    training table is exactly the kept set with cleaned text."""
+    from complete_ocr_spark.curate_io import (
+        read_audit, read_training, write_curated,
+    )
+
+    base = ("the spark engine shuffles partitioned batches of arrow pages "
+            "and the reader prunes nested columns in a distributed plan ")
+    rows = []
+    for i in range(30):
+        rows.append((i, f"{base} topic{i} detail{i} " * 3))
+    rows += [
+        (100, rows[0][1]),            # exact dup of doc 0
+        (101, "zzz qqq xxx " * 30),   # lang drop
+        (102, None),                  # empty drop
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    root = str(tmp_path / "curated")
+
+    # --- crash after 3 buckets -------------------------------------------
+    r1 = write_curated(spark, docs, root, n_buckets=8, fail_after_buckets=3)
+    assert not r1["skipped"] and r1["buckets_written"] == 3
+    import os
+
+    from complete_ocr_spark.curate_io import curated_paths
+
+    lin1 = spark.read.parquet(curated_paths(root)[2])
+    assert lin1.select("bucket").distinct().count() == 3
+
+    # --- rerun completes the remaining buckets only ----------------------
+    r2 = write_curated(spark, docs, root, n_buckets=8)
+    assert not r2["skipped"]
+    audit = read_audit(spark, root)
+    assert audit.count() == len(rows)  # every input doc has an audit row
+
+    # --- third run is a no-op --------------------------------------------
+    r3 = write_curated(spark, docs, root, n_buckets=8)
+    assert r3 == {"docs_in": 0, "kept": 0, "buckets_written": 0,
+                  "skipped": True}
+
+    # --- reconciliation: kept + every drop_reason == input ---------------
+    by_reason = {
+        r["drop_reason"]: r["n"]
+        for r in audit.groupBy("drop_reason").agg(F.count("*").alias("n")).collect()
+    }
+    kept_n = by_reason.pop(None)
+    assert kept_n + sum(by_reason.values()) == len(rows)
+    assert by_reason.get("empty") == 1
+    assert by_reason.get("lang") == 1
+    assert "exact_dup" in by_reason or "near_dup" in by_reason
+
+    # training == kept, cleaned text present, lineage totals agree
+    training = read_training(spark, root)
+    assert training.count() == kept_n
+    assert training.filter("text_clean is null").count() == 0
+    lin = spark.read.parquet(curated_paths(root)[2])
+    assert lin.agg(F.sum("doc_count")).collect()[0][0] == len(rows)
+    assert lin.agg(F.sum("kept_count")).collect()[0][0] == kept_n
