@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .config import DEFAULT_N_BUCKETS
 from .functions.curate import curate_corpus
 from .functions.dedup import strip_dup_segments
-from .io import require_local
+from .io import has_parquet, require_local, with_bucket
 
 AUDIT_COLS = ("lang", "quality", "n_tokens", "dup_line_frac",
               "top_bigram_frac", "sym_ratio", "keep", "drop_reason")
@@ -62,13 +62,16 @@ def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
     train_path, audit_path, lin_path = curated_paths(out_root)
 
     def _bucket(df):
-        return df.withColumn(
-            "bucket", F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int")
-        )
+        # io.with_bucket — ONE copy of the bucket rule keeps curated buckets
+        # aligned with docs_out buckets forever
+        return with_bucket(df, n_buckets, id_col=id_col)
 
-    # resume probe: buckets with a lineage row are complete
+    # resume probe: buckets with a lineage row are complete. has_parquet,
+    # not exists — a crash DURING the lineage write leaves the directory
+    # present but file-less, and resume must re-run, not wedge on schema
+    # inference
     done = None
-    if os.path.exists(lin_path):
+    if has_parquet(lin_path):
         done = spark.read.parquet(lin_path).select("bucket").distinct()
     curated = curate_corpus(
         docs, id_col, text_col,
@@ -104,21 +107,25 @@ def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
             .parquet(path)
         )
     # lineage from the files just written (one cheap scan), this run's
-    # buckets only; <= n_buckets rows collected driver-side
-    back = spark.read.parquet(train_path)
+    # buckets only; <= n_buckets rows collected driver-side. The audit side
+    # drives (every input doc has an audit row, so every written bucket gets
+    # a lineage row even when it kept zero docs); the training side may have
+    # written NO files at all (all docs dropped) — the empty-output guard
+    # TableIO.write documents, re-applied here before the read-back.
     audit_back = spark.read.parquet(audit_path)
     if done is not None:
-        back = back.join(F.broadcast(done), "bucket", "left_anti")
         audit_back = audit_back.join(F.broadcast(done), "bucket", "left_anti")
-    lin = (
-        audit_back.groupBy("bucket")
-        .agg(
-            F.min(id_col).alias("doc_range_min"),
-            F.max(id_col).alias("doc_range_max"),
-            F.count("*").alias("doc_count"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_count"),
-        )
-        .join(
+    lin = audit_back.groupBy("bucket").agg(
+        F.min(id_col).alias("doc_range_min"),
+        F.max(id_col).alias("doc_range_max"),
+        F.count("*").alias("doc_count"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_count"),
+    )
+    if has_parquet(train_path):
+        back = spark.read.parquet(train_path)
+        if done is not None:
+            back = back.join(F.broadcast(done), "bucket", "left_anti")
+        lin = lin.join(
             back.withColumn(
                 "h", F.xxhash64(F.col(id_col), F.col("text_clean"))
             )
@@ -129,7 +136,10 @@ def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
             ),
             "bucket", "left",
         )
-    )
+    else:
+        lin = lin.withColumn(
+            "token_count", F.lit(None).cast("bigint")
+        ).withColumn("checksum", F.lit(None).cast("bigint"))
     rows = lin.collect()
     if rows:
         (

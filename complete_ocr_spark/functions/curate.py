@@ -125,7 +125,12 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
     if segment_scheme not in ("stride", "cdc"):
         raise ValueError(f"unknown segment_scheme {segment_scheme!r}")
     # NOTE: trim() strips only ASCII spaces in both engines, so the blank
-    # test collapses ALL whitespace via regexp (\n\t-only docs are empty too)
+    # test collapses ALL whitespace via regexp (\n\t-only docs are empty
+    # too). \s here follows the package-wide convention (dedup.normalized,
+    # every tokenizer and oracle): Java \s on the Spark side vs RE2 \s in
+    # DuckDB differ only on \x0B — a corpus carrying vertical-tab-only docs
+    # would need an explicit [ \t\n\r\f\x0B] class across ALL operators at
+    # once, not just this gate.
     empty = F.col(text_col).isNull() | (
         F.regexp_replace(F.col(text_col), r"\s+", "") == ""
     )

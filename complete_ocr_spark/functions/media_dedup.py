@@ -56,16 +56,25 @@ PHASH_SCHEMA = "doc string, simhash_hi bigint, simhash_lo bigint"
 def avg_hash_np(frame: np.ndarray, grid: int = 8) -> int:
     """64-bit average-hash of one (h, w) uint8 frame: mean-pool to
     ``grid`` x ``grid`` cells (the thumbnail_batch box filter), bit
-    ``i*grid+j`` set iff cell (i, j) > mean of all cells. Pure numpy —
-    shared by the Spark kernel and the tests' brute-force oracle is a
-    SEPARATE transcription (oracle/media.py) that never imports this."""
+    ``i*grid+j`` set iff cell (i, j) > mean of all cells. Frames smaller
+    than the grid leave some cells with an empty slice (the linspace edges
+    repeat); those cells take the nearest-pixel sample at the clamped cell
+    origin — nearest-neighbor upsampling, the same rule the Python oracle
+    transcribes — so tiny icons hash deterministically instead of
+    NaN-polluting the bit vector. Pure numpy; the tests' brute-force oracle
+    is a SEPARATE transcription (oracle/media.py) that never imports
+    this."""
     h, w = frame.shape
     ys = np.linspace(0, h, grid + 1).astype(int)
     xs = np.linspace(0, w, grid + 1).astype(int)
     cells = np.empty((grid, grid), dtype=np.float64)
     for i in range(grid):
         for j in range(grid):
-            cells[i, j] = frame[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+            sl = frame[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+            cells[i, j] = (
+                sl.mean() if sl.size
+                else float(frame[min(ys[i], h - 1), min(xs[j], w - 1)])
+            )
     bits = (cells > cells.mean()).astype(np.uint64).ravel()
     out = np.uint64(0)
     for k, b in enumerate(bits):

@@ -44,9 +44,22 @@ def require_local(path: str, what: str = "output root") -> str:
     return path[len("file://"):] if path.startswith("file://") else path
 
 
-def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
+                id_col: str = "doc_id") -> DataFrame:
     return df.withColumn(
-        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        "bucket", F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int")
+    )
+
+
+def has_parquet(path: str) -> bool:
+    """True iff ``path`` holds at least one parquet data file. The probe
+    every resume/read-back decision must use instead of os.path.exists: a
+    crash mid-write leaves the directory present with only _temporary
+    droppings, and reading it would fail schema inference forever after."""
+    return os.path.exists(path) and any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
     )
 
 

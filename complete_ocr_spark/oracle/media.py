@@ -15,8 +15,10 @@ from __future__ import annotations
 def _decode_first_frame(payload: bytes, width: int, height: int) -> list[list[int]]:
     need = width * height  # frame 0 only
     data = bytearray(payload)
-    if len(data) < need:  # np.resize semantics: tile the buffer
-        reps = need // max(len(data), 1) + 1
+    if not data:  # np.resize of an empty buffer yields zeros
+        data = bytearray(need)
+    elif len(data) < need:  # np.resize semantics: tile the buffer
+        reps = need // len(data) + 1
         data = (data * reps)[:need]
     return [
         [data[r * width + c] for c in range(width)] for r in range(height)
@@ -39,7 +41,12 @@ def avg_hash_py(payload: bytes, width: int, height: int, grid: int = 8) -> int:
                 for r in range(ys[i], ys[i + 1])
                 for c in range(xs[j], xs[j + 1])
             ]
-            means.append(sum(vals) / len(vals))
+            if vals:
+                means.append(sum(vals) / len(vals))
+            else:  # sub-grid frame: nearest pixel at the clamped cell origin
+                means.append(
+                    float(px[min(ys[i], height - 1)][min(xs[j], width - 1)])
+                )
     overall = sum(means) / len(means)
     out = 0
     for k, m in enumerate(means):

@@ -47,7 +47,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.dedup import connected_components, simhash64, simhash_band_keys
-from ..io import require_local
+# has_parquet: the shared crash-safe probe (io.py); module-private alias kept
+# for existing callers and segment_stream's import
+from ..io import has_parquet as _has_parquet, require_local
 
 
 N_VALUE_BUCKETS = 16  # band-index partition fan-out; see make_dedup_batch
@@ -166,10 +168,6 @@ def _geometry_guard(out_root: str, geometry: dict) -> None:
     os.replace(tmp, path)  # atomic: no truncated file survives a crash
 
 
-def _has_parquet(path: str) -> bool:
-    return os.path.exists(path) and any(
-        f.endswith(".parquet") for _, _, files in os.walk(path) for f in files
-    )
 
 
 def _bands(sigs: DataFrame, n_blocks: int, max_hamming: int) -> DataFrame:

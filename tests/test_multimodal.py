@@ -152,3 +152,37 @@ def test_media_avg_hash_kernel_matches_python_oracle(spark):
         assert got[ref] == avg_hash_py(
             bytes(r["payload"]), r["width"], r["height"]
         ), ref
+
+
+def test_media_avg_hash_handles_sub_grid_frames(spark):
+    """Frames smaller than the 8x8 grid (tiny icons) hash deterministically
+    — empty pooling cells take the nearest-pixel sample — and the kernel
+    still matches the independent Python oracle on them (review fix: the
+    naive pooling NaN-polluted the kernel and div-by-zeroed the oracle)."""
+    import hashlib
+
+    from complete_ocr_spark.functions.media_dedup import media_phash
+    from complete_ocr_spark.oracle.media import avg_hash_py
+
+    def keystream(seed, n):
+        out = bytearray()
+        c = 0
+        while len(out) < n:
+            out += hashlib.blake2b(f"{seed}:{c}".encode(), digest_size=64).digest()
+            c += 1
+        return bytes(out[:n])
+
+    rows = [
+        ("icon-4x4", 4, 4, 1, keystream("icon", 16)),
+        ("icon-2x10", 2, 10, 1, keystream("narrow", 20)),
+        ("icon-1x1", 1, 1, 1, keystream("dot", 1)),
+    ]
+    media = _media_rows(spark, rows)
+    got = {
+        r["doc"]: (r["simhash_hi"] << 32) | r["simhash_lo"]
+        for r in media_phash(media).collect()
+    }
+    for ref, w, h, _nf, payload in rows:
+        want = avg_hash_py(payload, w, h)
+        assert got[ref] == want, ref
+        assert 0 <= got[ref] < 2**64

@@ -125,3 +125,24 @@ def test_write_curated_resume_and_reconciliation(spark, tmp_path):
     lin = spark.read.parquet(curated_paths(root)[2])
     assert lin.agg(F.sum("doc_count")).collect()[0][0] == len(rows)
     assert lin.agg(F.sum("kept_count")).collect()[0][0] == kept_n
+
+
+def test_write_curated_survives_all_dropped_corpus(spark, tmp_path):
+    """A corpus where EVERY doc drops writes an audit table + lineage and
+    no training rows — the empty-output read-back guard (review fix: the
+    training parquet read would fail schema inference)."""
+    from complete_ocr_spark.curate_io import read_audit, write_curated
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "zzz qqq xxx " * 30), (3, "   ")],
+        "doc_id bigint, text string",
+    )
+    root = str(tmp_path / "curated_empty")
+    r = write_curated(spark, docs, root, n_buckets=4)
+    assert not r["skipped"] and r["kept"] == 0 and r["docs_in"] == 3
+    audit = read_audit(spark, root)
+    assert audit.count() == 3
+    assert audit.filter("keep").count() == 0
+    # and a rerun is a clean skip
+    r2 = write_curated(spark, docs, root, n_buckets=4)
+    assert r2["skipped"]
