@@ -146,6 +146,16 @@ def main() -> None:
         "q_media_near_dup": {
             "input": "committed 133-row media fixture (constant across sf)",
         },
+        "q_corpus_curation": {
+            "r6": "gained the SemDeDup semantic tier (SRP candidates + "
+                  "cosine verify + CC over lexical survivors); measured "
+                  "same-session delta ~+2.7s at sf0.1 — compare vs r5 "
+                  "accordingly",
+        },
+        "q_cdc_dedup": {
+            "r6": "boundary hash now a rolling 3-token window (one lag "
+                  "window pass added, same doc partitioning)",
+        },
     }
     result = {
         "metric": "end_to_end_extraction_plus_operator_suite",

@@ -109,22 +109,37 @@ def media_phash(media: DataFrame) -> DataFrame:
 
 
 def media_near_dup(media: DataFrame, max_hamming: int = 3,
-                   n_blocks: int = 8) -> DataFrame:
+                   n_blocks: int = 8,
+                   sig_store: str | None = None) -> DataFrame:
     """Near-duplicate media pairs (doc1, doc2, hamming): banded candidate
     join + popcount verify over the perceptual signatures. Defaults to the
-    deployment band geometry (C(8,5)=56 bands of 40-bit keys)."""
+    deployment band geometry (C(8,5)=56 bands of 40-bit keys).
+
+    ``sig_store``: parquet path for the signature table. Spark reuses no
+    exchanges across the self-join sides of a MapInPandas subtree, so the
+    default (None) runs the decode+hash kernel TWICE — tolerable at sf,
+    but at corpus scale the decode over the payload column is THE expensive
+    leg (everything downstream touches 16 B/row). With ``sig_store`` set,
+    signatures are written once and both join sides read the parquet back
+    — the dedup.simhash_hamming_pairs ``sig_store`` contract verbatim,
+    pinned kernel-free by the same plan test."""
+    sig = media_phash(media)
+    if sig_store is not None:
+        sig.write.mode("overwrite").parquet(sig_store)
+        sig = media.sparkSession.read.parquet(sig_store)
     return dedup.simhash_hamming_pairs_from_sigs(
-        media_phash(media), max_hamming=max_hamming, n_blocks=n_blocks
+        sig, max_hamming=max_hamming, n_blocks=n_blocks
     )
 
 
 def media_dup_clusters(media: DataFrame, max_hamming: int = 3,
-                       n_blocks: int = 8) -> DataFrame:
+                       n_blocks: int = 8,
+                       sig_store: str | None = None) -> DataFrame:
     """(media_ref, dup_of, n_members) for every media row with at least one
     perceptual near-dup; dup_of = the cluster's minimum media_ref — keep
     rows where ``media_ref == dup_of`` (or rows absent entirely) to retain
-    one copy per visual cluster."""
-    pairs = media_near_dup(media, max_hamming, n_blocks)
+    one copy per visual cluster. ``sig_store`` as in ``media_near_dup``."""
+    pairs = media_near_dup(media, max_hamming, n_blocks, sig_store=sig_store)
     cc = dedup.connected_components(pairs.select("doc1", "doc2"))
     return cc.select(
         cc["doc"].alias("media_ref"),

@@ -200,3 +200,16 @@ def test_curation_exact_dedup_has_no_window_over_fingerprint(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "fp#" not in line and "norm#" not in line, line
+
+
+def test_media_near_dup_stored_route_is_kernel_free_and_equi_join(spark):
+    """q_media_near_dup routes through the perceptual sig_store: the pair
+    join must read the 16 B/row signature parquet on both sides with NO
+    decode+hash kernel in the plan (the dedup.sig_store contract on media),
+    and candidates must come from the banded equi-join, never a cartesian."""
+    plan = _plan(REGISTRY["q_media_near_dup"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the driver query pre-writes the store; the returned plan is the pair
+    # join + CC over the parquet read — kernel-free
+    assert "MapInPandas" not in plan
