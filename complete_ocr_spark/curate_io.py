@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import DEFAULT_N_BUCKETS
 from .functions.curate import curate_corpus
-from .functions.dedup import strip_dup_segments
+from .functions.dedup import strip_dup_chunks, strip_dup_segments
 from .io import has_parquet, require_local, with_bucket
 
 AUDIT_COLS = ("lang", "quality", "n_tokens", "dup_line_frac",
@@ -50,12 +50,19 @@ def curated_paths(out_root: str) -> tuple[str, str, str]:
 def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
                   id_col: str = "doc_id", text_col: str = "text",
                   n_buckets: int = DEFAULT_N_BUCKETS,
+                  segment_scheme: str = "stride",
                   seg_win: int = 20, seg_stride: int = 10,
+                  cdc_avg_chunk: int = 8, cdc_min_tokens: int = 5,
+                  cdc_window_k: int = 3,
                   fail_after_buckets: int | None = None,
                   **curate_kwargs) -> dict:
     """Curate + strip + write (module doc). ``curate_kwargs`` pass through
-    to curate_corpus (thresholds, segment_scheme, embeddings=...);
-    ``fail_after_buckets`` simulates a mid-job crash for restart tests.
+    to curate_corpus (thresholds, embeddings=...); ``segment_scheme`` picks
+    BOTH the coverage detector inside curation and the strip consumer that
+    cleans the kept docs' text (stride -> strip_dup_segments, cdc ->
+    strip_dup_chunks — the cleaned text always matches the detector the
+    drop decision used); ``fail_after_buckets`` simulates a mid-job crash
+    for restart tests.
 
     Returns {'docs_in', 'kept', 'buckets_written', 'skipped'}."""
     out_root = require_local(out_root, "write_curated out_root")
@@ -75,14 +82,22 @@ def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
         done = spark.read.parquet(lin_path).select("bucket").distinct()
     curated = curate_corpus(
         docs, id_col, text_col,
-        seg_win=seg_win, seg_stride=seg_stride, **curate_kwargs
+        segment_scheme=segment_scheme, seg_win=seg_win,
+        seg_stride=seg_stride, cdc_avg_chunk=cdc_avg_chunk,
+        cdc_min_tokens=cdc_min_tokens, cdc_window_k=cdc_window_k,
+        **curate_kwargs
     ).localCheckpoint(eager=False)  # feeds audit AND the kept/strip branch
     kept = curated.filter("keep").select(id_col, text_col)
-    training = _bucket(
-        strip_dup_segments(kept, id_col, text_col,
-                           win=seg_win, stride=seg_stride)
-        .withColumnRenamed("doc_id", id_col)
-    )
+    if segment_scheme == "cdc":
+        stripped = strip_dup_chunks(
+            kept, id_col, text_col, avg_chunk=cdc_avg_chunk,
+            min_tokens=cdc_min_tokens, window_k=cdc_window_k,
+        )
+    else:
+        stripped = strip_dup_segments(
+            kept, id_col, text_col, win=seg_win, stride=seg_stride
+        )
+    training = _bucket(stripped.withColumnRenamed("doc_id", id_col))
     audit = _bucket(curated.select(id_col, *AUDIT_COLS))
     if done is not None:
         # global decisions, pruned writes: only pending buckets are written

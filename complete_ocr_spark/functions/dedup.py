@@ -576,6 +576,34 @@ def strip_dup_segments(df: DataFrame, id_col: str, text_col: str,
     inlining them would re-evaluate the split per token (the modal-bigram
     lesson, BASELINE.md round-5)."""
     spans = segment_dup_spans(df, id_col, text_col, win=win, stride=stride)
+    return _strip_spans(df, id_col, text_col, spans)
+
+
+def strip_dup_chunks(df: DataFrame, id_col: str, text_col: str,
+                     avg_chunk: int = 8, min_tokens: int = 5,
+                     window_k: int = 3) -> DataFrame:
+    """The consumer of ``cdc_dup_chunks`` — ``strip_dup_segments`` with the
+    CONTENT-DEFINED detector: duplicated chunks (shift-robust boundaries)
+    are removed from later docs, first occurrence kept. Same output schema
+    and scale shape as the stride consumer; use this one when the curation
+    tier runs ``segment_scheme="cdc"`` so the cleaned text matches the
+    coverage decision."""
+    chunks = cdc_dup_chunks(df, id_col, text_col, avg_chunk=avg_chunk,
+                            min_tokens=min_tokens, window_k=window_k)
+    return _strip_spans(
+        df, id_col, text_col,
+        chunks.select(
+            "doc_id",
+            F.col("chunk_start").alias("span_start"),
+            F.col("chunk_end").alias("span_end"),
+        ),
+    )
+
+
+def _strip_spans(df: DataFrame, id_col: str, text_col: str,
+                 spans: DataFrame) -> DataFrame:
+    """Shared strip body: remove token positions covered by any
+    (doc_id, span_start, span_end) row — see ``strip_dup_segments``."""
     sp = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

@@ -132,6 +132,24 @@ def media_near_dup(media: DataFrame, max_hamming: int = 3,
     )
 
 
+def media_sig_fn(batch_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``sig_fn`` adapter for streaming.dedup_stream.make_dedup_batch: media
+    rows -> perceptual signatures in the (doc, simhash_hi, simhash_lo)
+    contract. The id/text column arguments are part of the sig_fn signature;
+    both are unused — the media_ref IS the id and the payload IS the
+    content. With this one adapter the ENTIRE incremental-dedup stack
+    (banded signature store, partition-pruned probes, strictly-earlier
+    flags, online cluster maintenance, scheduled compaction) runs on media:
+
+        pb = make_dedup_batch(spark, root, id_col="media_ref",
+                              text_col="payload", n_blocks=8,
+                              sig_fn=media_sig_fn)
+
+    — arriving images are flagged against every earlier arrival's
+    perceptual hash, and bridging arrivals merge visual clusters online."""
+    return media_phash(batch_df)
+
+
 def media_dup_clusters(media: DataFrame, max_hamming: int = 3,
                        n_blocks: int = 8,
                        sig_store: str | None = None) -> DataFrame:

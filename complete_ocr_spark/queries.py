@@ -1462,6 +1462,47 @@ WHERE c.doc_id > cc.dup_of
 """
 
 
+def q_strip_dup_chunks(spark, sf_dir):
+    """The CDC-dedup CONSUMER (functions.dedup.strip_dup_chunks):
+    strip_dup_segments with the content-defined detector — duplicated
+    chunks removed from later docs even when the copy sits behind an
+    insertion that shifts every stride-grid window. The consumer
+    write_curated(segment_scheme='cdc') cleans with (ANCHOR_REGISTRY;
+    the stride consumer holds the driver-window slot)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.strip_dup_chunks(
+        d, "doc_id", "text", avg_chunk=_CDC_AVG, min_tokens=_CDC_MIN,
+        window_k=_CDC_WINK,
+    )
+
+
+def _strip_chunks_sql() -> str:
+    cdc = _cdc_dedup_sql().strip()
+    return rf"""
+WITH cdcsp AS MATERIALIZED ({cdc}),
+stoks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+tp AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
+  FROM stoks),
+kept AS (
+  SELECT tp.doc_id, tp.tok, tp.pos
+  FROM tp LEFT JOIN cdcsp s
+    ON s.doc_id = tp.doc_id AND tp.pos >= s.chunk_start AND tp.pos < s.chunk_end
+  WHERE s.doc_id IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       len(t.t) - COALESCE(a.n_kept, 0) AS n_dropped
+FROM stoks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_strip_dup_segments(spark, sf_dir):
     """The segment-dedup CONSUMER (functions.dedup.strip_dup_segments):
     every document re-emitted with its duplicated token spans removed —
@@ -3023,6 +3064,8 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     "q_layout_classes_prima": (q_layout_classes_prima, _layout_prima_sql()),
     # the untrained PQ path (round-4's q_ann_pq) stays under the hash gate
     "q_ann_pq_seeded": (q_ann_pq_seeded, _pq_sql(trained=False)),
+    # the CDC strip consumer (the stride consumer holds the driver slot)
+    "q_strip_dup_chunks": (q_strip_dup_chunks, _strip_chunks_sql()),
 }
 
 _DRIVER_CAP = 50  # the driver checks at most this many registry rows

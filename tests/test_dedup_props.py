@@ -935,3 +935,55 @@ def test_curate_cdc_scheme_catches_shifted_mostly_copied_doc(spark):
 
     with pytest.raises(ValueError, match="segment_scheme"):
         curate_corpus(d, "doc_id", "text", segment_scheme="nope")
+
+
+def test_strip_dup_chunks_removes_shifted_copy_tokens(spark):
+    """The CDC strip consumer: a shifted full copy loses exactly the tokens
+    inside its detected duplicate chunks (strip/detector coherence), while
+    the owner doc keeps everything."""
+    a = " ".join(f"the word{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, a), (3, "intro " + a)], "doc_id bigint, text string"
+    )
+    chunks = dedup.cdc_dup_chunks(docs, "doc_id", "text").collect()
+    dup_toks = sum(r["n_tokens"] for r in chunks if r["doc_id"] == 3)
+    assert dup_toks > 0
+    out = {r["doc_id"]: r for r in
+           dedup.strip_dup_chunks(docs, "doc_id", "text").collect()}
+    assert out[1]["n_dropped"] == 0 and out[1]["n_kept"] == 60
+    assert out[3]["n_dropped"] == dup_toks
+    assert out[3]["n_kept"] == 61 - dup_toks
+    # the kept text contains no token from inside any detected chunk
+    toks3 = ("intro " + a).split()
+    covered = {p for r in chunks if r["doc_id"] == 3
+               for p in range(r["chunk_start"], r["chunk_end"])}
+    expect = " ".join(t for i, t in enumerate(toks3) if i not in covered)
+    assert out[3]["text_clean"] == expect
+
+
+def test_write_curated_cdc_scheme_strips_with_cdc_detector(spark, tmp_path):
+    """write_curated(segment_scheme='cdc'): the kept docs' cleaned text is
+    produced by the SAME content-defined detector the drop decision used —
+    a shifted partial copy (below the drop bound) has its duplicated chunks
+    stripped even though the stride consumer would have removed nothing."""
+    from complete_ocr_spark.curate_io import read_training, write_curated
+
+    copied = "the " + " ".join(
+        f"clause{i} section{i} term{i}" for i in range(40)
+    )  # 121 tokens
+    tail = " ".join(f"the zulu{i} quux{i} extra{i} note{i}" for i in range(40))
+    d = spark.createDataFrame(
+        [(1, copied), (2, f"intro {copied} {tail}")],
+        "doc_id bigint, text string",
+    )
+    root = str(tmp_path / "cur_cdc")
+    r = write_curated(spark, d, root, n_buckets=4,
+                      segment_scheme="cdc", max_dup_segment_frac=0.9)
+    assert r["kept"] == 2, r  # coverage ~0.3 < 0.9: both docs kept
+    tr = {row["doc_id"]: row for row in read_training(spark, root).collect()}
+    assert tr[1]["n_dropped"] == 0
+    assert tr[2]["n_dropped"] > 0, "cdc strip must remove the copied chunks"
+    # and the stride consumer sees nothing to strip on the shifted copy
+    stride = {row["doc_id"]: row for row in dedup.strip_dup_segments(
+        d, "doc_id", "text").collect()}
+    assert stride[2]["n_dropped"] == 0

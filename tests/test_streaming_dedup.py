@@ -735,3 +735,52 @@ def test_scheduled_compaction_bounds_move_chain_depth(spark, tmp_path):
 
     with pytest.raises(ValueError, match="maintenance_every"):
         make_dedup_batch(spark, str(tmp_path / "bad"), maintenance_every=0)
+
+
+def test_streaming_dedup_runs_on_media_signatures(spark, tmp_path):
+    """The incremental-dedup stack is signature-scheme-agnostic: wiring
+    media_dedup.media_sig_fn through make_dedup_batch flags an arriving
+    RE-ENCODED image (perturbed payload, perceptual Hamming <= 3) against
+    an earlier batch's original, leaves distinct images unflagged, and
+    maintains visual clusters online."""
+    import hashlib
+
+    from complete_ocr_spark.functions.media_dedup import media_sig_fn
+    from complete_ocr_spark.streaming.dedup_stream import read_cluster_labels
+
+    def keystream(seed, n):
+        out = bytearray()
+        c = 0
+        while len(out) < n:
+            out += hashlib.blake2b(f"{seed}:{c}".encode(), digest_size=64).digest()
+            c += 1
+        return bytes(out[:n])
+
+    mschema = ("media_ref string, width int, height int, n_frames int, "
+               "payload binary")
+    base = keystream("stream-page", 64 * 64)
+    reenc = bytearray(base)
+    for k in range(0, len(reenc), 997):
+        reenc[k] = (reenc[k] + 5) % 256
+    out_root = str(tmp_path / "media_dedup")
+    pb = make_dedup_batch(
+        spark, out_root, id_col="media_ref", text_col="payload",
+        n_blocks=8, sig_fn=media_sig_fn,
+    )
+    pb(spark.createDataFrame(
+        [("img-base", 64, 64, 1, base),
+         ("img-other", 48, 80, 1, keystream("other", 48 * 80))], mschema), 0)
+    assert _flags(spark, out_root) == {}
+    pb(spark.createDataFrame(
+        [("img-reenc", 64, 64, 1, bytes(reenc)),
+         ("img-third", 32, 96, 1, keystream("third", 32 * 96))], mschema), 1)
+    got = _flags(spark, out_root)
+    assert set(got) == {"img-reenc"}
+    dup_of, dup_batch, hamming, batch_id = got["img-reenc"]
+    assert (dup_of, dup_batch, batch_id) == ("img-base", 0, 1)
+    assert hamming <= 3
+    labels = {
+        r["doc"]: r["cluster"]
+        for r in read_cluster_labels(spark, out_root, "string").collect()
+    }
+    assert labels == {"img-base": "img-base", "img-reenc": "img-base"}
