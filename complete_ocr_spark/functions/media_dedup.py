@@ -132,6 +132,46 @@ def media_near_dup(media: DataFrame, max_hamming: int = 3,
     )
 
 
+def frame_phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """FRAME-level perceptual signatures for video rows: one 64-bit
+    average-hash per decoded frame, doc = ``media_ref#frame_idx``. The
+    video analogue of segment-level text dedup — two videos sharing scenes
+    collide frame-by-frame even when their whole-payload hashes differ
+    (a whole-video hash is the doc-level SimHash blind spot all over
+    again)."""
+    for pdf in batches:
+        refs, his, los = [], [], []
+        for mr, w, h, nf, payload in zip(
+            pdf["media_ref"], pdf["width"], pdf["height"],
+            pdf["n_frames"], pdf["payload"],
+        ):
+            frames = _fake_decode(payload, int(w), int(h), int(nf))
+            for k in range(int(nf)):
+                ph = avg_hash_np(frames[k])
+                refs.append(f"{mr}#{k}")
+                his.append(ph >> 32)
+                los.append(ph & 0xFFFFFFFF)
+        yield pd.DataFrame({"doc": refs, "simhash_hi": his, "simhash_lo": los})
+
+
+def frame_phash(media: DataFrame) -> DataFrame:
+    """Per-frame perceptual signatures (doc = media_ref#frame_idx)."""
+    return media.select(
+        "media_ref", "width", "height", "n_frames", "payload"
+    ).mapInPandas(frame_phash_batch, schema=PHASH_SCHEMA)
+
+
+def frame_near_dup(media: DataFrame, max_hamming: int = 3,
+                   n_blocks: int = 8) -> DataFrame:
+    """Near-duplicate FRAME pairs (doc1, doc2, hamming) across (and within)
+    videos — shared-scene detection via the banded machinery. Pair ids are
+    ``media_ref#frame_idx``; split on '#' to group shared-frame counts per
+    video pair (a plain groupBy over these pairs)."""
+    return dedup.simhash_hamming_pairs_from_sigs(
+        frame_phash(media), max_hamming=max_hamming, n_blocks=n_blocks
+    )
+
+
 def media_sig_fn(batch_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``sig_fn`` adapter for streaming.dedup_stream.make_dedup_batch: media
     rows -> perceptual signatures in the (doc, simhash_hi, simhash_lo)

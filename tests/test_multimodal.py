@@ -186,3 +186,39 @@ def test_media_avg_hash_handles_sub_grid_frames(spark):
         want = avg_hash_py(payload, w, h)
         assert got[ref] == want, ref
         assert 0 <= got[ref] < 2**64
+
+
+def test_frame_level_dedup_finds_shared_scenes(spark):
+    """Frame-level video dedup (the segment-dedup idea on the video axis):
+    two videos sharing ONE scene collide on exactly that frame pair while
+    their whole-payload hashes differ; unrelated frames stay unpaired."""
+    import hashlib
+
+    from complete_ocr_spark.functions.media_dedup import (
+        frame_near_dup, media_phash,
+    )
+
+    def keystream(seed, n):
+        out = bytearray()
+        c = 0
+        while len(out) < n:
+            out += hashlib.blake2b(f"{seed}:{c}".encode(), digest_size=64).digest()
+            c += 1
+        return bytes(out[:n])
+
+    w = h = 32
+    scene = keystream("shared-scene", w * h)
+    vid_a = scene + keystream("a-rest", 2 * w * h)           # frames 0,1,2
+    vid_b = keystream("b-head", w * h) + scene + keystream("b-tail", w * h)
+    rows = [
+        ("vid-a", w, h, 3, vid_a),
+        ("vid-b", w, h, 3, vid_b),
+    ]
+    media = _media_rows(spark, rows)
+    # whole-payload hashes differ: doc-level media dedup sees nothing
+    assert media_phash(media).select("simhash_hi", "simhash_lo").distinct().count() == 2
+    pairs = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in frame_near_dup(media, max_hamming=3).collect()
+    }
+    assert pairs == {("vid-a#0", "vid-b#1"): 0}
