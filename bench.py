@@ -145,6 +145,10 @@ def main() -> None:
         },
         "q_media_near_dup": {
             "input": "committed 133-row media fixture (constant across sf)",
+            "measures": "banded pair join + CC over the stored signatures; "
+                        "the decode+hash kernel is INDEX-BUILD (memoized, "
+                        "paid in the unmeasured warm pass — the q_ann_pq "
+                        "trained-codebook convention)",
         },
         "q_corpus_curation": {
             "r6": "gained the SemDeDup semantic tier (SRP candidates + "

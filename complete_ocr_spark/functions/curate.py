@@ -89,6 +89,7 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                   cdc_avg_chunk: int = 8, cdc_min_tokens: int = 5,
                   cdc_window_k: int = 3,
                   max_hamming: int = 3, n_blocks: int = 4,
+                  near_dup_sig_store: str | None = None,
                   embeddings: DataFrame | None = None,
                   emb_id_col: str = "vec_id",
                   emb_vec_col: str = "embedding",
@@ -229,10 +230,17 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
             .localCheckpoint(eager=False)
         )
         seg_survivors = exact_survivors.join(seg_drops, id_col, "left_anti")
-    # near dedup over the remaining survivors: drop all but each cluster's min
+    # near dedup over the remaining survivors: drop all but each cluster's
+    # min. near_dup_sig_store (optional) makes the signature kernel run once
+    # into parquet instead of once per banded-join side — at corpus scale
+    # the kernel pass over the survivors' text is the expensive leg
+    # (dedup.simhash_hamming_pairs' sig_store contract, INCLUDING its
+    # repeated-call caveat: the store is overwritten eagerly per call and
+    # read lazily by this view — one path per corpus, or memoize).
     clusters = dedup.dup_clusters(
         seg_survivors, id_col, text_col,
         max_hamming=max_hamming, n_blocks=n_blocks,
+        sig_store=near_dup_sig_store,
     )
     near_drops = clusters.filter(F.col("doc") != F.col("cluster")).select("doc")
     # semantic tier (optional): tight embedding clusters over what every

@@ -341,7 +341,8 @@ def simhash_hamming_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3,
 
 def dup_clusters(df: DataFrame, id_col: str, text_col: str,
                  max_hamming: int = 3, n_blocks: int = 4,
-                 max_iters: int = 20) -> DataFrame:
+                 max_iters: int = 20,
+                 sig_store: str | None = None) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the SimHash near-dup pair
     graph — the step that turns pairwise matches into "keep one document per
     duplicate cluster" for a training corpus.
@@ -361,8 +362,14 @@ def dup_clusters(df: DataFrame, id_col: str, text_col: str,
 
     Returns (doc, cluster, n_members) for every doc that has at least one
     near-dup edge; cluster = min doc id of its component.
+
+    ``sig_store``: forwarded to ``simhash_hamming_pairs`` — at corpus scale
+    set it so the signature kernel runs ONCE into 16 B/doc parquet instead
+    of once per self-join side (the exchange-reuse gap; see that
+    docstring).
     """
-    pairs = simhash_hamming_pairs(df, id_col, text_col, max_hamming, n_blocks)
+    pairs = simhash_hamming_pairs(df, id_col, text_col, max_hamming,
+                                  n_blocks, sig_store=sig_store)
     return connected_components(pairs.select("doc1", "doc2"), max_iters)
 
 

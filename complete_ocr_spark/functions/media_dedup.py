@@ -82,22 +82,36 @@ def avg_hash_np(frame: np.ndarray, grid: int = 8) -> int:
     return int(out)
 
 
+FRAME_SEP = "\x1f"  # unit separator: cannot appear in a crawl's media_refs
+                    # the way '#' (URL fragments) can
+
+
+def _hash_rows(pdf: pd.DataFrame, per_frame: bool):
+    """Shared decode+hash walk over one Arrow batch — the single body behind
+    the media-level and frame-level kernels (one place to swap the codec).
+    per_frame=False hashes frame 0 under the bare media_ref; per_frame=True
+    hashes every frame under ``media_ref<US>frame_idx`` (zero-padded so doc
+    ids order frames numerically)."""
+    refs, his, los = [], [], []
+    for mr, w, h, nf, payload in zip(
+        pdf["media_ref"], pdf["width"], pdf["height"],
+        pdf["n_frames"], pdf["payload"],
+    ):
+        frames = _fake_decode(payload, int(w), int(h), int(nf))
+        for k in range(int(nf) if per_frame else 1):
+            ph = avg_hash_np(frames[k])
+            refs.append(f"{mr}{FRAME_SEP}{k:06d}" if per_frame else mr)
+            his.append(ph >> 32)
+            los.append(ph & 0xFFFFFFFF)
+    return pd.DataFrame({"doc": refs, "simhash_hi": his, "simhash_lo": los})
+
+
 def avg_hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(media_ref, width, height, n_frames, payload) rows -> perceptual
     signatures in the (doc, simhash_hi, simhash_lo) split-halves shape
     functions.dedup's banding expects (hi = bits 32-63, lo = bits 0-31)."""
     for pdf in batches:
-        refs, his, los = [], [], []
-        for mr, w, h, nf, payload in zip(
-            pdf["media_ref"], pdf["width"], pdf["height"],
-            pdf["n_frames"], pdf["payload"],
-        ):
-            frame = _fake_decode(payload, int(w), int(h), int(nf))[0]
-            ph = avg_hash_np(frame)
-            refs.append(mr)
-            his.append(ph >> 32)
-            los.append(ph & 0xFFFFFFFF)
-        yield pd.DataFrame({"doc": refs, "simhash_hi": his, "simhash_lo": los})
+        yield _hash_rows(pdf, per_frame=False)
 
 
 def media_phash(media: DataFrame) -> DataFrame:
@@ -122,7 +136,11 @@ def media_near_dup(media: DataFrame, max_hamming: int = 3,
     leg (everything downstream touches 16 B/row). With ``sig_store`` set,
     signatures are written once and both join sides read the parquet back
     — the dedup.simhash_hamming_pairs ``sig_store`` contract verbatim,
-    pinned kernel-free by the same plan test."""
+    pinned kernel-free by the same plan test. The store is OVERWRITTEN
+    eagerly at call time and read lazily by the returned frame: callers
+    issuing repeated calls against one path must memoize the write (the
+    queries._MEDIA_SIG_BUILT pattern) or use a fresh path per corpus —
+    an earlier call's lazy view otherwise reads a later call's store."""
     sig = media_phash(media)
     if sig_store is not None:
         sig.write.mode("overwrite").parquet(sig_store)
@@ -132,30 +150,37 @@ def media_near_dup(media: DataFrame, max_hamming: int = 3,
     )
 
 
+def media_dup_clusters_from_sigs(sigs: DataFrame, max_hamming: int = 3,
+                                 n_blocks: int = 8) -> DataFrame:
+    """Visual clusters from an existing perceptual-signature frame
+    (doc, simhash_hi, simhash_lo) — the corpus-scale entry point (compute
+    or load signatures once, run only the banded join + CC here); the one
+    body behind ``media_dup_clusters`` and the stored-signature driver
+    route."""
+    pairs = dedup.simhash_hamming_pairs_from_sigs(
+        sigs, max_hamming=max_hamming, n_blocks=n_blocks
+    )
+    cc = dedup.connected_components(pairs.select("doc1", "doc2"))
+    return cc.select(
+        cc["doc"].alias("media_ref"),
+        cc["cluster"].alias("dup_of"),
+        "n_members",
+    )
+
+
 def frame_phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """FRAME-level perceptual signatures for video rows: one 64-bit
-    average-hash per decoded frame, doc = ``media_ref#frame_idx``. The
-    video analogue of segment-level text dedup — two videos sharing scenes
-    collide frame-by-frame even when their whole-payload hashes differ
-    (a whole-video hash is the doc-level SimHash blind spot all over
-    again)."""
+    average-hash per decoded frame, doc = ``media_ref + FRAME_SEP +
+    zero-padded frame_idx``. The video analogue of segment-level text dedup
+    — two videos sharing scenes collide frame-by-frame even when their
+    whole-payload hashes differ (a whole-video hash is the doc-level
+    SimHash blind spot all over again)."""
     for pdf in batches:
-        refs, his, los = [], [], []
-        for mr, w, h, nf, payload in zip(
-            pdf["media_ref"], pdf["width"], pdf["height"],
-            pdf["n_frames"], pdf["payload"],
-        ):
-            frames = _fake_decode(payload, int(w), int(h), int(nf))
-            for k in range(int(nf)):
-                ph = avg_hash_np(frames[k])
-                refs.append(f"{mr}#{k}")
-                his.append(ph >> 32)
-                los.append(ph & 0xFFFFFFFF)
-        yield pd.DataFrame({"doc": refs, "simhash_hi": his, "simhash_lo": los})
+        yield _hash_rows(pdf, per_frame=True)
 
 
 def frame_phash(media: DataFrame) -> DataFrame:
-    """Per-frame perceptual signatures (doc = media_ref#frame_idx)."""
+    """Per-frame perceptual signatures (doc = media_ref<US>frame_idx)."""
     return media.select(
         "media_ref", "width", "height", "n_frames", "payload"
     ).mapInPandas(frame_phash_batch, schema=PHASH_SCHEMA)
@@ -165,8 +190,10 @@ def frame_near_dup(media: DataFrame, max_hamming: int = 3,
                    n_blocks: int = 8) -> DataFrame:
     """Near-duplicate FRAME pairs (doc1, doc2, hamming) across (and within)
     videos — shared-scene detection via the banded machinery. Pair ids are
-    ``media_ref#frame_idx``; split on '#' to group shared-frame counts per
-    video pair (a plain groupBy over these pairs)."""
+    ``media_ref + FRAME_SEP + frame_idx`` (FRAME_SEP = unit separator — a
+    character URLs cannot carry, unlike '#'; indices zero-padded so string
+    order == frame order): split on FRAME_SEP to group shared-frame counts
+    per video pair (a plain groupBy over these pairs)."""
     return dedup.simhash_hamming_pairs_from_sigs(
         frame_phash(media), max_hamming=max_hamming, n_blocks=n_blocks
     )
@@ -196,11 +223,10 @@ def media_dup_clusters(media: DataFrame, max_hamming: int = 3,
     """(media_ref, dup_of, n_members) for every media row with at least one
     perceptual near-dup; dup_of = the cluster's minimum media_ref — keep
     rows where ``media_ref == dup_of`` (or rows absent entirely) to retain
-    one copy per visual cluster. ``sig_store`` as in ``media_near_dup``."""
-    pairs = media_near_dup(media, max_hamming, n_blocks, sig_store=sig_store)
-    cc = dedup.connected_components(pairs.select("doc1", "doc2"))
-    return cc.select(
-        cc["doc"].alias("media_ref"),
-        cc["cluster"].alias("dup_of"),
-        "n_members",
-    )
+    one copy per visual cluster. ``sig_store`` as in ``media_near_dup``
+    (including its repeated-call caveat)."""
+    sig = media_phash(media)
+    if sig_store is not None:
+        sig.write.mode("overwrite").parquet(sig_store)
+        sig = media.sparkSession.read.parquet(sig_store)
+    return media_dup_clusters_from_sigs(sig, max_hamming, n_blocks)

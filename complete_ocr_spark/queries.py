@@ -1466,8 +1466,9 @@ def q_strip_dup_chunks(spark, sf_dir):
     """The CDC-dedup CONSUMER (functions.dedup.strip_dup_chunks):
     strip_dup_segments with the content-defined detector — duplicated
     chunks removed from later docs even when the copy sits behind an
-    insertion that shifts every stride-grid window. The consumer
-    write_curated(segment_scheme='cdc') cleans with (ANCHOR_REGISTRY;
+    insertion that shifts every stride-grid window. This is the consumer
+    write_curated(segment_scheme='cdc') cleans kept docs with, so its
+    oracle pins the writer's cleaning semantics too (ANCHOR_REGISTRY;
     the stride consumer holds the driver-window slot)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.strip_dup_chunks(
@@ -2663,22 +2664,15 @@ def q_media_near_dup(spark, sf_dir):
     full value-level cross-implementation comparison. Routed through a
     sig_store (memoized per process — the fixture is immutable) so the
     decode+hash kernel runs ONCE, not once per self-join side."""
-    from .functions.media_dedup import media_phash
+    from .functions.media_dedup import media_dup_clusters_from_sigs, media_phash
 
     media = spark.read.parquet(MEDIA_FIXTURE)
     store = _scratch("media_phash", MEDIA_FIXTURE)
     if store not in _MEDIA_SIG_BUILT or not os.path.isdir(store):
         media_phash(media).write.mode("overwrite").parquet(store)
         _MEDIA_SIG_BUILT.add(store)
-    sigs = spark.read.parquet(store)
-    pairs = dedup.simhash_hamming_pairs_from_sigs(
-        sigs, max_hamming=3, n_blocks=8
-    )
-    cc = dedup.connected_components(pairs.select("doc1", "doc2"))
-    return cc.select(
-        F.col("doc").alias("media_ref"),
-        F.col("cluster").alias("dup_of"),
-        "n_members",
+    return media_dup_clusters_from_sigs(
+        spark.read.parquet(store), max_hamming=3, n_blocks=8
     )
 
 

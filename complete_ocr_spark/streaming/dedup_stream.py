@@ -105,6 +105,8 @@ def read_flags(spark: SparkSession, out_root: str,
         return spark.read.parquet(flag_path)
     if scheme is None:
         scheme = _stored_scheme(out_root) or "simhash"
+    if scheme.startswith("simhash-sig:"):
+        scheme = "simhash"  # injected kernels flag on the simhash schema
     scores = {"simhash": "hamming int", "minhash": "n_bands_hit bigint"}
     if scheme not in scores:
         raise ValueError(f"unknown dedup scheme {scheme!r}; one of {sorted(scores)}")
@@ -559,6 +561,15 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
         "max_hamming": max_hamming,
         "n_value_buckets": n_value_buckets,
     }
+    if sig_fn is not None:
+        # an injected signature kernel is part of the on-disk contract
+        # (media_dedup.media_sig_fn made it a production route): banding
+        # geometry alone would let a resume mix perceptual and text hashes
+        # in one index — same key space, incompatible meaning. Tag the
+        # scheme by kernel name; the default text simhash64 stays untagged
+        # for backward compatibility with existing stores, and any
+        # tagged/untagged or cross-name mix refuses loudly in the guard.
+        geometry["scheme"] = f"simhash-sig:{getattr(sig_fn, '__name__', 'custom')}"
     if maintain_clusters:
         # the assignment table's db partitioning is part of the on-disk
         # contract too — a bucket-count change would mis-prune label lookups

@@ -987,3 +987,16 @@ def test_write_curated_cdc_scheme_strips_with_cdc_detector(spark, tmp_path):
     stride = {row["doc_id"]: row for row in dedup.strip_dup_segments(
         d, "doc_id", "text").collect()}
     assert stride[2]["n_dropped"] == 0
+
+
+def test_dup_clusters_sig_store_route_is_identical(spark, tmp_path):
+    """dup_clusters(sig_store=...) — the one-kernel-pass deployment route —
+    returns exactly the in-memory route's clusters."""
+    d = _docs(spark)
+    mem = {(r["doc"], r["cluster"], r["n_members"])
+           for r in dedup.dup_clusters(d, "doc_id", "text").collect()}
+    stored = {(r["doc"], r["cluster"], r["n_members"])
+              for r in dedup.dup_clusters(
+                  d, "doc_id", "text",
+                  sig_store=str(tmp_path / "sigs")).collect()}
+    assert mem == stored and mem

@@ -221,4 +221,5 @@ def test_frame_level_dedup_finds_shared_scenes(spark):
         (r["doc1"], r["doc2"]): r["hamming"]
         for r in frame_near_dup(media, max_hamming=3).collect()
     }
-    assert pairs == {("vid-a#0", "vid-b#1"): 0}
+    SEP = "\x1f"
+    assert pairs == {(f"vid-a{SEP}000000", f"vid-b{SEP}000001"): 0}

@@ -784,3 +784,37 @@ def test_streaming_dedup_runs_on_media_signatures(spark, tmp_path):
         for r in read_cluster_labels(spark, out_root, "string").collect()
     }
     assert labels == {"img-base": "img-base", "img-reenc": "img-base"}
+
+
+def test_geometry_guard_refuses_signature_scheme_mixes(spark, tmp_path):
+    """An injected signature kernel is part of the on-disk contract: a store
+    built with the default text SimHash refuses a resume under
+    media_sig_fn (and vice versa) — same band geometry, incompatible
+    signature meaning (review fix)."""
+    import pytest
+
+    from complete_ocr_spark.functions.media_dedup import media_sig_fn
+
+    out_root = str(tmp_path / "mix")
+    pb_text = make_dedup_batch(spark, out_root)
+    pb_text(spark.createDataFrame([(1, BASE)], SCHEMA), 0)
+    pb_media = make_dedup_batch(
+        spark, out_root, id_col="media_ref", text_col="payload",
+        sig_fn=media_sig_fn,
+    )
+    mrow = spark.createDataFrame(
+        [("img", 32, 32, 1, b"\x01" * 1024)],
+        "media_ref string, width int, height int, n_frames int, payload binary",
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        pb_media(mrow, 1)
+    # and a media-built store refuses the text kernel
+    root2 = str(tmp_path / "mix2")
+    pb_media2 = make_dedup_batch(
+        spark, root2, id_col="media_ref", text_col="payload",
+        n_blocks=4, sig_fn=media_sig_fn,
+    )
+    pb_media2(mrow, 0)
+    pb_text2 = make_dedup_batch(spark, root2)
+    with pytest.raises(ValueError, match="geometry"):
+        pb_text2(spark.createDataFrame([(2, BASE)], SCHEMA), 1)
