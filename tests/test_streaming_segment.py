@@ -112,3 +112,23 @@ def test_cross_batch_spans_redelivery_and_restart(spark, tmp_path):
     # empty batch is a no-op
     pb(spark.createDataFrame([], SCHEMA), 4)
     assert _spans(spark, out_root) == got3
+
+
+def test_fp_store_probe_partition_prunes(spark, tmp_path):
+    """The corpus side of the segment probe reads the (batch_id, fb) layout
+    with partition filters — the scan must open only the pruned buckets'
+    files, which is the whole point of the store's layout at corpus
+    scale."""
+    from pyspark.sql import functions as F
+
+    out_root = str(tmp_path / "prune")
+    pb = make_segment_dedup_batch(spark, out_root, win=WIN, stride=STRIDE)
+    pb(spark.createDataFrame([(1, f"{SH1} {FA}")], SCHEMA), 0)
+    pb(spark.createDataFrame([(2, f"{FB} {SH1}")], SCHEMA), 1)
+    fp_path, _ = segment_paths(out_root)
+    probe = spark.read.parquet(fp_path).filter(
+        (F.col("batch_id") < 2) & F.col("fb").isin([0, 3, 7])
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "batch_id" in pf and "fb" in pf, plan
