@@ -1000,3 +1000,50 @@ def test_dup_clusters_sig_store_route_is_identical(spark, tmp_path):
                   d, "doc_id", "text",
                   sig_store=str(tmp_path / "sigs")).collect()}
     assert mem == stored and mem
+
+
+def test_strip_consumers_match_python_filter_randomized(spark):
+    """Randomized parity for BOTH strip consumers: for random tiny-alphabet
+    corpora, text_clean equals a plain Python filter of each doc's
+    normalized tokens against the detector's own span rows — the shared
+    _strip_spans body drops exactly the covered positions and nothing
+    else."""
+    import random
+    import re
+
+    rng = random.Random(41)
+    alphabet = [f"t{i}" for i in range(10)]
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(alphabet)
+                         for _ in range(rng.randrange(0, 60))))
+            for i in range(rng.randrange(2, 5))
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        for strip_fn, det_fn, cols in (
+            (lambda d: dedup.strip_dup_segments(d, "doc_id", "text",
+                                                win=4, stride=2),
+             lambda d: dedup.segment_dup_spans(d, "doc_id", "text",
+                                               win=4, stride=2),
+             ("span_start", "span_end")),
+            (lambda d: dedup.strip_dup_chunks(d, "doc_id", "text",
+                                              avg_chunk=3, min_tokens=2),
+             lambda d: dedup.cdc_dup_chunks(d, "doc_id", "text",
+                                            avg_chunk=3, min_tokens=2),
+             ("chunk_start", "chunk_end")),
+        ):
+            spans = {}
+            for r in det_fn(df).collect():
+                spans.setdefault(r["doc_id"], []).append(
+                    (r[cols[0]], r[cols[1]])
+                )
+            got = {r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_dropped"])
+                   for r in strip_fn(df).collect()}
+            for d_id, text in docs:
+                toks = re.sub(r"\s+", " ", text.strip(" ").lower()).split(" ")
+                covered = {p for s, e in spans.get(d_id, [])
+                           for p in range(s, e)}
+                kept = [t for i, t in enumerate(toks) if i not in covered]
+                assert got[d_id] == (
+                    " ".join(kept), len(kept), len(toks) - len(kept)
+                ), (trial, d_id)

@@ -146,3 +146,38 @@ def test_write_curated_survives_all_dropped_corpus(spark, tmp_path):
     # and a rerun is a clean skip
     r2 = write_curated(spark, docs, root, n_buckets=4)
     assert r2["skipped"]
+
+
+def test_write_curated_semantic_tier_reaches_audit(spark, tmp_path):
+    """write_curated(embeddings=...) carries the semantic tier end-to-end:
+    an embedding-close, SimHash-far paraphrase pair keeps only the minimum
+    id, the audit table records semantic_dup, and the training table holds
+    the survivor."""
+    from complete_ocr_spark.curate_io import (
+        read_audit, read_training, write_curated,
+    )
+
+    t1 = ("the spark engine shuffles partitioned batches of arrow pages "
+          "and the reader prunes nested columns in a distributed plan " * 3)
+    t2 = ("a query optimizer rewrites relational trees into physical "
+          "operators while the scheduler assigns tasks to executor slots "
+          * 3)
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id bigint, text string"
+    )
+    base = [1.0, 0.5, -0.25, 2.0, -1.5, 0.75, 0.1, -0.6]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near)], "vec_id bigint, embedding array<double>"
+    )
+    root = str(tmp_path / "cur_sem")
+    r = write_curated(
+        spark, docs, root, n_buckets=4,
+        embeddings=emb, emb_dim=8, semantic_threshold=0.95,
+        sem_bits=4, sem_tables=2,
+    )
+    assert r["kept"] == 1
+    audit = {row["doc_id"]: row["drop_reason"]
+             for row in read_audit(spark, root).collect()}
+    assert audit == {1: None, 2: "semantic_dup"}
+    assert [row["doc_id"] for row in read_training(spark, root).collect()] == [1]
