@@ -48,7 +48,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions.dedup import segment_fingerprints
+from ..functions.dedup import _strip_spans, segment_fingerprints
 from ..io import require_local
 from .dedup_stream import _geometry_guard, _has_parquet
 
@@ -62,6 +62,10 @@ def segment_paths(out_root: str) -> tuple[str, str]:
     )
 
 
+def clean_path(out_root: str) -> str:
+    return os.path.join(out_root, "seg_clean")
+
+
 def _fb(col, n_fp_buckets: int):
     return F.pmod(
         F.conv(F.substring(col, 1, 4), 16, 10).cast("bigint"),
@@ -72,8 +76,17 @@ def _fb(col, n_fp_buckets: int):
 def make_segment_dedup_batch(spark: SparkSession, out_root: str,
                              id_col: str = "doc_id", text_col: str = "text",
                              win: int = 20, stride: int = 10,
-                             n_fp_buckets: int = N_FP_BUCKETS):
-    """foreachBatch body, exposed for direct re-delivery testing."""
+                             n_fp_buckets: int = N_FP_BUCKETS,
+                             emit_clean: bool = False):
+    """foreachBatch body, exposed for direct re-delivery testing.
+
+    ``emit_clean=True`` additionally writes ``seg_clean/batch_id=K``:
+    every batch doc re-emitted with its detected duplicate spans STRIPPED
+    (doc_id, text_clean, n_kept, n_dropped — the strip_dup_segments
+    consumer applied online), so the stream's output IS the cleaned
+    training text, not just the span report. Docs with no detected spans
+    keep their full normalized token stream. Same dynamic-overwrite
+    idempotence as the other writes."""
     out_root = require_local(out_root, "streaming-segment-dedup out_root")
     fp_path, span_path = segment_paths(out_root)
     geometry = {
@@ -152,6 +165,10 @@ def make_segment_dedup_batch(spark: SparkSession, out_root: str,
             .partitionBy("batch_id", "fb")
             .parquet(fp_path)
         )
+        if emit_clean:
+            # spans feed the report write AND the clean join — batch-sized;
+            # materialize once instead of re-running the probe per consumer
+            spans = spans.localCheckpoint()
         (
             spans.withColumn("batch_id", F.lit(bid))
             .repartition(1)
@@ -160,6 +177,19 @@ def make_segment_dedup_batch(spark: SparkSession, out_root: str,
             .partitionBy("batch_id")
             .parquet(span_path)
         )
+        if emit_clean:
+            cleaned = _strip_spans(
+                batch_df, id_col, text_col,
+                spans.select("doc_id", "span_start", "span_end"),
+            )
+            (
+                cleaned.withColumn("batch_id", F.lit(bid))
+                .repartition(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(clean_path(out_root))
+            )
 
     return process_batch
 
@@ -179,11 +209,26 @@ def read_segment_spans(spark: SparkSession, out_root: str,
     return spark.read.parquet(span_path)
 
 
+def read_clean_docs(spark: SparkSession, out_root: str,
+                    id_type: str = "bigint") -> DataFrame:
+    """The cleaned per-batch output (emit_clean=True): (doc_id, text_clean,
+    n_kept, n_dropped, batch_id) for EVERY doc of every processed batch.
+    Empty typed frame before the first batch."""
+    path = clean_path(require_local(out_root, "out_root"))
+    if not _has_parquet(path):
+        return spark.createDataFrame(
+            [],
+            f"doc_id {id_type}, text_clean string, n_kept bigint, "
+            f"n_dropped bigint, batch_id int",
+        )
+    return spark.read.parquet(path)
+
+
 def run_streaming_segment_dedup(
     spark: SparkSession, source: DataFrame, out_root: str,
     checkpoint: str, id_col: str = "doc_id", text_col: str = "text",
     win: int = 20, stride: int = 10,
-    n_fp_buckets: int = N_FP_BUCKETS,
+    n_fp_buckets: int = N_FP_BUCKETS, emit_clean: bool = False,
 ) -> StreamingQuery:
     """Wire a streaming source through the segment-dedup batch body with
     exactly-once foreachBatch semantics (availableNow callers drain the
@@ -191,6 +236,7 @@ def run_streaming_segment_dedup(
     pb = make_segment_dedup_batch(
         spark, out_root, id_col=id_col, text_col=text_col,
         win=win, stride=stride, n_fp_buckets=n_fp_buckets,
+        emit_clean=emit_clean,
     )
     return (
         source.writeStream.foreachBatch(pb)

@@ -132,3 +132,36 @@ def test_fp_store_probe_partition_prunes(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "batch_id" in pf and "fb" in pf, plan
+
+
+def test_emit_clean_writes_stripped_docs_per_batch(spark, tmp_path):
+    """emit_clean=True: the stream's output is the CLEANED text — a later
+    batch's doc arrives with its cross-batch duplicate span stripped, docs
+    with no detected spans keep their full normalized token stream, and
+    re-delivery is idempotent."""
+    from complete_ocr_spark.streaming.segment_stream import read_clean_docs
+
+    out_root = str(tmp_path / "clean")
+    pb = make_segment_dedup_batch(spark, out_root, win=WIN, stride=STRIDE,
+                                  emit_clean=True)
+    assert read_clean_docs(spark, out_root).columns == [
+        "doc_id", "text_clean", "n_kept", "n_dropped", "batch_id"
+    ]
+    b0 = spark.createDataFrame([(1, f"{SH1} {FA}"), (2, FU)], SCHEMA)
+    b1 = spark.createDataFrame([(3, f"{FB} {SH1}")], SCHEMA)
+    pb(b0, 0)
+    pb(b1, 1)
+    got = {r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_dropped"],
+                         r["batch_id"])
+           for r in read_clean_docs(spark, out_root).collect()}
+    # batch 0: nothing stripped anywhere
+    assert got[1] == (f"{SH1} {FA}", 21, 0, 0)
+    assert got[2] == (FU, 8, 0, 0)
+    # batch 1: doc 3 loses exactly the SH1 span [6, 18)
+    assert got[3] == (FB, 6, 12, 1)
+    # re-delivery: same result
+    pb(b1, 1)
+    again = {r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_dropped"],
+                           r["batch_id"])
+             for r in read_clean_docs(spark, out_root).collect()}
+    assert again == got
