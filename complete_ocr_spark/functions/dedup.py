@@ -685,6 +685,25 @@ def cdc_dup_chunks(df: DataFrame, id_col: str, text_col: str,
     as the cumulative sum (doc-sized partitions, one shuffle), then one
     (doc, chunk) groupBy with map-side partial agg, one skew-proof
     canonical-owner groupBy on the fingerprint, one fp equi-join."""
+    chunks = cdc_chunk_fingerprints(df, id_col, text_col,
+                                    avg_chunk=avg_chunk,
+                                    min_tokens=min_tokens,
+                                    window_k=window_k)
+    canon = chunks.groupBy("fp").agg(F.min("doc_id").alias("dup_of"))
+    return (
+        chunks.join(canon, "fp")
+        .filter(F.col("doc_id") > F.col("dup_of"))
+        .select("doc_id", "dup_of", "chunk_start", "chunk_end", "n_tokens")
+    )
+
+
+def cdc_chunk_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                           avg_chunk: int = 8, min_tokens: int = 5,
+                           window_k: int = 3) -> DataFrame:
+    """(doc_id, chunk_start, chunk_end, n_tokens, fp) content-defined chunk
+    fingerprints — the shared signature step of ``cdc_dup_chunks`` (batch)
+    and the streaming segment store's ``scheme="cdc"`` route (boundary rule
+    in the cdc_dup_chunks docstring)."""
     from pyspark.sql import Window as W
 
     if avg_chunk < 1 or min_tokens < 1 or window_k < 1:
@@ -743,9 +762,4 @@ def cdc_dup_chunks(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("n_tokens") >= min_tokens)
         .withColumn("chunk_start", F.col("chunk_start").cast("int"))
     )
-    canon = chunks.groupBy("fp").agg(F.min("doc_id").alias("dup_of"))
-    return (
-        chunks.join(canon, "fp")
-        .filter(F.col("doc_id") > F.col("dup_of"))
-        .select("doc_id", "dup_of", "chunk_start", "chunk_end", "n_tokens")
-    )
+    return chunks.select("doc_id", "chunk_start", "chunk_end", "n_tokens", "fp")

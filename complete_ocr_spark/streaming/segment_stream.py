@@ -19,7 +19,8 @@ Semantics (deterministic, so re-delivery is idempotent):
 
 Store layout (the dedup_stream signature-table pattern):
 
-* ``seg_fps/batch_id=K/fb=B`` — (doc, ws, fp) window fingerprints,
+* ``seg_fps/batch_id=K/fb=B`` — (doc, ws, we, fp) span fingerprints
+  (stride windows or content-defined chunks, per ``scheme``),
   partitioned by arrival batch and fingerprint bucket
   fb = first-16-bits-of-fp mod ``n_fp_buckets``. The per-batch probe lists
   the fb buckets its OWN fingerprints hash into (a bounded driver read of
@@ -48,7 +49,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions.dedup import _strip_spans, segment_fingerprints
+from ..functions.dedup import (
+    _strip_spans,
+    cdc_chunk_fingerprints,
+    segment_fingerprints,
+)
 from ..io import require_local
 from .dedup_stream import _geometry_guard, _has_parquet
 
@@ -77,24 +82,49 @@ def make_segment_dedup_batch(spark: SparkSession, out_root: str,
                              id_col: str = "doc_id", text_col: str = "text",
                              win: int = 20, stride: int = 10,
                              n_fp_buckets: int = N_FP_BUCKETS,
+                             scheme: str = "stride",
+                             cdc_avg_chunk: int = 8, cdc_min_tokens: int = 5,
+                             cdc_window_k: int = 3,
                              emit_clean: bool = False):
     """foreachBatch body, exposed for direct re-delivery testing.
 
+    ``scheme`` picks the span detector, exactly as in curate_corpus:
+    ``"stride"`` probes win-token stride-grid window fingerprints
+    (segment_fingerprints + gaps-and-islands merge); ``"cdc"`` probes
+    content-defined chunk fingerprints (cdc_chunk_fingerprints) — the
+    shift-robust route: a copied paragraph arriving behind an insertion
+    still collides with the earlier arrival's chunks, where every grid
+    window lands off alignment. Chunk spans are emitted as-is (chunks are
+    content-maximal, matching the batch operator). The fingerprint store's
+    geometry records the scheme, so a resume under the other detector
+    refuses loudly instead of probing an incompatible fingerprint space.
+
     ``emit_clean=True`` additionally writes ``seg_clean/batch_id=K``:
     every batch doc re-emitted with its detected duplicate spans STRIPPED
-    (doc_id, text_clean, n_kept, n_dropped — the strip_dup_segments
-    consumer applied online), so the stream's output IS the cleaned
-    training text, not just the span report. Docs with no detected spans
-    keep their full normalized token stream. Same dynamic-overwrite
-    idempotence as the other writes."""
+    (doc_id, text_clean, n_kept, n_dropped — the strip consumer applied
+    online, under whichever detector ``scheme`` selected), so the stream's
+    output IS the cleaned training text, not just the span report. Docs
+    with no detected spans keep their full normalized token stream. Same
+    dynamic-overwrite idempotence as the other writes."""
+    if scheme not in ("stride", "cdc"):
+        raise ValueError(f"unknown segment scheme {scheme!r}")
     out_root = require_local(out_root, "streaming-segment-dedup out_root")
     fp_path, span_path = segment_paths(out_root)
-    geometry = {
-        "kind": "segment",
-        "win": win,
-        "stride": stride,
-        "n_fp_buckets": n_fp_buckets,
-    }
+    if scheme == "stride":
+        geometry = {
+            "kind": "segment",
+            "win": win,
+            "stride": stride,
+            "n_fp_buckets": n_fp_buckets,
+        }
+    else:
+        geometry = {
+            "kind": "segment-cdc",
+            "avg_chunk": cdc_avg_chunk,
+            "min_tokens": cdc_min_tokens,
+            "window_k": cdc_window_k,
+            "n_fp_buckets": n_fp_buckets,
+        }
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
@@ -102,9 +132,25 @@ def make_segment_dedup_batch(spark: SparkSession, out_root: str,
             return
         _geometry_guard(out_root, geometry)
         # the fingerprint pass feeds three consumers (touched-bucket probe,
-        # owner join, store write) — materialize the batch-sized result once
+        # owner join, store write) — materialize the batch-sized result
+        # once. Both schemes normalize to (doc_id, ws, we, fp): ws/we =
+        # span extent (stride windows: [ws, ws+win); cdc: chunk bounds).
+        if scheme == "stride":
+            raw = segment_fingerprints(
+                batch_df, id_col, text_col, win, stride
+            ).withColumn("we", (F.col("ws") + win).cast("int"))
+        else:
+            raw = cdc_chunk_fingerprints(
+                batch_df, id_col, text_col, avg_chunk=cdc_avg_chunk,
+                min_tokens=cdc_min_tokens, window_k=cdc_window_k,
+            ).select(
+                "doc_id",
+                F.col("chunk_start").alias("ws"),
+                F.col("chunk_end").alias("we"),
+                "fp",
+            )
         fps = (
-            segment_fingerprints(batch_df, id_col, text_col, win, stride)
+            raw
             .withColumn("batch_id", F.lit(bid))
             .withColumn("fb", _fb(F.col("fp"), n_fp_buckets))
             .localCheckpoint()
@@ -115,16 +161,16 @@ def make_segment_dedup_batch(spark: SparkSession, out_root: str,
             prior = (
                 spark.read.parquet(fp_path)
                 .filter((F.col("batch_id") < bid) & F.col("fb").isin(touched))
-                .select("doc", "ws", "fp", "batch_id")
+                .select("doc", "ws", "we", "fp", "batch_id")
             )
             corpus = prior.unionByName(
                 fps.select(
-                    F.col("doc_id").alias("doc"), "ws", "fp", "batch_id"
+                    F.col("doc_id").alias("doc"), "ws", "we", "fp", "batch_id"
                 )
             )
         else:
             corpus = fps.select(
-                F.col("doc_id").alias("doc"), "ws", "fp", "batch_id"
+                F.col("doc_id").alias("doc"), "ws", "we", "fp", "batch_id"
             )
         # canonical owner per fp = earliest arrival (batch, doc) — groupBy
         # partial agg, skew-proof (one row per fp reaches the join)
@@ -140,24 +186,32 @@ def make_segment_dedup_batch(spark: SparkSession, out_root: str,
                 > F.col("o")
             )
             .select(
-                "doc_id", F.col("o.doc").alias("dup_of"), "ws",
+                "doc_id", F.col("o.doc").alias("dup_of"), "ws", "we",
             )
         )
-        run = F.expr(f"ws div {stride}") - F.row_number().over(
-            W.partitionBy("doc_id", "dup_of").orderBy("ws")
-        )
-        spans = (
-            hits.withColumn("g", run)
-            .groupBy("doc_id", "dup_of", "g")
-            .agg(
-                F.min("ws").alias("span_start"),
-                (F.max("ws") + win).cast("int").alias("span_end"),
-                F.count("*").alias("n_windows"),
+        if scheme == "stride":
+            run = F.expr(f"ws div {stride}") - F.row_number().over(
+                W.partitionBy("doc_id", "dup_of").orderBy("ws")
             )
-            .drop("g")
-        )
+            spans = (
+                hits.withColumn("g", run)
+                .groupBy("doc_id", "dup_of", "g")
+                .agg(
+                    F.min("ws").alias("span_start"),
+                    (F.max("ws") + win).cast("int").alias("span_end"),
+                    F.count("*").alias("n_windows"),
+                )
+                .drop("g")
+            )
+        else:  # chunks are content-maximal: one span per dup chunk
+            spans = hits.select(
+                "doc_id", "dup_of",
+                F.col("ws").alias("span_start"),
+                F.col("we").alias("span_end"),
+                F.lit(1).cast("bigint").alias("n_windows"),
+            )
         (
-            fps.select("doc_id", "ws", "fp", "batch_id", "fb")
+            fps.select("doc_id", "ws", "we", "fp", "batch_id", "fb")
             .withColumnRenamed("doc_id", "doc")
             .repartition("fb")
             .write.mode("overwrite")
@@ -228,7 +282,9 @@ def run_streaming_segment_dedup(
     spark: SparkSession, source: DataFrame, out_root: str,
     checkpoint: str, id_col: str = "doc_id", text_col: str = "text",
     win: int = 20, stride: int = 10,
-    n_fp_buckets: int = N_FP_BUCKETS, emit_clean: bool = False,
+    n_fp_buckets: int = N_FP_BUCKETS, scheme: str = "stride",
+    cdc_avg_chunk: int = 8, cdc_min_tokens: int = 5, cdc_window_k: int = 3,
+    emit_clean: bool = False,
 ) -> StreamingQuery:
     """Wire a streaming source through the segment-dedup batch body with
     exactly-once foreachBatch semantics (availableNow callers drain the
@@ -236,6 +292,8 @@ def run_streaming_segment_dedup(
     pb = make_segment_dedup_batch(
         spark, out_root, id_col=id_col, text_col=text_col,
         win=win, stride=stride, n_fp_buckets=n_fp_buckets,
+        scheme=scheme, cdc_avg_chunk=cdc_avg_chunk,
+        cdc_min_tokens=cdc_min_tokens, cdc_window_k=cdc_window_k,
         emit_clean=emit_clean,
     )
     return (

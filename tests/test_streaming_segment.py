@@ -165,3 +165,45 @@ def test_emit_clean_writes_stripped_docs_per_batch(spark, tmp_path):
                            r["batch_id"])
              for r in read_clean_docs(spark, out_root).collect()}
     assert again == got
+
+
+def test_cdc_scheme_catches_shifted_cross_batch_copy(spark, tmp_path):
+    """scheme='cdc': a copied block arriving in a LATER batch behind a
+    one-token insertion is detected against the earlier arrival (every
+    stride-grid window is off alignment — the stride stream finds
+    nothing), the cleaned output strips exactly the duplicated chunks,
+    and the two schemes refuse to share a store."""
+    import pytest
+
+    from complete_ocr_spark.streaming.segment_stream import read_clean_docs
+
+    copied = " ".join(f"the word{i}" for i in range(30))  # 60 tokens
+    b0 = spark.createDataFrame([(1, copied)], SCHEMA)
+    b1 = spark.createDataFrame([(2, "intro " + copied)], SCHEMA)
+
+    # stride stream: zero spans (grid misalignment)
+    sroot = str(tmp_path / "stride")
+    pbs = make_segment_dedup_batch(spark, sroot, win=6, stride=3)
+    pbs(b0, 0)
+    pbs(b1, 1)
+    assert _spans(spark, sroot) == {}
+
+    # cdc stream: chunks re-align after the insertion
+    croot = str(tmp_path / "cdc")
+    pbc = make_segment_dedup_batch(spark, croot, scheme="cdc",
+                                   emit_clean=True)
+    pbc(b0, 0)
+    pbc(b1, 1)
+    got = _spans(spark, croot)
+    assert got and all(k[0] == 2 and k[1] == 1 for k in got), got
+    dup_toks = sum(k[3] - k[2] for k in got)
+    assert dup_toks >= 30
+    clean = {r["doc_id"]: r for r in read_clean_docs(spark, croot).collect()}
+    assert clean[1]["n_dropped"] == 0 and clean[1]["n_kept"] == 60
+    assert clean[2]["n_dropped"] == dup_toks
+    assert clean[2]["n_kept"] == 61 - dup_toks
+
+    # scheme mix on one store refuses
+    pbs_on_cdc = make_segment_dedup_batch(spark, croot, win=6, stride=3)
+    with pytest.raises(ValueError, match="geometry"):
+        pbs_on_cdc(b1, 2)
