@@ -12,17 +12,26 @@ edges computed by hand.
 from __future__ import annotations
 
 
-def _decode_first_frame(payload: bytes, width: int, height: int) -> list[list[int]]:
-    need = width * height  # frame 0 only
+def _decode_frame(payload: bytes, width: int, height: int,
+                  n_frames: int = 1, frame: int = 0) -> list[list[int]]:
+    # the kernel tiles the payload to the FULL n_frames*h*w before slicing
+    # (np.resize semantics), so frame k's bytes depend on n_frames
+    need = n_frames * width * height
     data = bytearray(payload)
     if not data:  # np.resize of an empty buffer yields zeros
         data = bytearray(need)
     elif len(data) < need:  # np.resize semantics: tile the buffer
         reps = need // len(data) + 1
         data = (data * reps)[:need]
+    base = frame * width * height
     return [
-        [data[r * width + c] for c in range(width)] for r in range(height)
+        [data[base + r * width + c] for c in range(width)]
+        for r in range(height)
     ]
+
+
+def _decode_first_frame(payload: bytes, width: int, height: int) -> list[list[int]]:
+    return _decode_frame(payload, width, height)
 
 
 def _edges(n: int, grid: int) -> list[int]:
@@ -84,4 +93,48 @@ def near_dup_clusters(rows, max_hamming: int = 3):
     for root, members in clusters.items():
         for m in members:
             out.append((m, min(members), len(members)))
+    return sorted(out)
+
+
+def avg_hash_frame_py(payload: bytes, width: int, height: int,
+                      n_frames: int, frame: int, grid: int = 8) -> int:
+    px = _decode_frame(payload, width, height, n_frames, frame)
+    ys, xs = _edges(height, grid), _edges(width, grid)
+    means = []
+    for i in range(grid):
+        for j in range(grid):
+            vals = [
+                px[r][c]
+                for r in range(ys[i], ys[i + 1])
+                for c in range(xs[j], xs[j + 1])
+            ]
+            if vals:
+                means.append(sum(vals) / len(vals))
+            else:
+                means.append(
+                    float(px[min(ys[i], height - 1)][min(xs[j], width - 1)])
+                )
+    overall = sum(means) / len(means)
+    out = 0
+    for k, m in enumerate(means):
+        if m > overall:
+            out |= 1 << k
+    return out
+
+
+def frame_near_dup_pairs(rows, max_hamming: int = 3, sep: str = "\x1f"):
+    """rows: (media_ref, width, height, n_frames, payload) -> sorted
+    (doc1, doc2, hamming) over ALL frame pairs within max_hamming, via
+    brute-force all-pairs popcount (doc = media_ref<sep>zero-padded idx)."""
+    sigs = {}
+    for mr, w, h, nf, p in rows:
+        for k in range(nf):
+            sigs[f"{mr}{sep}{k:06d}"] = avg_hash_frame_py(p, w, h, nf, k)
+    docs = sorted(sigs)
+    out = []
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= max_hamming:
+                out.append((a, b, ham))
     return sorted(out)

@@ -2644,6 +2644,9 @@ MEDIA_FIXTURE = os.path.join(_REPO, "data", "media_fixture.parquet")
 MEDIA_NEAR_DUP_GOLDEN = os.path.join(
     _REPO, "data", "media_near_dup_golden.parquet"
 )
+FRAME_NEAR_DUP_GOLDEN = os.path.join(
+    _REPO, "data", "frame_near_dup_golden.parquet"
+)
 # perceptual-signature stores already written by this process (immutable
 # fixture -> the memo cannot go stale; protects earlier calls' lazy reads)
 _MEDIA_SIG_BUILT: set[str] = set()
@@ -2678,6 +2681,28 @@ def q_media_near_dup(spark, sf_dir):
 
 SQL_MEDIA_NEAR_DUP = f"""
 SELECT media_ref, dup_of, n_members FROM '{MEDIA_NEAR_DUP_GOLDEN}'
+"""
+
+
+def q_frame_near_dup(spark, sf_dir):
+    """FRAME-level video dedup (functions.media_dedup.frame_near_dup): one
+    average-hash per decoded frame (doc = media_ref<US>frame_idx) through
+    the banded machinery — shared scenes collide frame-by-frame where
+    whole-payload hashes differ. The fixture's truncated video payloads
+    tile under the decoder (np.resize), so REAL duplicate frames exist
+    within and across its videos; the oracle scans the committed golden
+    from the independent brute-force Python implementation
+    (oracle/media.frame_near_dup_pairs — per-frame decode + all-pairs
+    popcount, no banding). ANCHOR_REGISTRY (the media-level clusters hold
+    the driver-window slot)."""
+    from .functions.media_dedup import frame_near_dup
+
+    media = spark.read.parquet(MEDIA_FIXTURE)
+    return frame_near_dup(media, max_hamming=3, n_blocks=8)
+
+
+SQL_FRAME_NEAR_DUP = f"""
+SELECT doc1, doc2, hamming FROM '{FRAME_NEAR_DUP_GOLDEN}'
 """
 
 
@@ -3060,6 +3085,8 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     "q_ann_pq_seeded": (q_ann_pq_seeded, _pq_sql(trained=False)),
     # the CDC strip consumer (the stride consumer holds the driver slot)
     "q_strip_dup_chunks": (q_strip_dup_chunks, _strip_chunks_sql()),
+    # frame-level video dedup vs the independent brute-force golden
+    "q_frame_near_dup": (q_frame_near_dup, SQL_FRAME_NEAR_DUP),
 }
 
 _DRIVER_CAP = 50  # the driver checks at most this many registry rows

@@ -220,8 +220,26 @@ def gen_media_fixture_and_golden(n_base: int = 90) -> None:
         ),
         os.path.join(DATA, "media_near_dup_golden.parquet"),
     )
+    # FRAME-level golden: truncated video payloads tile (np.resize), so
+    # real duplicate frames exist within and across the fixture's videos
+    from complete_ocr_spark.oracle.media import frame_near_dup_pairs
+
+    fgolden = frame_near_dup_pairs(
+        [(r[0], r[2], r[3], r[4], r[5]) for r in rows], max_hamming=3
+    )
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "doc1": [g[0] for g in fgolden],
+                "doc2": [g[1] for g in fgolden],
+                "hamming": pa.array([g[2] for g in fgolden], pa.int32()),
+            }
+        ),
+        os.path.join(DATA, "frame_near_dup_golden.parquet"),
+    )
     print("media_fixture:", len(rows), "rows;",
-          "media_near_dup_golden:", len(golden), "rows")
+          "media_near_dup_golden:", len(golden), "rows;",
+          "frame_near_dup_golden:", len(fgolden), "rows")
 
 
 if __name__ == "__main__":
