@@ -41,6 +41,9 @@ def test_relational_queries_have_no_python_eval(spark):
             "q_extract_pipeline_opt",
             "q_media_frame_sample",
             "q_media_features",
+            # frame hashing is the Arrow kernel by design (no store route —
+            # the anchor gates the one-shot kernel+banding composition)
+            "q_frame_near_dup",
             "q_nested_hocr",
             "q_layout_classes",
             "q_layout_classes_prima",
