@@ -26,6 +26,7 @@ plan is the price of global dedup; rewriting finished output is not.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -34,6 +35,15 @@ from .config import DEFAULT_N_BUCKETS
 from .functions.curate import curate_corpus
 from .functions.dedup import strip_dup_chunks, strip_dup_segments
 from .io import has_parquet, require_local, with_bucket
+from .streaming.dedup_stream import _geometry_guard
+
+# curate_kwargs that do not change the curation DECISIONS (or cannot be
+# fingerprinted): excluded from the persisted geometry so a resume under a
+# different scratch path or embedding frame identity is not refused.
+# ``embeddings`` is a DataFrame; its PRESENCE is recorded as the boolean
+# ``semantic`` key — the decision-relevant fact — since the frame itself has
+# no stable serialization.
+_GEOMETRY_EXCLUDED = ("embeddings", "near_dup_sig_store")
 
 AUDIT_COLS = ("lang", "quality", "n_tokens", "dup_line_frac",
               "top_bigram_frac", "sym_ratio", "keep", "drop_reason")
@@ -67,6 +77,27 @@ def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
     Returns {'docs_in', 'kept', 'buckets_written', 'skipped'}."""
     out_root = require_local(out_root, "write_curated out_root")
     train_path, audit_path, lin_path = curated_paths(out_root)
+    # resume-parameter guard: the lineage probe below prunes writes by bucket
+    # id, which is only meaningful if this run's n_buckets / scheme /
+    # thresholds match the run that wrote those buckets — a silent mismatch
+    # would anti-join new bucket ids against old ones and leave a training
+    # table whose partitions were produced under inconsistent parameters.
+    # Persist the decision-relevant parameters next to the output and refuse
+    # loudly on any difference (the dedup-store _geometry_guard contract,
+    # under curate_io's own sidecar name). JSON round-trip normalizes tuples
+    # (languages=) to lists so the comparison is representation-stable.
+    geometry = json.loads(json.dumps({
+        "kind": "curated",
+        "n_buckets": n_buckets,
+        "segment_scheme": segment_scheme,
+        "seg_win": seg_win, "seg_stride": seg_stride,
+        "cdc_avg_chunk": cdc_avg_chunk, "cdc_min_tokens": cdc_min_tokens,
+        "cdc_window_k": cdc_window_k,
+        "semantic": curate_kwargs.get("embeddings") is not None,
+        **{k: v for k, v in sorted(curate_kwargs.items())
+           if k not in _GEOMETRY_EXCLUDED},
+    }))
+    _geometry_guard(out_root, geometry, filename="_curated_geometry.json")
 
     def _bucket(df):
         # io.with_bucket — ONE copy of the bucket rule keeps curated buckets

@@ -45,7 +45,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from . import dedup
 from .multimodal import _fake_decode
@@ -67,19 +67,29 @@ def avg_hash_np(frame: np.ndarray, grid: int = 8) -> int:
     h, w = frame.shape
     ys = np.linspace(0, h, grid + 1).astype(int)
     xs = np.linspace(0, w, grid + 1).astype(int)
-    cells = np.empty((grid, grid), dtype=np.float64)
-    for i in range(grid):
-        for j in range(grid):
-            sl = frame[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
-            cells[i, j] = (
-                sl.mean() if sl.size
-                else float(frame[min(ys[i], h - 1), min(xs[j], w - 1)])
-            )
-    bits = (cells > cells.mean()).astype(np.uint64).ravel()
-    out = np.uint64(0)
-    for k, b in enumerate(bits):
-        out |= b << np.uint64(k)
-    return int(out)
+    # integral image: all grid*grid cell sums in one vectorized pass instead
+    # of a per-cell Python loop (round-6 verdict #6). int64 cumsums are EXACT
+    # (uint8 pixels; h*w*255 << 2^63), so sum/area reproduces np.mean's value
+    # bit-for-bit — both are a correctly-rounded float64 division of exactly
+    # represented integers — and every committed golden stays byte-identical.
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = frame.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    sums = (
+        ii[ys[1:, None], xs[None, 1:]]
+        - ii[ys[:-1, None], xs[None, 1:]]
+        - ii[ys[1:, None], xs[None, :-1]]
+        + ii[ys[:-1, None], xs[None, :-1]]
+    )
+    areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    # empty cells (frame smaller than the grid): nearest-pixel sample at the
+    # clamped cell origin, as before
+    nearest = frame[
+        np.minimum(ys[:-1], h - 1)[:, None], np.minimum(xs[:-1], w - 1)[None, :]
+    ].astype(np.float64)
+    cells = np.where(areas > 0, sums / np.maximum(areas, 1), nearest)
+    bits = (cells > cells.mean()).ravel()
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int((bits.astype(np.uint64) * powers).sum())
 
 
 FRAME_SEP = "\x1f"  # unit separator: cannot appear in a crawl's media_refs
@@ -91,13 +101,17 @@ def _hash_rows(pdf: pd.DataFrame, per_frame: bool):
     the media-level and frame-level kernels (one place to swap the codec).
     per_frame=False hashes frame 0 under the bare media_ref; per_frame=True
     hashes every frame under ``media_ref<US>frame_idx`` (zero-padded so doc
-    ids order frames numerically)."""
+    ids order frames numerically). The doc-level route decodes ONE frame —
+    under the tiling decoder frame 0's bytes are independent of n_frames
+    (the oracle's _decode_first_frame relies on the same equivalence), so
+    decoding all n_frames to hash only the first would be up to 12x wasted
+    decode per video row."""
     refs, his, los = [], [], []
     for mr, w, h, nf, payload in zip(
         pdf["media_ref"], pdf["width"], pdf["height"],
         pdf["n_frames"], pdf["payload"],
     ):
-        frames = _fake_decode(payload, int(w), int(h), int(nf))
+        frames = _fake_decode(payload, int(w), int(h), int(nf) if per_frame else 1)
         for k in range(int(nf) if per_frame else 1):
             ph = avg_hash_np(frames[k])
             refs.append(f"{mr}{FRAME_SEP}{k:06d}" if per_frame else mr)
@@ -187,15 +201,48 @@ def frame_phash(media: DataFrame) -> DataFrame:
 
 
 def frame_near_dup(media: DataFrame, max_hamming: int = 3,
-                   n_blocks: int = 8) -> DataFrame:
+                   n_blocks: int = 8,
+                   sig_store: str | None = None) -> DataFrame:
     """Near-duplicate FRAME pairs (doc1, doc2, hamming) across (and within)
     videos — shared-scene detection via the banded machinery. Pair ids are
     ``media_ref + FRAME_SEP + frame_idx`` (FRAME_SEP = unit separator — a
     character URLs cannot carry, unlike '#'; indices zero-padded so string
-    order == frame order): split on FRAME_SEP to group shared-frame counts
-    per video pair (a plain groupBy over these pairs)."""
+    order == frame order): ``video_pair_rollup`` groups shared-frame counts
+    per video pair.
+
+    ``sig_store``: parquet path for the per-frame signature table, same
+    contract (and repeated-call caveat) as ``media_near_dup`` — without it
+    the decode+hash kernel runs once per self-join side, and the frame
+    route decodes EVERY frame, so the doubled kernel is worst exactly
+    here."""
+    sig = frame_phash(media)
+    if sig_store is not None:
+        sig.write.mode("overwrite").parquet(sig_store)
+        sig = media.sparkSession.read.parquet(sig_store)
     return dedup.simhash_hamming_pairs_from_sigs(
-        frame_phash(media), max_hamming=max_hamming, n_blocks=n_blocks
+        sig, max_hamming=max_hamming, n_blocks=n_blocks
+    )
+
+
+def video_pair_rollup(frame_pairs: DataFrame) -> DataFrame:
+    """The video-pair view over ``frame_near_dup``'s output: split each pair
+    id on FRAME_SEP back into its video ref, drop within-video pairs (a
+    video always shares frames with itself — self-similarity is not reuse
+    evidence), and count matching frame pairs per ordered video pair:
+    (video1, video2, n_shared_frames). video1 < video2 is inherited from
+    doc1 < doc2: FRAME_SEP (0x1f) sorts below every printable media_ref
+    character, so frame-id order agrees with video-ref order.
+
+    Filter ``n_shared_frames >= k`` for "videos sharing at least k
+    scenes". One groupBy over the (already banded + verified) pair set —
+    no new shuffle shape at scale."""
+    v1 = F.substring_index("doc1", FRAME_SEP, 1)
+    v2 = F.substring_index("doc2", FRAME_SEP, 1)
+    return (
+        frame_pairs.select(v1.alias("video1"), v2.alias("video2"))
+        .filter(F.col("video1") != F.col("video2"))
+        .groupBy("video1", "video2")
+        .agg(F.count("*").alias("n_shared_frames"))
     )
 
 

@@ -1385,11 +1385,11 @@ swins AS (
   SELECT doc_id, b, CAST(u.ws AS INT) AS ws,
          md5(array_to_string(t[u.ws + 1 : u.ws + {win}], ' ')) AS fp
   FROM stoks, LATERAL unnest(range(0, len(t) - {win} + 1, {stride})) AS u(ws)),
-sown AS (SELECT fp, MIN(b * 4294967296 + doc_id) AS ok FROM swins GROUP BY fp),
+sown AS (SELECT fp, MIN({{'b': b, 'd': doc_id}}) AS ok FROM swins GROUP BY fp),
 shits AS (
-  SELECT w.doc_id, w.b, CAST(o.ok % 4294967296 AS BIGINT) AS dup_of, w.ws
+  SELECT w.doc_id, w.b, (o.ok).d AS dup_of, w.ws
   FROM swins w JOIN sown o USING (fp)
-  WHERE w.b * 4294967296 + w.doc_id > o.ok),
+  WHERE {{'b': w.b, 'd': w.doc_id}} > o.ok),
 sgrp AS (
   SELECT doc_id, b, dup_of, ws,
          ws // {stride}
@@ -2694,11 +2694,21 @@ def q_frame_near_dup(spark, sf_dir):
     from the independent brute-force Python implementation
     (oracle/media.frame_near_dup_pairs — per-frame decode + all-pairs
     popcount, no banding). ANCHOR_REGISTRY (the media-level clusters hold
-    the driver-window slot)."""
-    from .functions.media_dedup import frame_near_dup
+    the driver-window slot). Routed through the frame sig_store (memoized —
+    the fixture is immutable) so the per-frame decode+hash kernel runs ONCE,
+    not once per banded-join side; the frame route decodes every frame, so
+    the doubled kernel is worst exactly here (round-6 verdict #2)."""
+    from .functions.media_dedup import frame_phash
+    from .functions.dedup import simhash_hamming_pairs_from_sigs
 
     media = spark.read.parquet(MEDIA_FIXTURE)
-    return frame_near_dup(media, max_hamming=3, n_blocks=8)
+    store = _scratch("frame_phash", MEDIA_FIXTURE)
+    if store not in _MEDIA_SIG_BUILT or not os.path.isdir(store):
+        frame_phash(media).write.mode("overwrite").parquet(store)
+        _MEDIA_SIG_BUILT.add(store)
+    return simhash_hamming_pairs_from_sigs(
+        spark.read.parquet(store), max_hamming=3, n_blocks=8
+    )
 
 
 SQL_FRAME_NEAR_DUP = f"""

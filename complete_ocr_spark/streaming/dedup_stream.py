@@ -129,7 +129,8 @@ def cluster_paths(out_root: str) -> tuple[str, str]:
     )
 
 
-def _geometry_guard(out_root: str, geometry: dict) -> None:
+def _geometry_guard(out_root: str, geometry: dict,
+                    filename: str = "_dedup_geometry.json") -> None:
     """Persist the banding geometry next to the index on first use; refuse to
     run under a DIFFERENT geometry — joining new band keys against an index
     built with other (n_blocks, max_hamming, n_value_buckets) silently
@@ -139,10 +140,16 @@ def _geometry_guard(out_root: str, geometry: dict) -> None:
     maintenance existed lacks the 'n_doc_buckets' key; enabling clusters on
     it only adds that key (the banding key space is unchanged), so the stored
     geometry is upgraded in place — the missing cluster log itself is then
-    rebuilt by ``_rebuild_cluster_log``."""
+    rebuilt by ``_rebuild_cluster_log``.
+
+    ``filename`` lets non-banding stores (curate_io's curated output, the
+    incremental curation runner) reuse the same persist-and-refuse contract
+    under their own sidecar name; ``geometry`` must be JSON-round-trip
+    stable (lists, not tuples) — the comparison is against the parsed
+    file."""
     import json
 
-    path = os.path.join(out_root, "_dedup_geometry.json")
+    path = os.path.join(out_root, filename)
     if os.path.exists(path):
         try:
             with open(path) as f:

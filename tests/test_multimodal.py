@@ -223,3 +223,66 @@ def test_frame_level_dedup_finds_shared_scenes(spark):
     }
     SEP = "\x1f"
     assert pairs == {(f"vid-a{SEP}000000", f"vid-b{SEP}000001"): 0}
+
+
+def test_video_pair_rollup_counts_cross_video_frames(spark):
+    """video_pair_rollup (round-6 verdict #3): frame pairs group to
+    (video1, video2, n_shared_frames); within-video self-similarity pairs
+    are excluded; videos sharing TWO scenes roll up to one row with
+    n_shared_frames=2."""
+    import hashlib
+
+    from complete_ocr_spark.functions.media_dedup import (
+        frame_near_dup, video_pair_rollup,
+    )
+
+    def keystream(seed, n):
+        out = bytearray()
+        c = 0
+        while len(out) < n:
+            out += hashlib.blake2b(f"{seed}:{c}".encode(), digest_size=64).digest()
+            c += 1
+        return bytes(out[:n])
+
+    w = h = 32
+    s1, s2 = keystream("scene-1", w * h), keystream("scene-2", w * h)
+    # vid-a: s1, s2, unique; vid-b: unique, s1, s2 (two shared scenes);
+    # vid-c: repeats ITS OWN frame (within-video pair only — must not roll up)
+    own = keystream("c-own", w * h)
+    rows = [
+        ("vid-a", w, h, 3, s1 + s2 + keystream("a-rest", w * h)),
+        ("vid-b", w, h, 3, keystream("b-head", w * h) + s1 + s2),
+        ("vid-c", w, h, 2, own + own),
+    ]
+    media = _media_rows(spark, rows)
+    pairs = frame_near_dup(media, max_hamming=3)
+    SEP = "\x1f"
+    # sanity: the within-video pair exists at the frame level
+    frame_keys = {(r["doc1"], r["doc2"]) for r in pairs.collect()}
+    assert (f"vid-c{SEP}000000", f"vid-c{SEP}000001") in frame_keys
+    rolled = {
+        (r["video1"], r["video2"]): r["n_shared_frames"]
+        for r in video_pair_rollup(pairs).collect()
+    }
+    assert rolled == {("vid-a", "vid-b"): 2}
+
+
+def test_frame_near_dup_sig_store_route_matches_direct(spark, tmp_path):
+    """frame_near_dup(sig_store=...) (round-6 verdict #2) returns the same
+    pair set as the direct route while running the decode kernel once."""
+    from complete_ocr_spark.functions.media_dedup import frame_near_dup
+    from complete_ocr_spark.queries import MEDIA_FIXTURE
+
+    media = spark.read.parquet(MEDIA_FIXTURE).limit(40)
+    direct = {
+        (r["doc1"], r["doc2"], r["hamming"])
+        for r in frame_near_dup(media, max_hamming=3, n_blocks=8).collect()
+    }
+    stored = {
+        (r["doc1"], r["doc2"], r["hamming"])
+        for r in frame_near_dup(
+            media, max_hamming=3, n_blocks=8,
+            sig_store=str(tmp_path / "frame_sigs"),
+        ).collect()
+    }
+    assert direct == stored and stored

@@ -41,9 +41,6 @@ def test_relational_queries_have_no_python_eval(spark):
             "q_extract_pipeline_opt",
             "q_media_frame_sample",
             "q_media_features",
-            # frame hashing is the Arrow kernel by design (no store route —
-            # the anchor gates the one-shot kernel+banding composition)
-            "q_frame_near_dup",
             "q_nested_hocr",
             "q_layout_classes",
             "q_layout_classes_prima",
@@ -216,3 +213,20 @@ def test_media_near_dup_stored_route_is_kernel_free_and_equi_join(spark):
     # the driver query pre-writes the store; the returned plan is the pair
     # join + CC over the parquet read — kernel-free
     assert "MapInPandas" not in plan
+
+
+def test_frame_near_dup_stored_route_is_kernel_free(spark):
+    """The FRAME-level route through sig_store (round-6 verdict #2): the
+    banded pair join must read the per-frame signature parquet on both
+    sides — the decode-every-frame kernel ran once at store-write time and
+    must not appear in the returned plan."""
+    from complete_ocr_spark.functions.media_dedup import frame_near_dup
+    from complete_ocr_spark.queries import MEDIA_FIXTURE, _scratch
+
+    media = spark.read.parquet(MEDIA_FIXTURE)
+    store = _scratch("frame_phash_plan", MEDIA_FIXTURE)
+    plan = _plan(frame_near_dup(media, max_hamming=3, n_blocks=8,
+                                sig_store=store))
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2, plan

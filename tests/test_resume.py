@@ -127,6 +127,41 @@ def test_write_curated_resume_and_reconciliation(spark, tmp_path):
     assert lin.agg(F.sum("kept_count")).collect()[0][0] == kept_n
 
 
+def test_write_curated_refuses_parameter_drift(spark, tmp_path):
+    """The resume probe trusts the lineage table's bucket ids, which is only
+    sound if this run's n_buckets / scheme / thresholds match the run that
+    wrote them — re-running with different parameters must refuse loudly
+    (the dedup-store geometry-guard contract), not silently anti-join new
+    bucket ids against old ones (round-6 ADVICE #1). Decision-neutral
+    kwargs (a different sig-store scratch path) must NOT refuse."""
+    import pytest
+
+    from complete_ocr_spark.curate_io import write_curated
+
+    docs = spark.createDataFrame(
+        [(i, "the spark engine shuffles partitioned arrow pages "
+             f"in a distributed plan topic{i} " * 3) for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    root = str(tmp_path / "curated_guard")
+    r = write_curated(spark, docs, root, n_buckets=4,
+                      fail_after_buckets=1, min_quality=0.6)
+    assert r["buckets_written"] == 1
+    for bad in (
+        dict(n_buckets=8),                          # bucket rule changed
+        dict(n_buckets=4, segment_scheme="cdc"),    # detector changed
+        dict(n_buckets=4, seg_win=10),              # segment geometry changed
+        dict(n_buckets=4, min_quality=0.9),         # threshold changed
+    ):
+        bad.setdefault("min_quality", 0.6)
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            write_curated(spark, docs, root, **bad)
+    # decision-neutral: a different near-dup scratch path resumes fine
+    r2 = write_curated(spark, docs, root, n_buckets=4, min_quality=0.6,
+                       near_dup_sig_store=str(tmp_path / "sigs"))
+    assert not r2["skipped"] and r2["buckets_written"] >= 1
+
+
 def test_write_curated_survives_all_dropped_corpus(spark, tmp_path):
     """A corpus where EVERY doc drops writes an audit table + lineage and
     no training rows — the empty-output read-back guard (review fix: the
