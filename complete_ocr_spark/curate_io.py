@@ -40,10 +40,12 @@ from .streaming.dedup_stream import _geometry_guard
 # curate_kwargs that do not change the curation DECISIONS (or cannot be
 # fingerprinted): excluded from the persisted geometry so a resume under a
 # different scratch path or embedding frame identity is not refused.
-# ``embeddings`` is a DataFrame; its PRESENCE is recorded as the boolean
-# ``semantic`` key — the decision-relevant fact — since the frame itself has
-# no stable serialization.
-_GEOMETRY_EXCLUDED = ("embeddings", "near_dup_sig_store")
+# ``embeddings``/``doc_media``/``media``/``media_clusters`` are DataFrames;
+# their PRESENCE is recorded as the boolean ``semantic``/``media_tier`` keys
+# — the decision-relevant facts — since the frames themselves have no stable
+# serialization.
+_GEOMETRY_EXCLUDED = ("embeddings", "near_dup_sig_store", "doc_media",
+                      "media", "media_clusters", "media_sig_store")
 
 AUDIT_COLS = ("lang", "quality", "n_tokens", "dup_line_frac",
               "top_bigram_frac", "sym_ratio", "keep", "drop_reason")
@@ -94,6 +96,7 @@ def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
         "cdc_avg_chunk": cdc_avg_chunk, "cdc_min_tokens": cdc_min_tokens,
         "cdc_window_k": cdc_window_k,
         "semantic": curate_kwargs.get("embeddings") is not None,
+        "media_tier": curate_kwargs.get("doc_media") is not None,
         **{k: v for k, v in sorted(curate_kwargs.items())
            if k not in _GEOMETRY_EXCLUDED},
     }))
@@ -129,7 +132,10 @@ def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
             kept, id_col, text_col, win=seg_win, stride=seg_stride
         )
     training = _bucket(stripped.withColumnRenamed("doc_id", id_col))
-    audit = _bucket(curated.select(id_col, *AUDIT_COLS))
+    audit_cols = list(AUDIT_COLS)
+    if "dup_media_frac" in curated.columns:  # media tier on: audit its signal
+        audit_cols.insert(audit_cols.index("keep"), "dup_media_frac")
+    audit = _bucket(curated.select(id_col, *audit_cols))
     if done is not None:
         # global decisions, pruned writes: only pending buckets are written
         training = training.join(F.broadcast(done), "bucket", "left_anti")

@@ -48,6 +48,17 @@ first, each a reason the judge of a dropped doc can audit):
    rest drop as ``semantic_dup`` — the paraphrase/re-render case no
    lexical tier can see. Docs without an embedding row pass through (no
    vector, no semantic evidence).
+10. media dedup (optional) — the MULTIMODAL gate: a doc whose linked media
+   payloads are mostly visual duplicates of media seen elsewhere in the
+   corpus (functions.media_dedup perceptual clusters) drops as
+   ``media_dup`` even when its text is unique — the re-hosted
+   gallery/scan-mirror case no text or embedding tier can see. Evidence is
+   per-doc: the fraction of the doc's ``doc_media`` links whose media_ref
+   is a non-canonical member of a visual dup cluster. Unlike the dedup
+   tiers above this is a per-doc GATE against corpus-level media evidence
+   (the media clusters are a property of the media table, not of which
+   docs survive), so it needs no survivor ordering — it simply ranks last
+   in the first-failing-reason chain. Docs with no media links never trip.
 
 Output = the input rows annotated with (lang, quality, n_tokens,
 dup_line_frac, top_bigram_frac, sym_ratio, keep, drop_reason) — a VIEW over the corpus, so downstream writers can either
@@ -95,7 +106,13 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                   emb_vec_col: str = "embedding",
                   emb_dim: int = 64,
                   semantic_threshold: float = 0.95,
-                  sem_bits: int = 10, sem_tables: int = 2) -> DataFrame:
+                  sem_bits: int = 10, sem_tables: int = 2,
+                  doc_media: DataFrame | None = None,
+                  media: DataFrame | None = None,
+                  media_clusters: DataFrame | None = None,
+                  max_dup_media_frac: float = 0.5,
+                  media_max_hamming: int = 3, media_n_blocks: int = 8,
+                  media_sig_store: str | None = None) -> DataFrame:
     """Annotate every document with its keep/drop decision (module doc).
 
     ``max_dup_segment_frac`` (off by default) inserts a SEGMENT-level stage
@@ -118,6 +135,19 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
     deployment) keep only the minimum id, the rest drop as
     ``semantic_dup``. The embedding join is an inner join: a doc with no
     embedding row cannot be semantically deduped and passes through.
+
+    ``doc_media`` (off by default) appends the MEDIA tier (module doc #10):
+    (``id_col``, media_ref) link rows, plus EITHER ``media_clusters``
+    (precomputed media_dedup.media_dup_clusters output — the corpus-scale
+    route: compute or load the visual clusters once) OR ``media`` (the raw
+    media table; clusters are computed here, ``media_sig_store`` as in
+    media_dedup so the decode kernel runs once). A doc whose fraction of
+    linked media that are NON-CANONICAL visual-dup-cluster members exceeds
+    ``max_dup_media_frac`` drops as ``media_dup``; the measured fraction is
+    returned as a ``dup_media_frac`` column (present only when the tier is
+    on). Scale shape: one media_ref equi-join (clusters are small relative
+    to the link table) + one groupBy on the doc id — no payload ever rides
+    either shuffle.
 
     Returns the input columns plus (lang, quality, n_tokens, dup_line_frac,
     top_bigram_frac, sym_ratio, keep boolean, drop_reason string|null).
@@ -273,6 +303,37 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
             sem_cc.filter(F.col("doc") != F.col("cluster"))
             .select(F.col("doc").alias(id_col))
         )
+    # media tier (optional): per-doc fraction of linked media that are
+    # non-canonical members of a visual dup cluster (media_dedup). Corpus-
+    # level evidence, not survivor-ordered — see module doc #10.
+    media_frac = None
+    if doc_media is not None:
+        if media_clusters is None:
+            if media is None:
+                raise ValueError(
+                    "doc_media given without media or media_clusters: the "
+                    "media tier needs visual-dup evidence to gate against"
+                )
+            from . import media_dedup
+
+            media_clusters = media_dedup.media_dup_clusters(
+                media, max_hamming=media_max_hamming,
+                n_blocks=media_n_blocks, sig_store=media_sig_store,
+            )
+        is_dup_copy = (
+            F.col("dup_of").isNotNull()
+            & (F.col("media_ref") != F.col("dup_of"))
+        ).cast("int")
+        media_frac = (
+            doc_media.select(id_col, "media_ref")
+            .join(media_clusters.select("media_ref", "dup_of"),
+                  "media_ref", "left")
+            .groupBy(id_col)
+            .agg(
+                F.round(F.sum(is_dup_copy) / F.count("*"), 6)
+                .alias("dup_media_frac")
+            )
+        )
     reason = (
         F.when(empty, "empty")
         .when(~F.col("lang").isin(list(languages)), "lang")
@@ -307,6 +368,13 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                        id_col, "left")
     else:
         out = out.withColumn("_sem_dup", F.lit(False))
+    if media_frac is not None:
+        out = out.join(media_frac, id_col, "left").withColumn(
+            "dup_media_frac", F.coalesce("dup_media_frac", F.lit(0.0))
+        )
+        reason = reason.when(
+            F.col("dup_media_frac") > max_dup_media_frac, "media_dup"
+        )
     return (
         out
         .withColumn("_exact_dup", F.coalesce("_exact_dup", F.lit(False)))

@@ -650,6 +650,14 @@ _CUR_MAX_SEGF = 0.5  # duplicated-span coverage bound (dup_segments stage)
 # suggest_bits(n).
 _CUR_SEM_THR, _CUR_SEM_BITS, _CUR_SEM_TABLES = 0.45, 6, 8
 
+# media tier driver calibration: each sf doc links to _MG_REFS_PER_DOC
+# fixture media via an md5-derived index (both engines recompute the link
+# identically); 43/133 fixture refs are non-canonical visual-dup-cluster
+# members, so at 0.5 a doc trips only when EVERY sampled ref is a dup copy
+# (~(43/133)^2 of docs: 55 at sf0.01 — measured)
+_MG_REFS_PER_DOC = 2
+_CUR_MAX_MEDIA = 0.5
+
 
 def q_corpus_curation(spark, sf_dir):
     """Corpus curation (functions.curate): the C4/RefinedWeb-shaped keep/drop
@@ -713,6 +721,145 @@ def q_corpus_curation_cdc(spark, sf_dir):
     )
 
 
+def q_corpus_curation_media(spark, sf_dir):
+    """q_corpus_curation with the MULTIMODAL tier (round-6 verdict #2): each
+    doc's linked media (an md5-derived doc->fixture-ref link both engines
+    recompute identically) is scored against the corpus's visual dup
+    clusters (functions.media_dedup over the committed fixture, signatures
+    memoized — the q_media_near_dup store reused), and a doc whose linked
+    media are mostly non-canonical dup-cluster members drops as
+    ``media_dup`` even though its text is unique — the re-hosted gallery /
+    scan-mirror case no text tier can see. Gates + exact + near tiers as in
+    q_corpus_curation (segment/semantic off — the scheme deltas hold their
+    own driver slots); the oracle recomputes the link and reads the
+    committed independent brute-force cluster golden."""
+    from .functions.curate import curate_corpus
+    from .functions.media_dedup import media_dup_clusters_from_sigs, media_phash
+
+    d = _t(spark, sf_dir, "documents")
+    media = spark.read.parquet(MEDIA_FIXTURE)
+    store = _scratch("media_phash", MEDIA_FIXTURE)
+    if store not in _MEDIA_SIG_BUILT or not os.path.isdir(store):
+        media_phash(media).write.mode("overwrite").parquet(store)
+        _MEDIA_SIG_BUILT.add(store)
+    clusters = media_dup_clusters_from_sigs(
+        spark.read.parquet(store), max_hamming=3, n_blocks=8
+    )
+    n_refs = media.count()  # fixture-sized dim: one bounded driver read
+    refs = media.select("media_ref").withColumn(
+        "idx", F.row_number().over(W.orderBy("media_ref")) - 1
+    )
+    link = (
+        d.select("doc_id")
+        .crossJoin(
+            spark.range(_MG_REFS_PER_DOC).select(F.col("id").alias("j"))
+        )
+        .withColumn(
+            "idx",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % n_refs,
+        )
+        .join(F.broadcast(refs), "idx")
+        .select("doc_id", "media_ref")
+    )
+    return curate_corpus(
+        d, "doc_id", "text", languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
+        max_dup_line_frac=_CUR_MAX_DLF, max_top_bigram_frac=_CUR_MAX_TBF,
+        min_bigram_tokens=_CUR_MIN_BGT, max_symbol_ratio=_CUR_MAX_SYM,
+        max_hamming=_SH_MAX_HAMMING, n_blocks=4,
+        doc_media=link, media_clusters=clusters,
+        max_dup_media_frac=_CUR_MAX_MEDIA,
+    ).select(
+        "doc_id", "lang", "quality", "n_tokens", "dup_line_frac",
+        "top_bigram_frac", "sym_ratio", "dup_media_frac", "keep",
+        "drop_reason",
+    )
+
+
+_CUR_STAGES = ("empty", "lang", "quality", "dup_lines", "bigram_repeat",
+               "symbol_ratio", "exact_dup", "dup_segments", "near_dup",
+               "semantic_dup")
+
+
+def q_curation_funnel(spark, sf_dir):
+    """The curation FUNNEL (round-6 verdict #7) — the first question every
+    curation user asks of the audit trail: per-stage drop counts, how many
+    docs ENTERED each stage (total minus everything earlier stages took),
+    and the stage's survival rate. One groupBy over the curation view (the
+    audit-table contract: drop_reason = first failing stage), then a
+    ~10-row window — the funnel math runs on per-stage counts, never on
+    docs, so it costs one aggregation at any corpus size."""
+    cur = q_corpus_curation(spark, sf_dir)
+    stage_arr = F.array(*[F.lit(s) for s in _CUR_STAGES])
+    counts = (
+        cur.groupBy("drop_reason")
+        .agg(F.count("*").alias("n_dropped"))
+        .withColumn(
+            "stage_idx",
+            F.array_position(stage_arr, F.col("drop_reason")).cast("int"),
+        )
+    )
+    # counts is <= len(stages)+1 rows; the windows below run on that tiny
+    # aggregate, so the empty OVER () / global ORDER BY are not a scale risk
+    total = F.sum("n_dropped").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    earlier = F.coalesce(
+        F.sum("n_dropped").over(
+            W.orderBy("stage_idx").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        counts.withColumn("total", total)
+        .filter(F.col("drop_reason").isNotNull())
+        .withColumn("n_entered", F.col("total") - earlier)
+        .select(
+            F.col("drop_reason").alias("stage"),
+            "stage_idx",
+            "n_dropped",
+            "n_entered",
+            F.round(
+                (F.col("n_entered") - F.col("n_dropped")) / F.col("n_entered"),
+                6,
+            ).alias("survival_rate"),
+        )
+    )
+
+
+def _funnel_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {i + 1}" for i, s in enumerate(_CUR_STAGES)
+    )
+    return f"""
+WITH cur AS MATERIALIZED ({_curate_sql("stride", semantic=True)}),
+c AS (SELECT drop_reason, COUNT(*) AS n FROM cur GROUP BY drop_reason),
+idx AS (SELECT drop_reason, CASE drop_reason {whens} END AS stage_idx, n,
+               SUM(n) OVER () AS total,
+               COALESCE(SUM(n) OVER (ORDER BY CASE drop_reason {whens} END
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS earlier
+        FROM c)
+SELECT drop_reason AS stage, CAST(stage_idx AS INT) AS stage_idx,
+       n AS n_dropped, CAST(total - earlier AS BIGINT) AS n_entered,
+       ROUND((total - earlier - n) * 1.0 / (total - earlier), 6)
+         AS survival_rate
+FROM idx WHERE drop_reason IS NOT NULL
+"""
+
+
 def _srp_pairs_sql(src: str, n_bits: int, n_tables: int, dim: int,
                    threshold: float, prefix: str = "srp") -> str:
     """(id1, id2, cos) SRP-LSH near-dup pairs over CTE ``src`` holding
@@ -753,10 +900,14 @@ SELECT id1, id2, ROUND(dot / (sqrt(na) * sqrt(nc)), 6) AS cos
 FROM {prefix}d WHERE ROUND(dot / (sqrt(na) * sqrt(nc)), 6) >= {threshold}"""
 
 
-def _curate_sql(segment_scheme: str = "stride", semantic: bool = False) -> str:
+def _curate_sql(segment_scheme: str | None = "stride",
+                semantic: bool = False, media: bool = False) -> str:
     langs = ", ".join(f"'{lg}'" for lg in _CUR_LANGS)
     pair_sql = _simhash_near_dup_sql(4, "surv2").strip()
-    if segment_scheme == "stride":
+    if segment_scheme is None:
+        # tier off: an empty drop set keeps the CTE graph uniform
+        seg_clause = "segdrop AS (SELECT doc_id FROM surv WHERE FALSE)"
+    elif segment_scheme == "stride":
         seg_clause = rf"""seg AS MATERIALIZED ({_segment_dedup_sql(src="surv").strip()}),
 stoks2 AS MATERIALIZED (
   SELECT doc_id,
@@ -807,6 +958,38 @@ semd AS (SELECT doc FROM semlab WHERE doc != cluster)"""
                     "THEN 'semantic_dup'")
     else:
         sem_clause, sem_when = "", ""
+    if media:
+        # the media tier's evidence: the md5-derived doc->media link over
+        # the committed fixture (both engines recompute it identically) and
+        # the committed visual-cluster golden (independent brute-force
+        # oracle — see q_media_near_dup)
+        med_clause = f""",
+medfrac AS MATERIALIZED (
+  SELECT l.doc_id,
+         ROUND(SUM(CASE WHEN c.dup_of IS NOT NULL AND c.media_ref != c.dup_of
+                        THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dmf
+  FROM (SELECT d.doc_id, m.media_ref
+        FROM documents d
+        CROSS JOIN unnest([{", ".join(str(j) for j in range(_MG_REFS_PER_DOC))}]) AS j(j)
+        JOIN (SELECT media_ref,
+                     ROW_NUMBER() OVER (ORDER BY media_ref) - 1 AS idx
+              FROM '{MEDIA_FIXTURE}') m
+          ON m.idx = ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                         || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT
+                     % (SELECT COUNT(*) FROM '{MEDIA_FIXTURE}')) l
+  LEFT JOIN (SELECT media_ref, dup_of FROM '{MEDIA_NEAR_DUP_GOLDEN}') c
+    USING (media_ref)
+  GROUP BY l.doc_id),
+medd AS (SELECT doc_id FROM medfrac WHERE dmf > {_CUR_MAX_MEDIA})"""
+        med_when = ("\n              WHEN a.doc_id IN (SELECT doc_id FROM medd) "
+                    "THEN 'media_dup'")
+        med_col = ", dup_media_frac"
+        med_col_inner = (",\n         COALESCE(mf.dmf, 0.0) AS dup_media_frac")
+        med_join = "\n  LEFT JOIN medfrac mf ON mf.doc_id = a.doc_id"
+    else:
+        med_clause, med_when, med_col, med_col_inner, med_join = (
+            "", "", "", "", ""
+        )
     return rf"""
 WITH RECURSIVE bq AS (
   SELECT doc_id, text, length(text) AS n,
@@ -869,12 +1052,12 @@ conn(a, b) AS (
   UNION
   SELECT c.a, e.b FROM conn c JOIN ed e ON c.b = e.a),
 lab AS (SELECT a AS doc, LEAST(a, MIN(b)) AS cluster FROM conn GROUP BY a),
-neard AS MATERIALIZED (SELECT doc FROM lab WHERE doc != cluster){sem_clause}
+neard AS MATERIALIZED (SELECT doc FROM lab WHERE doc != cluster){sem_clause}{med_clause}
 SELECT doc_id, lang, quality, n_tokens, dup_line_frac, top_bigram_frac,
-       sym_ratio, drop_reason IS NULL AS keep, drop_reason
+       sym_ratio{med_col}, drop_reason IS NULL AS keep, drop_reason
 FROM (
   SELECT a.doc_id, a.lang, a.quality, a.n_tokens, a.dup_line_frac,
-         a.top_bigram_frac, a.sym_ratio,
+         a.top_bigram_frac, a.sym_ratio{med_col_inner},
          CASE WHEN a.text IS NULL
                    OR regexp_replace(a.text, '\s+', '', 'g') = '' THEN 'empty'
               WHEN a.lang NOT IN ({langs}) THEN 'lang'
@@ -885,9 +1068,9 @@ FROM (
               WHEN a.sym_ratio > {_CUR_MAX_SYM} THEN 'symbol_ratio'
               WHEN a.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
               WHEN a.doc_id IN (SELECT doc_id FROM segdrop) THEN 'dup_segments'
-              WHEN a.doc_id IN (SELECT doc FROM neard) THEN 'near_dup'{sem_when}
+              WHEN a.doc_id IN (SELECT doc FROM neard) THEN 'near_dup'{sem_when}{med_when}
          END AS drop_reason
-  FROM ann a)
+  FROM ann a{med_join})
 """
 
 
@@ -2716,6 +2899,29 @@ SELECT doc1, doc2, hamming FROM '{FRAME_NEAR_DUP_GOLDEN}'
 """
 
 
+def q_video_pair_rollup(spark, sf_dir):
+    """Video-pair rollup over frame-level matches (round-6 verdict #3):
+    frame pairs (media_ref<US>frame_idx) split back to their video refs and
+    group to (video1, video2, n_shared_frames), within-video
+    self-similarity excluded — "which videos share scenes", the question
+    frame dedup exists to answer. Oracle = the same rollup in SQL over the
+    committed independent brute-force frame golden. Rides the memoized
+    frame signature store (one decode+hash pass per process)."""
+    from .functions.media_dedup import video_pair_rollup
+
+    return video_pair_rollup(q_frame_near_dup(spark, sf_dir))
+
+
+SQL_VIDEO_PAIR_ROLLUP = f"""
+SELECT video1, video2, COUNT(*) AS n_shared_frames
+FROM (SELECT split_part(doc1, chr(31), 1) AS video1,
+             split_part(doc2, chr(31), 1) AS video2
+      FROM '{FRAME_NEAR_DUP_GOLDEN}')
+WHERE video1 != video2
+GROUP BY video1, video2
+"""
+
+
 def q_nested_hocr(spark, sf_dir):
     """Nested-OCR pipeline (F3/U3/A7/F7): every media span -> full
     ocr_page/ocr_carea/ocr_par/ocr_line/ocrx_word hOCR with monotone id
@@ -3036,10 +3242,13 @@ REGISTRY: dict[str, tuple] = {
     "q_corpus_curation": (q_corpus_curation,
                           _curate_sql("stride", semantic=True)),
     "q_corpus_curation_cdc": (q_corpus_curation_cdc, _curate_sql("cdc")),
+    "q_corpus_curation_media": (
+        q_corpus_curation_media,
+        _curate_sql(segment_scheme=None, media=True),
+    ),
     "q_minhash_bands": (q_minhash_bands, _minhash_bands_sql()),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
-    "q_segment_dedup": (q_segment_dedup, _segment_dedup_sql()),
     "q_cdc_dedup": (q_cdc_dedup, _cdc_dedup_sql()),
     "q_strip_dup_segments": (q_strip_dup_segments, _strip_segments_sql()),
     "q_ann_topk": (q_ann_topk, SQL_ANN),
@@ -3095,8 +3304,16 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     "q_ann_pq_seeded": (q_ann_pq_seeded, _pq_sql(trained=False)),
     # the CDC strip consumer (the stride consumer holds the driver slot)
     "q_strip_dup_chunks": (q_strip_dup_chunks, _strip_chunks_sql()),
+    # segment span detection: folded r7 to make driver-window room for the
+    # media-tier curation variant; its consumers (q_strip_dup_segments) and
+    # its streaming twin (q_stream_seg_dedup) keep the driver slots
+    "q_segment_dedup": (q_segment_dedup, _segment_dedup_sql()),
     # frame-level video dedup vs the independent brute-force golden
     "q_frame_near_dup": (q_frame_near_dup, SQL_FRAME_NEAR_DUP),
+    # which videos share scenes: the rollup over the frame matches
+    "q_video_pair_rollup": (q_video_pair_rollup, SQL_VIDEO_PAIR_ROLLUP),
+    # per-stage drop counts + survival rates over the curation audit view
+    "q_curation_funnel": (q_curation_funnel, _funnel_sql()),
 }
 
 _DRIVER_CAP = 50  # the driver checks at most this many registry rows

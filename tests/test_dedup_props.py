@@ -895,6 +895,73 @@ def test_curate_semantic_tier_catches_embedding_close_simhash_far(spark):
     assert out[4] == (True, None)
 
 
+def test_curate_media_tier_trips_only_on_duplicated_media(spark):
+    """The MULTIMODAL gate (round-6 verdict #2): a doc whose text is unique
+    (passes every text tier) but whose linked media are all visual dups of
+    an earlier doc's media drops as media_dup; the doc holding the
+    CANONICAL copies keeps; a doc at exactly the threshold (one dup of two
+    links) keeps; and an exact_dup doc with all-dup media keeps its earlier
+    reason — tier order. Exercises the raw-``media=`` route (clusters
+    computed inside curate_corpus)."""
+    import hashlib
+
+    from complete_ocr_spark.functions.curate import curate_corpus
+
+    def keystream(seed, n):
+        out = bytearray()
+        c = 0
+        while len(out) < n:
+            out += hashlib.blake2b(f"{seed}:{c}".encode(),
+                                   digest_size=64).digest()
+            c += 1
+        return bytes(out[:n])
+
+    w = h = 32
+    pay_a, pay_b, pay_u = (keystream(s, w * h) for s in ("a", "b", "u"))
+    media = spark.createDataFrame(
+        [
+            ("a-img", w, h, 1, pay_a),
+            ("b-img", w, h, 1, pay_b),
+            ("u-img", w, h, 1, pay_u),
+            ("y-img", w, h, 1, pay_a),  # exact re-crawl of a-img
+            ("z-img", w, h, 1, pay_b),  # exact re-crawl of b-img
+        ],
+        "media_ref string, width int, height int, n_frames int, payload binary",
+    )
+    t1 = ("the spark engine shuffles partitioned batches of arrow pages "
+          "and the reader prunes nested columns in a distributed plan " * 3)
+    t2 = ("a fresh unique review of the mirrored gallery praises new "
+          "captions about those very pictures while adding original "
+          "commentary and the critique never repeats its phrasing " * 3)
+    t3 = ("another standalone article links one mirrored image beside a "
+          "genuinely new photograph and the writer describes both with "
+          "care for composition light and timing across the field " * 3)
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3), (4, t1)],  # 4 = exact dup of 1
+        "doc_id bigint, text string",
+    )
+    link = spark.createDataFrame(
+        [
+            (1, "a-img"), (1, "b-img"),   # canonical copies -> frac 0
+            (2, "y-img"), (2, "z-img"),   # all dup copies -> frac 1
+            (3, "y-img"), (3, "u-img"),   # one of two -> frac 0.5 == thr
+            (4, "y-img"), (4, "z-img"),   # dup media, but exact_dup first
+        ],
+        "doc_id bigint, media_ref string",
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["drop_reason"], r["dup_media_frac"])
+        for r in curate_corpus(
+            docs, "doc_id", "text",
+            doc_media=link, media=media, max_dup_media_frac=0.5,
+        ).collect()
+    }
+    assert out[1] == (True, None, 0.0)
+    assert out[2] == (False, "media_dup", 1.0)
+    assert out[3] == (True, None, 0.5)
+    assert out[4][0] is False and out[4][1] == "exact_dup"
+
+
 def test_curate_cdc_scheme_catches_shifted_mostly_copied_doc(spark):
     """segment_scheme='cdc' vs 'stride' on a SHIFTED mostly-copied doc: doc
     2 embeds all of doc 1 behind a one-token insertion plus an unrelated
