@@ -25,6 +25,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
+    # FROZEN canary first (see _canary): cross-round session-noise anchor
+    "canary",
     "q01_pricing_summary",
     "q_order_bbox",
     "q_sessionize_events",
@@ -55,9 +57,34 @@ BENCH_QUERIES = [
     "q_corpus_curation_cdc",
     "q_stream_seg_dedup",
     "q_media_near_dup",
+    # round 7: the incremental curation runner (driver-coordination bound
+    # like the other foreachBatch batch forms) and the media-gate curation
+    # variant (fixture-bound clusters + the md5 link join)
+    "q_curate_incr",
+    "q_corpus_curation_media",
 ]
 
 N_REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def _canary(spark, sf_dir):
+    """FROZEN round-7 canary — NEVER edit (round-6 verdict #4): a fixed
+    aggregation whose code is pinned forever, so the VM session-noise
+    factor between any two rounds' BENCH artifacts is computable from the
+    artifacts alone (canary_r{N} / canary_r{M} estimates the session
+    ratio; this VM swings ±10-40% between sessions)."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.filter(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("n"),
+        )
+    )
 
 
 def _sf_label(sf_dir: str) -> float:
@@ -82,7 +109,7 @@ def _docs_parquet(sf: float, n_docs: int) -> str:
 def main() -> None:
     from complete_ocr_spark.config import build_spark
     from complete_ocr_spark.pipeline import run_extraction
-    from complete_ocr_spark.queries import queries
+    from complete_ocr_spark.queries import ANCHOR_REGISTRY, REGISTRY
 
     sf = _sf_label(SF_DIR)
     n_docs = int(os.environ.get("BENCH_N_DOCS", str(max(200, int(4000 * sf / 0.1)))))
@@ -114,7 +141,14 @@ def main() -> None:
     # --- operator queries: warm once (codegen/JIT), then INTERLEAVED reps —
     # this VM's noise swings single runs ~2.5x (BASELINE.md protocol), so the
     # recorded value is best-of-N_REPS with every rep kept in queries_reps
-    reg = queries()
+    # benchmark over BOTH registries (anchors keep their bench slots after
+    # driver-window folds: q_ann_topk/q_segment_dedup since r7), plus the
+    # frozen canary that lives here so no registry refactor can touch it
+    reg = {
+        name: fn
+        for name, (fn, _sql) in {**REGISTRY, **ANCHOR_REGISTRY}.items()
+    }
+    reg["canary"] = _canary
     bench_queries = [] if os.environ.get("BENCH_EXTRACT_ONLY") else BENCH_QUERIES
     reps: dict[str, list[float]] = {name: [] for name in bench_queries}
     for name in bench_queries:  # warm pass (not measured)
@@ -127,7 +161,7 @@ def main() -> None:
     qtimes = {name: min(ts) for name, ts in reps.items()}
 
     total = round(extract_sec + sum(qtimes.values()), 3)
-    from complete_ocr_spark.queries import _SD_BATCHES
+    from complete_ocr_spark.queries import _CI_BATCHES, _SD_BATCHES
 
     # q_dup_clusters_incr's time is DRIVER-COORDINATION cost, not data-path
     # cost: it runs _SD_BATCHES sequential real foreachBatch bodies (~12
@@ -159,6 +193,17 @@ def main() -> None:
         "q_cdc_dedup": {
             "r6": "boundary hash now a rolling 3-token window (one lag "
                   "window pass added, same doc partitioning)",
+        },
+        "q_curate_incr": {
+            "batches_executed": _CI_BATCHES,
+            "bound_by": "driver coordination (sequential foreachBatch "
+                        "bodies: per batch = gates + fp probe + the real "
+                        "segment and dedup stream bodies + 3 table writes)",
+        },
+        "canary": {
+            "frozen": "round 7 — code pinned forever; use "
+                      "canary_rN/canary_rM as the cross-round session-noise "
+                      "ratio before comparing any other query",
         },
     }
     result = {

@@ -87,6 +87,55 @@ from .text import (
 )
 
 
+def empty_pred(text_col: str):
+    """NULL or whitespace-only (module doc #0). NOTE: trim() strips only
+    ASCII spaces in both engines, so the blank test collapses ALL whitespace
+    via regexp (\\n\\t-only docs are empty too). \\s follows the package-wide
+    convention (dedup.normalized, every tokenizer and oracle): Java \\s on
+    the Spark side vs RE2 \\s in DuckDB differ only on \\x0B — a corpus
+    carrying vertical-tab-only docs would need an explicit [ \\t\\n\\r\\f\\x0B]
+    class across ALL operators at once, not just this gate."""
+    return F.col(text_col).isNull() | (
+        F.regexp_replace(F.col(text_col), r"\s+", "") == ""
+    )
+
+
+def annotate_gates(df: DataFrame, text_col: str) -> DataFrame:
+    """The cheap per-doc gate signals (module doc #1-5) as one narrow map —
+    the single body behind batch curation and the incremental runner
+    (streaming.curate_stream), so both regimes measure identical values."""
+    return (
+        df.withColumn("lang", lang_id(F.col(text_col)))
+        .withColumn("quality", quality_score(F.col(text_col)))
+        .withColumn("n_tokens", token_count(F.col(text_col)))
+        .withColumn("dup_line_frac", dup_line_fraction(F.col(text_col)))
+        .withColumn("top_bigram_frac", top_bigram_fraction(F.col(text_col)))
+        .withColumn("sym_ratio", symbol_ratio(F.col(text_col)))
+    )
+
+
+def heuristic_reason(text_col: str, languages: tuple[str, ...],
+                     min_quality: float, max_dup_line_frac: float,
+                     max_top_bigram_frac: float, min_bigram_tokens: int,
+                     max_symbol_ratio: float):
+    """First-failing HEURISTIC gate as a CASE column (NULL = passed all) —
+    evaluates over a frame produced by ``annotate_gates``. The dedup tiers'
+    reasons chain onto this (Column.when) in arrival order; keeping the
+    heuristic chain in one shared expression pins batch and incremental
+    curation to the same gate semantics by construction."""
+    bigram_trips = (F.col("top_bigram_frac") > max_top_bigram_frac) & (
+        F.col("n_tokens") >= min_bigram_tokens
+    )
+    return (
+        F.when(empty_pred(text_col), "empty")
+        .when(~F.col("lang").isin(list(languages)), "lang")
+        .when(F.col("quality") < min_quality, "quality")
+        .when(F.col("dup_line_frac") > max_dup_line_frac, "dup_lines")
+        .when(bigram_trips, "bigram_repeat")
+        .when(F.col("sym_ratio") > max_symbol_ratio, "symbol_ratio")
+    )
+
+
 def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                   languages: tuple[str, ...] = ("en",),
                   min_quality: float = 0.6,
@@ -155,35 +204,12 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
     so re-running curation yields byte-identical decisions."""
     if segment_scheme not in ("stride", "cdc"):
         raise ValueError(f"unknown segment_scheme {segment_scheme!r}")
-    # NOTE: trim() strips only ASCII spaces in both engines, so the blank
-    # test collapses ALL whitespace via regexp (\n\t-only docs are empty
-    # too). \s here follows the package-wide convention (dedup.normalized,
-    # every tokenizer and oracle): Java \s on the Spark side vs RE2 \s in
-    # DuckDB differ only on \x0B — a corpus carrying vertical-tab-only docs
-    # would need an explicit [ \t\n\r\f\x0B] class across ALL operators at
-    # once, not just this gate.
-    empty = F.col(text_col).isNull() | (
-        F.regexp_replace(F.col(text_col), r"\s+", "") == ""
+    annotated = annotate_gates(df, text_col)
+    heur = heuristic_reason(
+        text_col, languages, min_quality, max_dup_line_frac,
+        max_top_bigram_frac, min_bigram_tokens, max_symbol_ratio,
     )
-    annotated = (
-        df.withColumn("lang", lang_id(F.col(text_col)))
-        .withColumn("quality", quality_score(F.col(text_col)))
-        .withColumn("n_tokens", token_count(F.col(text_col)))
-        .withColumn("dup_line_frac", dup_line_fraction(F.col(text_col)))
-        .withColumn("top_bigram_frac", top_bigram_fraction(F.col(text_col)))
-        .withColumn("sym_ratio", symbol_ratio(F.col(text_col)))
-    )
-    bigram_trips = (F.col("top_bigram_frac") > max_top_bigram_frac) & (
-        F.col("n_tokens") >= min_bigram_tokens
-    )
-    passed = annotated.filter(
-        ~empty
-        & F.col("lang").isin(list(languages))
-        & (F.col("quality") >= min_quality)
-        & (F.col("dup_line_frac") <= max_dup_line_frac)
-        & ~bigram_trips
-        & (F.col("sym_ratio") <= max_symbol_ratio)
-    )
+    passed = annotated.filter(heur.isNull())
     # exact dedup: every doc that is NOT its fingerprint group's minimum id.
     # groupBy + join back, NOT a window over fp: a window puts every row of a
     # hot fingerprint (a boilerplate page repeated 10^7 times) into ONE task's
@@ -335,12 +361,7 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
             )
         )
     reason = (
-        F.when(empty, "empty")
-        .when(~F.col("lang").isin(list(languages)), "lang")
-        .when(F.col("quality") < min_quality, "quality")
-        .when(F.col("dup_line_frac") > max_dup_line_frac, "dup_lines")
-        .when(bigram_trips, "bigram_repeat")
-        .when(F.col("sym_ratio") > max_symbol_ratio, "symbol_ratio")
+        heur
         .when(F.col("_exact_dup"), "exact_dup")
         .when(F.col("_seg_dup"), "dup_segments")
         .when(F.col("_near_dup"), "near_dup")

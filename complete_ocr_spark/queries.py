@@ -788,6 +788,54 @@ def q_corpus_curation_media(spark, sf_dir):
     )
 
 
+_CI_BATCHES = 4  # incremental-curation driver batches (monotone id ranges)
+
+
+def q_curate_incr(spark, sf_dir):
+    """INCREMENTAL curation (round-6 verdict #1) in oracle-checkable batch
+    form: documents arrive in _CI_BATCHES monotone doc-id ranges and each
+    range runs the REAL foreachBatch body
+    (streaming.curate_stream.make_curate_batch — shared heuristic gates,
+    fb-pruned fingerprint-store exact dedup, the segment_stream body for
+    span coverage + stripping, the dedup_stream body with its online
+    cluster log for near-dup). The returned frame is the PROMOTED view
+    (read_curated_incr: cluster-log non-minimums flipped to near_dup),
+    which under monotone arrival must equal batch curate_corpus over the
+    whole corpus — so the oracle is literally the SAME generated curation
+    SQL the batch query uses (stride scheme, no semantic tier), making
+    "incremental == full recompute at every prefix" the invariant the
+    driver hashes."""
+    import shutil
+
+    from .streaming.curate_stream import make_curate_batch, read_curated_incr
+
+    d = _t(spark, sf_dir, "documents")
+    root = _scratch("curate_incr", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    hi = d.agg(F.max("doc_id")).collect()[0][0]  # one bounded driver read
+    per = (int(hi) + _CI_BATCHES) // _CI_BATCHES  # ceil((hi+1)/B)
+    pb = make_curate_batch(
+        spark, root, id_col="doc_id", text_col="text",
+        languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
+        max_dup_line_frac=_CUR_MAX_DLF, max_top_bigram_frac=_CUR_MAX_TBF,
+        min_bigram_tokens=_CUR_MIN_BGT, max_symbol_ratio=_CUR_MAX_SYM,
+        max_dup_segment_frac=_CUR_MAX_SEGF,
+        seg_win=_SEG_WIN, seg_stride=_SEG_STRIDE,
+        max_hamming=_SH_MAX_HAMMING, n_blocks=4,
+    )
+    for k in range(_CI_BATCHES):
+        pb(
+            d.filter(
+                (F.col("doc_id") >= k * per) & (F.col("doc_id") < (k + 1) * per)
+            ),
+            k,
+        )
+    return read_curated_incr(spark, root).select(
+        "doc_id", "lang", "quality", "n_tokens", "dup_line_frac",
+        "top_bigram_frac", "sym_ratio", "keep", "drop_reason",
+    )
+
+
 _CUR_STAGES = ("empty", "lang", "quality", "dup_lines", "bigram_repeat",
                "symbol_ratio", "exact_dup", "dup_segments", "near_dup",
                "semantic_dup")
@@ -3246,12 +3294,14 @@ REGISTRY: dict[str, tuple] = {
         q_corpus_curation_media,
         _curate_sql(segment_scheme=None, media=True),
     ),
+    # incremental == full recompute: the promoted streaming-curation view
+    # hashes against the SAME generated SQL as batch curation
+    "q_curate_incr": (q_curate_incr, _curate_sql("stride", semantic=False)),
     "q_minhash_bands": (q_minhash_bands, _minhash_bands_sql()),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
     "q_cdc_dedup": (q_cdc_dedup, _cdc_dedup_sql()),
     "q_strip_dup_segments": (q_strip_dup_segments, _strip_segments_sql()),
-    "q_ann_topk": (q_ann_topk, SQL_ANN),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "q_ann_ivf_bcast": (q_ann_ivf_bcast, _ivf_sql()),
     "q_ann_pq": (q_ann_pq, _PQ_SQL_TRAINED),
@@ -3308,6 +3358,10 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     # media-tier curation variant; its consumers (q_strip_dup_segments) and
     # its streaming twin (q_stream_seg_dedup) keep the driver slots
     "q_segment_dedup": (q_segment_dedup, _segment_dedup_sql()),
+    # brute-force cosine baseline: folded r7 for q_curate_incr; its scale
+    # twins (q_ann_lsh_topk, q_ann_ivf_bcast, q_ann_pq*) keep driver slots
+    # and q_ann_recall still measures recall against this exact baseline
+    "q_ann_topk": (q_ann_topk, SQL_ANN),
     # frame-level video dedup vs the independent brute-force golden
     "q_frame_near_dup": (q_frame_near_dup, SQL_FRAME_NEAR_DUP),
     # which videos share scenes: the rollup over the frame matches

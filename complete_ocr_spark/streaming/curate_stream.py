@@ -1,0 +1,409 @@
+"""Incremental corpus CURATION for arriving documents (round-6 verdict #1)
+— the foreachBatch composition of the whole streaming-dedup stack into the
+product a 100 TB pipeline actually runs.
+
+Batch curation (functions.curate.curate_corpus + curate_io.write_curated)
+recomputes global dedup over the FULL input on every run; at corpus scale
+the recompute-per-refresh is the real cost. This runner instead curates
+each arriving micro-batch against PERSISTED evidence:
+
+per batch k, in the batch-curation tier order:
+
+1. heuristics — the shared ``annotate_gates``/``heuristic_reason`` map
+   (empty/lang/quality/dup_lines/bigram_repeat/symbol_ratio): pure per-doc
+   signals, final at batch time, literally the same Column expressions the
+   batch path evaluates.
+2. exact dedup — md5 fingerprints of the heuristic survivors probed
+   against a persisted ``fps/batch_id=K/fb=B`` store with the
+   strictly-earlier (batch, doc) rule (the segment_stream store pattern:
+   fb-partition-pruned probe, groupBy-min canonical owner before the join,
+   dynamic-overwrite idempotent). Final at batch time: later arrivals can
+   never become EARLIER owners.
+3. segment dedup — exact survivors feed the real
+   streaming.segment_stream.make_segment_dedup_batch body (its own
+   fingerprint store under ``seg/``); this batch's detected spans are read
+   back and stripped (dedup._strip_spans) — ONE pass that yields both the
+   duplicated-span coverage for the optional ``dup_segments`` gate and the
+   cleaned training text. Also final at batch time (same earliest-owner
+   argument).
+4. near dedup — segment survivors feed the real
+   streaming.dedup_stream.make_dedup_batch body (signature + band-index
+   stores and the ONLINE CLUSTER LOG under ``dedup/``); this batch's flags
+   are the batch-time ``near_dup`` evidence.
+
+Per batch the runner writes ``audit/batch_id=K/bucket=B`` (every batch doc
+with its gate signals + batch-time decision), ``training/batch_id=K/
+bucket=B`` (kept docs, duplicated spans stripped) and
+``curated_lineage/batch_id=K/bucket=B`` — the curate_io conventions,
+batch-partitioned so re-delivery overwrites exactly its own rows.
+
+PROMOTION (the q_dup_clusters_incr pattern, curate-shaped): batch-time
+near-dup flags are pairwise "has a strictly-earlier match" evidence, but
+batch curation drops every non-minimum member of each near-dup CLUSTER — a
+doc can be kept at arrival and only later be revealed as a cluster
+non-minimum (a later arrival bridges its cluster to one with a smaller
+minimum, or connects it through a chain). ``read_curated_incr`` therefore
+resolves the online cluster log (dedup_stream.read_cluster_labels — proven
+equal to a full recluster at every prefix) and flips exactly those kept
+docs to ``near_dup``. Promotion only ever moves keep -> drop; every other
+tier's batch-time decision is final.
+
+EQUALITY INVARIANT (tested, and the driver query's oracle): under
+monotone-id arrival — every batch's doc ids exceed the previous batch's,
+i.e. ids are ingest sequence numbers, the natural crawl layout — the
+promoted view equals batch ``curate_corpus`` over the union of all arrived
+batches AT EVERY PREFIX: strictly-earlier == smaller id, so the stores'
+arrival-order owner rules coincide with the batch min-id canon, and the
+cluster-log promotion equals batch connected components under ANY order.
+(Under non-monotone arrival the runner remains deterministic and
+idempotent; its canon is first-arrival instead of min-id — the honest
+streaming semantics.)
+
+Scale shape: per batch = the cheap-gate map + one fb-pruned fp probe + the
+segment and dedup bodies' own pruned probes — cost tracks |batch|, never
+the corpus. The semantic and media tiers stay batch-only (they gate
+against corpus-level embedding/visual evidence whose incremental stores
+are future work); ``curate_corpus`` remains the full-recompute reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import DEFAULT_N_BUCKETS
+from ..functions.curate import annotate_gates, heuristic_reason
+from ..functions.dedup import _strip_spans, normalized
+from ..io import has_parquet, require_local, with_bucket
+from .dedup_stream import (
+    _geometry_guard,
+    make_dedup_batch,
+    read_cluster_labels,
+    read_flags,
+)
+from .segment_stream import (
+    _fb,
+    make_segment_dedup_batch,
+    read_segment_spans,
+)
+
+N_FP_BUCKETS = 16
+
+AUDIT_COLS = ("lang", "quality", "n_tokens", "dup_line_frac",
+              "top_bigram_frac", "sym_ratio", "keep", "drop_reason")
+
+
+def curate_stream_paths(out_root: str) -> dict[str, str]:
+    out_root = require_local(out_root, "curate-stream out_root")
+    return {
+        "fps": os.path.join(out_root, "fps"),
+        "seg": os.path.join(out_root, "seg"),
+        "dedup": os.path.join(out_root, "dedup"),
+        "training": os.path.join(out_root, "training"),
+        "audit": os.path.join(out_root, "audit"),
+        "lineage": os.path.join(out_root, "curated_lineage"),
+    }
+
+
+def make_curate_batch(spark: SparkSession, out_root: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      languages: tuple[str, ...] = ("en",),
+                      min_quality: float = 0.6,
+                      max_dup_line_frac: float = 0.3,
+                      max_top_bigram_frac: float = 0.1,
+                      min_bigram_tokens: int = 20,
+                      max_symbol_ratio: float = 0.25,
+                      max_dup_segment_frac: float | None = None,
+                      segment_scheme: str = "stride",
+                      seg_win: int = 20, seg_stride: int = 10,
+                      cdc_avg_chunk: int = 8, cdc_min_tokens: int = 5,
+                      cdc_window_k: int = 3,
+                      max_hamming: int = 3, n_blocks: int = 4,
+                      n_fp_buckets: int = N_FP_BUCKETS,
+                      n_buckets: int = DEFAULT_N_BUCKETS,
+                      sig_fn=None,
+                      maintenance_every: int | None = None):
+    """foreachBatch body, exposed for direct re-delivery testing (module
+    doc). Parameters mirror curate_corpus' lexical tiers; ``sig_fn`` and
+    ``maintenance_every`` pass through to the near-dup body
+    (dedup_stream.make_dedup_batch). The full parameter set persists in
+    ``_curate_geometry.json`` and a resume under different parameters
+    refuses loudly (probing stores built under other thresholds silently
+    mixes incompatible decision spaces — the write_curated guard, stream
+    form)."""
+    out_root = require_local(out_root, "curate-stream out_root")
+    paths = curate_stream_paths(out_root)
+    geometry = json.loads(json.dumps({
+        "kind": "curate-stream",
+        "languages": languages, "min_quality": min_quality,
+        "max_dup_line_frac": max_dup_line_frac,
+        "max_top_bigram_frac": max_top_bigram_frac,
+        "min_bigram_tokens": min_bigram_tokens,
+        "max_symbol_ratio": max_symbol_ratio,
+        "max_dup_segment_frac": max_dup_segment_frac,
+        "segment_scheme": segment_scheme,
+        "seg_win": seg_win, "seg_stride": seg_stride,
+        "cdc_avg_chunk": cdc_avg_chunk, "cdc_min_tokens": cdc_min_tokens,
+        "cdc_window_k": cdc_window_k,
+        "max_hamming": max_hamming, "n_blocks": n_blocks,
+        "n_fp_buckets": n_fp_buckets, "n_buckets": n_buckets,
+    }))
+    heur = heuristic_reason(
+        text_col, languages, min_quality, max_dup_line_frac,
+        max_top_bigram_frac, min_bigram_tokens, max_symbol_ratio,
+    )
+    # the real streaming bodies own their stores (and their own geometry
+    # guards) under nested roots
+    pb_seg = make_segment_dedup_batch(
+        spark, paths["seg"], id_col=id_col, text_col=text_col,
+        win=seg_win, stride=seg_stride, scheme=segment_scheme,
+        cdc_avg_chunk=cdc_avg_chunk, cdc_min_tokens=cdc_min_tokens,
+        cdc_window_k=cdc_window_k,
+    )
+    pb_near = make_dedup_batch(
+        spark, paths["dedup"], id_col=id_col, text_col=text_col,
+        max_hamming=max_hamming, n_blocks=n_blocks,
+        maintain_clusters=True, sig_fn=sig_fn,
+        maintenance_every=maintenance_every,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        if batch_df.isEmpty():
+            return
+        _geometry_guard(out_root, geometry, filename="_curate_geometry.json")
+        id_type = dict(batch_df.dtypes)[id_col]
+        # 1. heuristic gates: one narrow map, materialized once (feeds the
+        # survivor filter AND the audit write)
+        ann = (
+            annotate_gates(batch_df.select(id_col, text_col), text_col)
+            .withColumn("_hr", heur)
+            .localCheckpoint()
+        )
+        passed = ann.filter(F.col("_hr").isNull()).select(id_col, text_col)
+        # 2. exact tier: fp store probe with the strictly-earlier rule
+        # (segment_stream pattern: fb-pruned scan, canon owner groupBy)
+        fps = (
+            passed.select(
+                F.col(id_col).alias("doc"),
+                F.md5(normalized(F.col(text_col))).alias("fp"),
+            )
+            .withColumn("batch_id", F.lit(bid))
+            .withColumn("fb", _fb(F.col("fp"), n_fp_buckets))
+            .localCheckpoint()  # feeds probe list, owner join, store write
+        )
+        touched = [r["fb"] for r in fps.select("fb").distinct().collect()]
+        if has_parquet(paths["fps"]):
+            prior = (
+                spark.read.parquet(paths["fps"])
+                .filter((F.col("batch_id") < bid) & F.col("fb").isin(touched))
+                .select("doc", "fp", "batch_id")
+            )
+            corpus = prior.unionByName(fps.select("doc", "fp", "batch_id"))
+        else:
+            corpus = fps.select("doc", "fp", "batch_id")
+        owner = corpus.groupBy("fp").agg(
+            F.min(F.struct("batch_id", "doc")).alias("o")
+        )
+        exact_drops = (
+            fps.join(owner, "fp")
+            .filter(
+                F.struct(F.col("batch_id"), F.col("doc").alias("doc"))
+                > F.col("o")
+            )
+            .select("doc")
+            .localCheckpoint()  # feeds the survivor anti-join AND the audit
+        )
+        (
+            fps.repartition("fb")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "fb")
+            .parquet(paths["fps"])
+        )
+        exact_surv = passed.join(
+            exact_drops.withColumnRenamed("doc", id_col), id_col, "left_anti"
+        ).localCheckpoint()  # feeds the segment body, strip, and near body
+        # 3. segment tier: the real segment_stream body over the exact
+        # survivors; this batch's spans read back for coverage + stripping
+        pb_seg(exact_surv, bid)
+        spans = read_segment_spans(spark, paths["seg"], id_type).filter(
+            F.col("batch_id") == bid
+        )
+        stripped = _strip_spans(
+            exact_surv, id_col, text_col,
+            spans.select("doc_id", "span_start", "span_end"),
+        ).localCheckpoint()  # feeds coverage gate AND training write
+        seg_drops = None
+        seg_surv = exact_surv
+        if max_dup_segment_frac is not None:
+            seg_drops = (
+                stripped.filter(
+                    F.col("n_dropped")
+                    / F.greatest(F.col("n_kept") + F.col("n_dropped"), F.lit(1))
+                    > max_dup_segment_frac
+                )
+                .select(F.col("doc_id").alias(id_col))
+                .localCheckpoint()
+            )
+            seg_surv = exact_surv.join(seg_drops, id_col, "left_anti")
+        # 4. near tier: the real dedup_stream body (stores + cluster log);
+        # this batch's flags are the batch-time near_dup evidence
+        pb_near(seg_surv, bid)
+        near_flagged = (
+            read_flags(spark, paths["dedup"], id_type)
+            .filter(F.col("batch_id") == bid)
+            .select(F.col("doc").alias(id_col))
+        )
+        # batch-time decision: first failing tier, in batch-curation order
+        audit = (
+            ann.join(
+                exact_drops.select(F.col("doc").alias(id_col))
+                .withColumn("_ex", F.lit(True)),
+                id_col, "left",
+            )
+            .join(
+                near_flagged.withColumn("_nd", F.lit(True)), id_col, "left"
+            )
+        )
+        if seg_drops is not None:
+            audit = audit.join(
+                seg_drops.withColumn("_sg", F.lit(True)), id_col, "left"
+            )
+        else:
+            audit = audit.withColumn("_sg", F.lit(False))
+        audit = (
+            audit.withColumn(
+                "drop_reason",
+                F.coalesce(
+                    F.col("_hr"),
+                    F.when(F.coalesce("_ex", F.lit(False)), "exact_dup"),
+                    F.when(F.coalesce("_sg", F.lit(False)), "dup_segments"),
+                    F.when(F.coalesce("_nd", F.lit(False)), "near_dup"),
+                ),
+            )
+            .withColumn("keep", F.col("drop_reason").isNull())
+            .select(id_col, *AUDIT_COLS)
+        )
+        audit = with_bucket(audit, n_buckets, id_col=id_col).localCheckpoint()
+        (
+            audit.withColumn("batch_id", F.lit(bid))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "bucket")
+            .parquet(paths["audit"])
+        )
+        # training: kept docs with their duplicated spans stripped (the one
+        # strip pass above). May be EMPTY for an all-dropped batch — skip
+        # the write (empty partitioned writes leave unreadable paths).
+        training = with_bucket(
+            stripped.join(
+                audit.filter("keep").select(F.col(id_col).alias("doc_id")),
+                "doc_id",
+            ).withColumnRenamed("doc_id", id_col),
+            n_buckets, id_col=id_col,
+        ).localCheckpoint()  # feeds the write AND the lineage agg
+        has_training = not training.isEmpty()
+        if has_training:
+            (
+                training.withColumn("batch_id", F.lit(bid))
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "bucket")
+                .parquet(paths["training"])
+            )
+        # lineage per (batch, bucket), computed from the frames just
+        # written — fully distributed, <= n_buckets rows per batch
+        lin = audit.groupBy("bucket").agg(
+            F.min(id_col).alias("doc_range_min"),
+            F.max(id_col).alias("doc_range_max"),
+            F.count("*").alias("doc_count"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_count"),
+        )
+        if has_training:
+            lin = lin.join(
+                training.withColumn(
+                    "h", F.xxhash64(F.col(id_col), F.col("text_clean"))
+                )
+                .groupBy("bucket")
+                .agg(
+                    F.sum("n_kept").alias("token_count"),
+                    F.expr("bit_xor(h)").alias("checksum"),
+                ),
+                "bucket", "left",
+            )
+        else:
+            lin = lin.withColumn(
+                "token_count", F.lit(None).cast("bigint")
+            ).withColumn("checksum", F.lit(None).cast("bigint"))
+        (
+            lin.withColumn("batch_id", F.lit(bid))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "bucket")
+            .parquet(paths["lineage"])
+        )
+
+    return process_batch
+
+
+def read_curated_incr(spark: SparkSession, out_root: str,
+                      id_col: str = "doc_id",
+                      id_type: str = "bigint") -> DataFrame:
+    """The PROMOTED curation view (module doc): every processed doc's audit
+    row, with kept docs that the online cluster log now proves to be
+    near-dup-cluster non-minimums flipped to ``near_dup``. Equals batch
+    curate_corpus over all arrived docs at every prefix under monotone-id
+    arrival. Promotion only moves keep -> drop: a doc the batch-time pass
+    flagged stays flagged (its strictly-earlier match IS a cluster edge),
+    and docs dropped by earlier tiers never entered the cluster log."""
+    paths = curate_stream_paths(out_root)
+    audit = spark.read.parquet(paths["audit"])
+    promoted_nd = (
+        read_cluster_labels(spark, paths["dedup"], id_type)
+        .filter(F.col("doc") != F.col("cluster"))
+        .select(F.col("doc").alias(id_col), F.lit(True).alias("_pnd"))
+    )
+    return (
+        audit.join(promoted_nd, id_col, "left")
+        .withColumn(
+            "drop_reason",
+            F.coalesce(
+                "drop_reason", F.when(F.col("_pnd"), "near_dup")
+            ),
+        )
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_pnd")
+    )
+
+
+def read_incr_training(spark: SparkSession, out_root: str) -> DataFrame:
+    """All per-batch training partitions written so far. NOTE: batch-time
+    kept docs that promotion later flips to near_dup remain in their
+    arrival batch's partition — consumers wanting the promoted set join
+    ``read_curated_incr`` on keep (the audit table is the decision record;
+    training partitions are immutable arrival-time artifacts)."""
+    paths = curate_stream_paths(out_root)
+    return spark.read.parquet(paths["training"])
+
+
+def run_streaming_curation(
+    spark: SparkSession, source: DataFrame, out_root: str,
+    checkpoint: str, **kwargs,
+) -> StreamingQuery:
+    """Wire a streaming source through the curation batch body with
+    exactly-once foreachBatch semantics (availableNow callers drain the
+    backlog). ``kwargs`` as in make_curate_batch."""
+    pb = make_curate_batch(spark, out_root, **kwargs)
+    return (
+        source.writeStream.foreachBatch(pb)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

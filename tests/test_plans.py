@@ -178,9 +178,9 @@ def test_segment_dedup_plans_are_equi_join_shaped(spark):
     keyed aggregations only — no cartesian/nested-loop pair blowup, and a
     bounded exchange count (canonical-owner groupBy + fp join + islands
     merge; strip adds one per-doc span aggregate + one 1:1 doc join)."""
-    for name, max_exchanges in (("q_segment_dedup", 4),
+    for name, max_exchanges in (("q_segment_dedup", 4),   # anchor since r7
                                 ("q_strip_dup_segments", 7)):
-        plan = _plan(REGISTRY[name][0](spark, SF_DIR))
+        plan = _plan(ALL_Q[name][0](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         n = plan.count("Exchange")
