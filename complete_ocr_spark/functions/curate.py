@@ -136,6 +136,31 @@ def heuristic_reason(text_col: str, languages: tuple[str, ...],
     )
 
 
+def heuristic_pass(text_col: str, languages: tuple[str, ...],
+                   min_quality: float, max_dup_line_frac: float,
+                   max_top_bigram_frac: float, min_bigram_tokens: int,
+                   max_symbol_ratio: float):
+    """``heuristic_reason(...) IS NULL`` as a boolean CONJUNCTION — the
+    survivor-filter form. Equivalent by construction (same sub-predicates,
+    same thresholds), but measurably cheaper as a Filter condition: the
+    string-CASE-then-isNull form costs ~25% more per evaluation (measured
+    same-session at sf0.1), and batch curation's un-checkpointed ``passed``
+    subtree is consumed by several downstream tiers, multiplying that.
+    Streaming curation instead materializes the reason column once and
+    filters the materialized value — either path, one set of predicates."""
+    bigram_trips = (F.col("top_bigram_frac") > max_top_bigram_frac) & (
+        F.col("n_tokens") >= min_bigram_tokens
+    )
+    return (
+        ~empty_pred(text_col)
+        & F.col("lang").isin(list(languages))
+        & (F.col("quality") >= min_quality)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & ~bigram_trips
+        & (F.col("sym_ratio") <= max_symbol_ratio)
+    )
+
+
 def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                   languages: tuple[str, ...] = ("en",),
                   min_quality: float = 0.6,
@@ -205,11 +230,12 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
     if segment_scheme not in ("stride", "cdc"):
         raise ValueError(f"unknown segment_scheme {segment_scheme!r}")
     annotated = annotate_gates(df, text_col)
-    heur = heuristic_reason(
+    gate_args = (
         text_col, languages, min_quality, max_dup_line_frac,
         max_top_bigram_frac, min_bigram_tokens, max_symbol_ratio,
     )
-    passed = annotated.filter(heur.isNull())
+    heur = heuristic_reason(*gate_args)
+    passed = annotated.filter(heuristic_pass(*gate_args))
     # exact dedup: every doc that is NOT its fingerprint group's minimum id.
     # groupBy + join back, NOT a window over fp: a window puts every row of a
     # hot fingerprint (a boilerplate page repeated 10^7 times) into ONE task's

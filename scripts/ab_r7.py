@@ -32,16 +32,34 @@ REPS = int(os.environ.get("AB_REPS", "3"))
 
 
 def _load(name: str, path: str):
-    """Import an extracted round-6 module file under the package so its
-    relative imports (.dedup, .text, .multimodal) resolve against the
-    CURRENT package — isolating exactly the file-under-test's delta."""
-    spec = importlib.util.spec_from_file_location(
-        f"complete_ocr_spark.functions.{name}", path
+    """Materialize an extracted round-6 module file INSIDE the package (so
+    Spark WORKERS can unpickle kernel closures that reference it by module
+    name — a driver-only importlib module dies with ModuleNotFoundError in
+    the executor), with its relative imports (.dedup, .text, .multimodal)
+    resolving against the CURRENT package — isolating exactly the
+    file-under-test's delta. Callers must _cleanup() afterwards; these
+    temp files are never committed."""
+    import shutil
+
+    pkg_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "complete_ocr_spark", "functions",
     )
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[spec.name] = mod
-    spec.loader.exec_module(mod)
-    return mod
+    dst = os.path.join(pkg_dir, f"{name}.py")
+    shutil.copyfile(path, dst)
+    _TEMP_FILES.append(dst)
+    return importlib.import_module(f"complete_ocr_spark.functions.{name}")
+
+
+_TEMP_FILES: list[str] = []
+
+
+def _cleanup() -> None:
+    for p in _TEMP_FILES:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
 
 
 def main() -> None:
@@ -53,8 +71,8 @@ def main() -> None:
     from complete_ocr_spark.functions import media_dedup as media_r7
     from complete_ocr_spark import queries as Q
 
-    curate_r6 = _load("curate_r6", "/tmp/r6_curate_src.py")
-    media_r6 = _load("media_r6", "/tmp/r6_media_src.py")
+    curate_r6 = _load("_r6_curate_ab", "/tmp/r6_curate_src.py")
+    media_r6 = _load("_r6_media_ab", "/tmp/r6_media_src.py")
 
     spark = build_spark(
         app_name="ab_r7", master="local[32]", shuffle_partitions=32
@@ -139,4 +157,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        _cleanup()
