@@ -1,0 +1,328 @@
+"""Training-data preparation operators: decontamination, sequence packing,
+PII redaction, temperature-weighted domain mixing.
+
+These are the pipeline stages that sit BETWEEN curation (functions/curate.py)
+and the training job itself, and each is built shuffle-aware:
+
+* ``decontaminate``: eval-benchmark n-gram overlap removal (the GPT-3/PaLM
+  13-gram decontamination pass, parameterized n). The benchmark side is
+  small by construction (eval sets are MBs against a 100 TB corpus), so its
+  distinct gram-hash set is BROADCAST; corpus grams are generated map-side
+  from an already-distinct per-doc array and die in the broadcast hash join
+  unless they hit — the only shuffle is the per-doc hit count over the
+  (tiny) contaminated subset.
+* ``pack_sequences`` / ``pack_manifest``: concat-and-chop packing of the
+  corpus token stream into fixed ``ctx_len`` windows — the classic
+  GPT-style "concatenate all docs, chop every ctx tokens" batch layout.
+  The global token prefix-sum is computed as a two-level distributed scan:
+  per-bucket partial sums (one groupBy on ``floor(id / bucket_span)``),
+  exclusive bucket offsets via a window over the BUCKET TABLE (n_docs /
+  bucket_span rows — size bucket_span so this fits one task: at 10^12 docs
+  and span 10^6 the bucket table is 10^6 narrow rows), then a within-bucket
+  window partitioned by bucket. No global single-partition window ever
+  touches per-doc rows.
+* ``redact_pii`` / ``pii_counts``: email / IPv4 / phone scrubbing as pure
+  Catalyst ``regexp_replace`` chains (whole-stage codegen, zero Python).
+  Patterns are written in the common Java-regex/RE2 subset so the DuckDB
+  oracle computes byte-identical redactions.
+* ``temperature_mix``: deterministic domain-balanced sampling (temperature
+  reweighting a la multilingual/DoReMi mixing). Per-domain weights use
+  INTEGER-exact arithmetic (floor(sqrt(n)*1e6) fixed-point, integer
+  quotas, basis-point md5 thresholds) so Spark and the SQL oracle agree
+  bit-for-bit — a float pow/sum would be ulp-order-dependent across
+  engines. Sampling itself is the md5-threshold idiom from
+  q_quality_sample: join-free on the corpus side apart from one broadcast
+  of the per-domain rate table (<= n_domains rows).
+
+No reference-repo counterpart exists for any of these (the reference is a
+single-machine OCR pipeline); they are the LLM-data-pipeline surfaces the
+round briefs call out as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import normalized
+from .text import token_count
+
+# ---------------------------------------------------------------------------
+# Decontamination: eval-set n-gram overlap
+# ---------------------------------------------------------------------------
+
+
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, grams: array<string>) — DISTINCT md5 hashes of the doc's word
+    n-grams, built map-side (no shuffle): split -> sliding slice -> md5 ->
+    array_distinct, all inside one Catalyst projection. Docs shorter than n
+    words have no grams and are dropped."""
+    w = F.split(normalized(F.col(text_col)), " ")
+    # the CASE guards evaluation order: sequence(0, size-n) on a doc shorter
+    # than n words would DESCEND into negative slice starts even though the
+    # filter below drops the row (projection and filter share a codegen
+    # stage, and the error fires before the filter wins)
+    grams = F.expr(
+        f"CASE WHEN size(_w) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(_w) - {n}), "
+        f"i -> md5(array_join(slice(_w, i + 1, {n}), ' ')))) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), w.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select("doc", grams.alias("grams"))
+    )
+
+
+def benchmark_grams(bench: DataFrame, id_col: str, text_col: str,
+                    n: int = 5) -> DataFrame:
+    """The DISTINCT gram-hash set of the benchmark/eval corpus — the
+    broadcast side of decontamination. Eval sets are tiny relative to the
+    training corpus; at 100 TB this is the only state the pass carries."""
+    return (
+        _gram_hashes(bench, id_col, text_col, n)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
+                  text_col: str, n: int = 5, min_hits: int = 1) -> DataFrame:
+    """Flag training docs sharing >= min_hits word n-grams with an eval
+    benchmark (the decontamination pass every released-model data pipeline
+    runs; n=13 in the GPT-3 appendix, parameterized here because the sf
+    fixture docs are short).
+
+    Returns (doc_id, n_grams, n_hits, contamination) for contaminated docs:
+    n_grams = the doc's distinct gram count (computed map-side BEFORE the
+    explode, so no second pass), n_hits = how many of those grams appear in
+    the benchmark, contamination = n_hits / n_grams rounded to 6.
+
+    Scale shape: benchmark grams broadcast; corpus side explodes its
+    per-doc distinct gram array and inner-joins the broadcast — misses die
+    map-side, so the one groupBy shuffle carries only actual hits (at most
+    |benchmark grams| x contaminated docs, not corpus-sized)."""
+    bg = benchmark_grams(bench, id_col, text_col, n)
+    dg = _gram_hashes(docs, id_col, text_col, n)
+    exploded = dg.select(
+        "doc", F.size("grams").cast("bigint").alias("n_grams"),
+        F.explode("grams").alias("g"),
+    )
+    hits = (
+        exploded.join(F.broadcast(bg), "g")
+        .groupBy("doc", "n_grams")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    return hits.select(
+        F.col("doc").alias("doc_id"), "n_grams", "n_hits",
+        F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("contamination"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chop into ctx_len windows
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   ctx_len: int = 2048, bucket_span: int = 1024) -> DataFrame:
+    """Assign every non-empty doc its token interval in the concatenated
+    corpus stream and the ctx_len packs it lands in.
+
+    Output: (doc_id, n_tokens, tok_start, pack_start, pack_end, n_packs)
+    where tok_start is the doc's exclusive token prefix-sum in doc_id order,
+    pack_start/pack_end = the first/last floor(token/ctx_len) window the doc
+    touches. Deterministic: the layout is a pure function of the corpus.
+
+    The prefix sum is a two-level distributed scan, NOT a global window:
+      1. bucket = floor(doc_id / bucket_span); one groupBy gives per-bucket
+         token totals (n_buckets rows).
+      2. exclusive bucket offsets via a window over that BUCKET table only
+         (single task over n_docs/bucket_span narrow rows — pick bucket_span
+         so this fits: 10^6 at 10^12 docs; recurse the same construction if
+         it ever doesn't).
+      3. within-bucket exclusive window PARTITION BY bucket ORDER BY doc_id,
+         plus the broadcast bucket offset.
+    The result is bucket_span-invariant (property-tested), so the knob is
+    purely physical."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    b = toks.withColumn("bucket", F.floor(F.col("doc_id") / bucket_span))
+
+    totals = b.groupBy("bucket").agg(F.sum("n_tokens").alias("bt"))
+    # Window over the bucket table only: <= n_docs/bucket_span rows.
+    off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bt").over(off_w), F.lit(0)).cast("bigint").alias("bucket_off"),
+    )
+
+    in_w = (
+        Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok_start = (
+        F.col("bucket_off") + F.coalesce(F.sum("n_tokens").over(in_w), F.lit(0))
+    ).cast("bigint")
+    out = (
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn("tok_start", tok_start)
+        .withColumn("pack_start", F.floor(F.col("tok_start") / ctx_len).cast("bigint"))
+        .withColumn(
+            "pack_end",
+            F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / ctx_len).cast("bigint"),
+        )
+    )
+    return out.select(
+        "doc_id", "n_tokens", "tok_start", "pack_start", "pack_end",
+        (F.col("pack_end") - F.col("pack_start") + F.lit(1)).cast("bigint").alias("n_packs"),
+    )
+
+
+def pack_manifest(df: DataFrame, id_col: str, text_col: str,
+                  ctx_len: int = 2048, bucket_span: int = 1024) -> DataFrame:
+    """Per-pack rollup of pack_sequences: (pack_id, n_docs, n_tokens) where
+    a doc spanning k packs contributes its per-pack token share to each.
+    Integer-exact: tokens_in_pack = min(tok_end, (p+1)*ctx) - max(tok_start,
+    p*ctx). The explode fans each doc out to its (usually 1-2) packs, then
+    one groupBy on pack_id — all full packs carry exactly ctx_len tokens
+    (asserted by the property tests); only the final pack may be short."""
+    packed = pack_sequences(df, id_col, text_col, ctx_len, bucket_span)
+    per_pack = packed.select(
+        "doc_id", "tok_start",
+        (F.col("tok_start") + F.col("n_tokens")).alias("tok_end"),
+        F.explode(F.sequence("pack_start", "pack_end")).alias("pack_id"),
+    )
+    share = (
+        F.least(F.col("tok_end"), (F.col("pack_id") + 1) * ctx_len)
+        - F.greatest(F.col("tok_start"), F.col("pack_id") * ctx_len)
+    )
+    return (
+        per_pack.groupBy("pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(share).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex/RE2 common subset (no backrefs, no
+# lookaround) so Spark and the DuckDB oracle match byte-identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,3}[- ]\d{3}[- ]\d{4}"
+
+_PII = (
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (PHONE_RE, "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses and +cc phone numbers with typed
+    placeholders. Email first: an address like u1@ex3.org contains digit
+    runs the IP pattern must never see. Pure Catalyst (3 chained
+    regexp_replace; zero Python), idempotent (placeholders match no
+    pattern)."""
+    out = col
+    for pat, tag in _PII:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) found in the raw text — the audit signal
+    that rides next to the redacted column. Counted on the SAME precedence
+    as redact_pii (ips/phones counted after email removal) so counts and
+    redactions always reconcile."""
+    no_email = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return (
+        F.regexp_count(col, F.lit(EMAIL_RE)).cast("bigint"),
+        F.regexp_count(no_email, F.lit(IPV4_RE)).cast("bigint"),
+        F.regexp_count(no_email, F.lit(PHONE_RE)).cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted domain mixing
+# ---------------------------------------------------------------------------
+
+
+def temperature_mix(df: DataFrame, id_col: str, domain_col: str,
+                    tau: float = 0.5, target_num: int = 1,
+                    target_den: int = 2) -> DataFrame:
+    """Deterministic domain-rebalanced sample: keep ~(target_num/target_den)
+    of the corpus with per-domain quotas proportional to n_domain^tau — the
+    temperature-sampling mix (tau<1 upweights small domains) used for
+    multilingual/multi-source training sets.
+
+    tau is restricted to {0.0, 0.5, 1.0} because the weight arithmetic is
+    kept INTEGER-exact end-to-end (fixed-point floor(sqrt(n)*1e6) weights,
+    integer quota and basis-point thresholds): a float pow + sum would make
+    the oracle comparison depend on ulp-level addition order across engines.
+    0.5 is the common temperature; 1.0 degenerates to uniform rate (plain
+    downsampling); 0.0 to equal per-domain quotas.
+
+    Shape at scale: one groupBy(domain) for counts (n_domains rows), the
+    global sums via a window over THAT table, one broadcast join of the
+    per-domain rate back onto the corpus, and the md5-basis-point keep
+    filter — join-free per row otherwise, no corpus-sized shuffle at all.
+
+    Returns kept rows: (doc_id, domain, rate_bp) with rate_bp the domain's
+    keep rate in basis points (audit signal)."""
+    if tau == 0.5:
+        s_s = F.floor(F.sqrt(F.col("n_s")) * 1_000_000).cast("bigint")
+    elif tau == 1.0:
+        s_s = (F.col("n_s") * F.lit(1_000_000)).cast("bigint")
+    elif tau == 0.0:
+        s_s = F.lit(1_000_000).cast("bigint")
+    else:
+        raise ValueError(
+            "tau must be one of 0.0, 0.5, 1.0 — other exponents require "
+            "float pow, which breaks integer-exact cross-engine parity"
+        )
+    counts = (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count("*").cast("bigint").alias("n_s"))
+        .withColumn("s_s", s_s)
+    )
+    # Global sums over the DOMAIN table only (<= n_domains rows).
+    all_w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = counts.select(
+        "domain", "n_s", "s_s",
+        F.sum("s_s").over(all_w).cast("bigint").alias("S"),
+        F.sum("n_s").over(all_w).cast("bigint").alias("N"),
+    )
+    # quota q = min(n_s, floor(T * s_s / S)), T = floor(N * num / den);
+    # all `div` — Spark's integer division — so the oracle's // agrees
+    # exactly. At 10^12 docs promote to DECIMAL(38,0) before the product.
+    rates = with_tot.select(
+        "domain",
+        F.least(
+            F.lit(10_000).cast("bigint"),
+            F.expr(
+                f"(10000 * least(n_s, ((N * {target_num}) div {target_den})"
+                f" * s_s div S)) div n_s"
+            ),
+        ).alias("rate_bp"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10_000
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(domain_col).alias("domain"))
+        .join(F.broadcast(rates), "domain")
+        .filter(h < F.col("rate_bp"))
+        .select("doc_id", "domain", "rate_bp")
+    )

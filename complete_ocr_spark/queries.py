@@ -21,7 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from .functions import dedup, pq, similarity
+from .functions import dedup, pq, prep, similarity
 from .functions.text import (
     STOPWORDS_EN,
     bpe_ish_token_count,
@@ -624,6 +624,185 @@ FROM scored
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
       < CASE WHEN quality >= 0.9 THEN 100
              WHEN quality >= 0.7 THEN 50 ELSE 10 END
+"""
+
+
+# --- training-data prep surfaces (functions/prep.py) ----------------------
+
+# decontamination: the synthetic "benchmark" is a deterministic corpus slice
+# (doc_id % 13 == 5, ~8% of docs) so both engines derive the SAME eval set
+# from the fixture parquet — no external data. n=5 word-grams (GPT-3 used 13;
+# fixture docs are short). The corpus's exact/near-dup structure guarantees
+# real hits at sf (verified: 6 contaminated docs at sf0.01, 199 at sf0.1).
+_DECON_N = 5
+_DECON_MOD, _DECON_REM = 13, 5
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set n-gram decontamination (functions/prep.decontaminate):
+    benchmark gram hashes broadcast, corpus grams generated map-side from a
+    per-doc distinct array (n_grams comes for free, no second pass), misses
+    die in the broadcast join, one tiny groupBy over actual hits."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _DECON_MOD == _DECON_REM)
+    corpus = d.filter(F.col("doc_id") % _DECON_MOD != _DECON_REM)
+    return prep.decontaminate(corpus, bench, "doc_id", "text", n=_DECON_N)
+
+
+def _decontaminate_sql(n: int = _DECON_N) -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+  FROM documents),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(l[CAST(i AS BIGINT) + 1 : CAST(i AS BIGINT) + {n}], ' ')) AS g
+  FROM w, UNNEST(range(len(l) - {n} + 1)) AS t(i)
+  WHERE doc_id % {_DECON_MOD} = {_DECON_REM} AND len(l) >= {n}),
+docg AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(l[CAST(i AS BIGINT) + 1 : CAST(i AS BIGINT) + {n}], ' ')) AS g
+  FROM w, UNNEST(range(len(l) - {n} + 1)) AS t(i)
+  WHERE doc_id % {_DECON_MOD} <> {_DECON_REM} AND len(l) >= {n}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM docg GROUP BY 1),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM docg JOIN bg USING (g) GROUP BY 1)
+SELECT s.doc_id, s.n_grams, h.n_hits,
+       ROUND(h.n_hits / s.n_grams, 6) AS contamination
+FROM hits h JOIN sizes s USING (doc_id)
+"""
+
+
+# packing: ctx sized so fixture docs both span packs and share packs
+_PACK_CTX, _PACK_SPAN = 64, 32
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chop sequence packing (functions/prep.pack_sequences):
+    every doc's token interval + ctx-window span in the concatenated corpus
+    stream, via a two-level distributed prefix-sum (per-bucket partials,
+    window over the bucket TABLE only, within-bucket window) — no global
+    single-partition window over per-doc rows."""
+    d = _t(spark, sf_dir, "documents")
+    return prep.pack_sequences(d, "doc_id", "text",
+                               ctx_len=_PACK_CTX, bucket_span=_PACK_SPAN)
+
+
+def _pack_sql(ctx: int = _PACK_CTX) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {ctx} AS pack_start,
+       (tok_start + n_tokens - 1) // {ctx} AS pack_end,
+       (tok_start + n_tokens - 1) // {ctx} - tok_start // {ctx} + 1 AS n_packs
+FROM p
+"""
+
+
+def q_pack_manifest(spark, sf_dir):
+    """Per-pack rollup of the packed layout: (pack_id, n_docs, n_tokens);
+    every pack but the last carries exactly ctx_len tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return prep.pack_manifest(d, "doc_id", "text",
+                              ctx_len=_PACK_CTX, bucket_span=_PACK_SPAN)
+
+
+def _pack_manifest_sql(ctx: int = _PACK_CTX) -> str:
+    return rf"""
+WITH packed AS ({_pack_sql(ctx)}),
+fan AS (
+  SELECT doc_id, tok_start, tok_start + n_tokens AS tok_end,
+         CAST(u.p AS BIGINT) AS pack_id
+  FROM packed, UNNEST(range(pack_start, pack_end + 1)) AS u(p))
+SELECT pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(LEAST(tok_end, (pack_id + 1) * {ctx})
+                - GREATEST(tok_start, pack_id * {ctx})) AS BIGINT) AS n_tokens
+FROM fan GROUP BY pack_id
+"""
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrub (functions/prep.redact_pii): emails / IPv4 / +cc phones ->
+    typed placeholders, plus per-class counts, pure Catalyst. The fixture
+    text carries no PII, so each doc is deterministically enriched with a
+    contact line DERIVED from its doc_id (both engines recompute it
+    identically) — the gate stays non-vacuous: every row redacts all three
+    classes."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    enriched = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" u"), s(i), F.lit("@ex"), s(i % 7),
+        F.lit(".org 10."), s(i % 256), F.lit(".3."), s((i * 7) % 256),
+        F.lit(" +1 555-01"), F.lpad(s(i % 100), 2, "0"),
+    )
+    n_em, n_ip, n_ph = prep.pii_counts(enriched)
+    return d.select(
+        "doc_id",
+        prep.redact_pii(enriched).alias("redacted"),
+        n_em.alias("n_emails"), n_ip.alias("n_ips"), n_ph.alias("n_phones"),
+    )
+
+
+def _redact_sql() -> str:
+    em, ip, ph = prep.EMAIL_RE, prep.IPV4_RE, prep.PHONE_RE
+    enr = (
+        "substr(text, 1, 40) || ' u' || CAST(doc_id AS VARCHAR) || '@ex' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.org 10.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.3.' || "
+        "CAST((doc_id * 7) % 256 AS VARCHAR) || ' +1 555-01' || "
+        "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    )
+    return f"""
+WITH e AS (SELECT doc_id, {enr} AS s FROM documents),
+ne AS (SELECT doc_id, s, regexp_replace(s, '{em}', '<EMAIL>', 'g') AS s1 FROM e)
+SELECT doc_id,
+       regexp_replace(regexp_replace(s1, '{ip}', '<IP>', 'g'),
+                      '{ph}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(s, '{em}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s1, '{ip}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(s1, '{ph}')) AS BIGINT) AS n_phones
+FROM ne
+"""
+
+
+def q_domain_mix(spark, sf_dir):
+    """Temperature-weighted domain mixing (functions/prep.temperature_mix,
+    tau=0.5, target 1/2): per-source quotas ~ sqrt(n_source), integer-exact
+    fixed-point weights, md5-basis-point keep — the deterministic
+    multilingual/multi-source rebalancing pass."""
+    d = _t(spark, sf_dir, "documents")
+    return prep.temperature_mix(d, "doc_id", "source",
+                                tau=0.5, target_num=1, target_den=2)
+
+
+def _domain_mix_sql() -> str:
+    return """
+WITH c AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_s
+           FROM documents GROUP BY 1),
+w AS (SELECT domain, n_s, CAST(FLOOR(SQRT(n_s) * 1000000) AS BIGINT) AS s_s
+      FROM c),
+t AS (SELECT domain, n_s, s_s,
+             CAST(SUM(s_s) OVER () AS BIGINT) AS S,
+             CAST(SUM(n_s) OVER () AS BIGINT) AS N
+      FROM w),
+r AS (SELECT domain,
+             LEAST(CAST(10000 AS BIGINT),
+                   (10000 * LEAST(n_s, ((N * 1) // 2) * s_s // S)) // n_s)
+               AS rate_bp
+      FROM t)
+SELECT d.doc_id, d.source AS domain, r.rate_bp
+FROM documents d JOIN r ON r.domain = d.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+      < r.rate_bp
 """
 
 
@@ -3267,9 +3446,10 @@ SELECT doc_id, "offset", kind, text, media_ref FROM '{GOLDEN_OPT_SF001}'
 
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
-    "q_customers_without_orders": (q_customers_without_orders, SQL_ANTI),
-    "q_top3_suppliers_per_nation": (q_top3_suppliers_per_nation, SQL_TOP3),
     "q_order_bbox": (q_order_bbox, SQL_BBOX),
+    # training-data prep surfaces (round 7, functions/prep.py)
+    "q_decontaminate": (q_decontaminate, _decontaminate_sql()),
+    "q_pack_sequences": (q_pack_sequences, _pack_sql()),
     "q_sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "q_session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "q_asof_last_click": (q_asof_last_click, SQL_ASOF),
@@ -3368,6 +3548,19 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     "q_video_pair_rollup": (q_video_pair_rollup, SQL_VIDEO_PAIR_ROLLUP),
     # per-stage drop counts + survival rates over the curation audit view
     "q_curation_funnel": (q_curation_funnel, _funnel_sql()),
+    # round-1 TPC-H scaffolding folded r7 to free driver slots for
+    # q_decontaminate / q_pack_sequences (no SURVEY §2 row cites either;
+    # the anti-join shape stays driver-gated via io.filter_pending's
+    # test_resume coverage, the window-topk shape via q_session_windows)
+    "q_customers_without_orders": (q_customers_without_orders, SQL_ANTI),
+    "q_top3_suppliers_per_nation": (q_top3_suppliers_per_nation, SQL_TOP3),
+    # training-data prep rollups/variants (scale twins hold driver slots:
+    # q_pack_sequences for the packing scan, q_decontaminate for the
+    # broadcast-gram shape; these gate the derived manifest + the pure-map
+    # redaction/mix passes)
+    "q_pack_manifest": (q_pack_manifest, _pack_manifest_sql()),
+    "q_redact_pii": (q_redact_pii, _redact_sql()),
+    "q_domain_mix": (q_domain_mix, _domain_mix_sql()),
 }
 
 _DRIVER_CAP = 50  # the driver checks at most this many registry rows

@@ -1,0 +1,189 @@
+"""Property tests for functions/prep.py: decontamination, sequence packing,
+PII redaction, temperature mixing. The hash gates vs DuckDB live in
+test_queries_duckdb (q_decontaminate, q_pack_sequences, q_pack_manifest,
+q_redact_pii, q_domain_mix); these pin the operator-level invariants the
+SQL twin can't express (bucket-span invariance, idempotence, quota bounds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from complete_ocr_spark.functions import prep
+
+
+def _words(k, start=0):
+    return " ".join(f"w{i}" for i in range(start, start + k))
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, _words(8))], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, _words(8)),            # exact copy of the benchmark doc
+            (2, _words(8, start=50)),  # disjoint vocabulary
+            (3, _words(3)),            # too short for 5-grams
+            (4, _words(6) + " zzz " + _words(5, start=80)),  # partial overlap
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in prep.decontaminate(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    assert set(out) == {1, 4}
+    assert out[1]["contamination"] == 1.0
+    assert out[1]["n_hits"] == out[1]["n_grams"] == 4  # 8 words -> 4 5-grams
+    # doc 4: grams w0..w4 and w1..w5 hit; the zzz-spanning and tail grams miss
+    assert out[4]["n_hits"] == 2
+    assert 0 < out[4]["contamination"] < 1
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    bench = spark.createDataFrame([(0, _words(5))], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, _words(5) + " " + _words(20, start=100))], ["doc_id", "text"]
+    )
+    one = prep.decontaminate(docs, bench, "doc_id", "text", n=5, min_hits=1)
+    strict = prep.decontaminate(docs, bench, "doc_id", "text", n=5, min_hits=2)
+    assert one.count() == 1 and strict.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences / pack_manifest
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pack_docs(spark):
+    # lengths chosen so docs both span packs (>ctx) and share packs (<ctx)
+    rows = [(i, _words(5 + (i * 37) % 90)) for i in range(60) if i % 7 != 3]
+    rows.append((60, ""))  # empty doc: excluded from the packed stream
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pack_bucket_span_invariance(pack_docs):
+    a = prep.pack_sequences(pack_docs, "doc_id", "text", ctx_len=64, bucket_span=7)
+    b = prep.pack_sequences(pack_docs, "doc_id", "text", ctx_len=64, bucket_span=1024)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_stream_is_contiguous(pack_docs):
+    rows = sorted(
+        prep.pack_sequences(pack_docs, "doc_id", "text", ctx_len=64).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows, "empty packing"
+    pos = 0
+    for r in rows:
+        assert r["tok_start"] == pos, f"gap at doc {r['doc_id']}"
+        assert r["n_tokens"] > 0
+        assert r["pack_start"] == r["tok_start"] // 64
+        assert r["pack_end"] == (r["tok_start"] + r["n_tokens"] - 1) // 64
+        assert r["n_packs"] == r["pack_end"] - r["pack_start"] + 1
+        pos += r["n_tokens"]
+    assert 60 not in {r["doc_id"] for r in rows}  # the empty doc
+
+
+def test_pack_manifest_full_packs_exact(pack_docs):
+    ctx = 64
+    packed = prep.pack_sequences(pack_docs, "doc_id", "text", ctx_len=ctx)
+    total = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    man = {r["pack_id"]: r for r in
+           prep.pack_manifest(pack_docs, "doc_id", "text", ctx_len=ctx).collect()}
+    assert set(man) == set(range(max(man) + 1)), "pack ids must be dense"
+    assert sum(r["n_tokens"] for r in man.values()) == total
+    for pid, r in man.items():
+        if pid < max(man):
+            assert r["n_tokens"] == ctx, f"non-final pack {pid} not full"
+        assert r["n_docs"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# redact_pii
+# ---------------------------------------------------------------------------
+
+
+def _redact_one(spark, s: str) -> str:
+    df = spark.createDataFrame([(s,)], ["t"])
+    return df.select(prep.redact_pii(F.col("t")).alias("r")).collect()[0]["r"]
+
+
+def test_redact_all_classes(spark):
+    s = "mail a.b+c@sub.example.org node 192.168.0.1 tel +44 123-4567 end"
+    assert _redact_one(spark, s) == "mail <EMAIL> node <IP> tel <PHONE> end"
+
+
+def test_redact_idempotent_and_noop(spark):
+    s = "mail a@b.io at 10.0.0.7"
+    once = _redact_one(spark, s)
+    assert _redact_one(spark, once) == once
+    clean = "no personal data here, just words and 42 numbers"
+    assert _redact_one(spark, clean) == clean
+
+
+def test_redact_email_before_ip(spark):
+    # the address's digits-and-dots must never be half-eaten by the IP pass
+    assert _redact_one(spark, "u1@ex3.org") == "<EMAIL>"
+
+
+def test_pii_counts_reconcile(spark):
+    s = "a@b.io c@d.net 10.0.0.1 +1 555-0100 +1 555-0101 +1 555-0102"
+    df = spark.createDataFrame([(s,)], ["t"])
+    em, ip, ph = prep.pii_counts(F.col("t"))
+    r = df.select(em.alias("e"), ip.alias("i"), ph.alias("p")).collect()[0]
+    assert (r["e"], r["i"], r["p"]) == (2, 1, 3)
+    red = _redact_one(spark, s)
+    assert red.count("<EMAIL>") == 2 and red.count("<IP>") == 1
+    assert red.count("<PHONE>") == 3
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    rows = [(i, "big") for i in range(400)] + [(400 + i, "small") for i in range(25)]
+    return spark.createDataFrame(rows, ["doc_id", "domain"])
+
+
+def test_mix_upweights_small_domains(mix_docs):
+    kept = prep.temperature_mix(mix_docs, "doc_id", "domain", tau=0.5).collect()
+    rates = {r["domain"]: r["rate_bp"] for r in kept}
+    assert rates["small"] > rates["big"], "tau<1 must upweight the small domain"
+    # quota bound: kept count per domain can never exceed rate * n / 10000 + 1
+    from collections import Counter
+    c = Counter(r["domain"] for r in kept)
+    n = {"big": 400, "small": 25}
+    for d in c:
+        assert c[d] <= n[d]
+        assert c[d] <= n[d] * rates[d] / 10_000 * 1.5 + 2  # md5 thresholds are ~uniform
+
+
+def test_mix_deterministic(mix_docs):
+    a = sorted(map(tuple, prep.temperature_mix(mix_docs, "doc_id", "domain").collect()))
+    b = sorted(map(tuple, prep.temperature_mix(mix_docs, "doc_id", "domain").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_mix_tau_variants(mix_docs):
+    # tau=1: rate is domain-independent up to the integer quota floor
+    # (quota = floor(T * n_s / N) costs at most 1 doc, i.e. 10000/n_s bp)
+    r1 = {r["domain"]: r["rate_bp"] for r in
+          prep.temperature_mix(mix_docs, "doc_id", "domain", tau=1.0).collect()}
+    assert max(r1.values()) - min(r1.values()) <= 10_000 // 25 + 1
+    # tau=0: equal quotas -> the small domain is kept entirely
+    r0 = {r["domain"]: r["rate_bp"] for r in
+          prep.temperature_mix(mix_docs, "doc_id", "domain", tau=0.0).collect()}
+    assert r0["small"] == 10_000
+    with pytest.raises(ValueError):
+        prep.temperature_mix(mix_docs, "doc_id", "domain", tau=0.7)
