@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     # variant (fixture-bound clusters + the md5 link join)
     "q_curate_incr",
     "q_corpus_curation_media",
+    # round 7b: the two heaviest training-data-prep surfaces — the
+    # broadcast-gram decontamination scan (corpus-side gram explosion is
+    # the dominant map cost) and the two-level prefix-sum packing layout
+    "q_decontaminate",
+    "q_pack_sequences",
 ]
 
 N_REPS = int(os.environ.get("BENCH_REPS", "3"))

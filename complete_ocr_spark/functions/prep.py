@@ -326,3 +326,85 @@ def temperature_mix(df: DataFrame, id_col: str, domain_col: str,
         .filter(h < F.col("rate_bp"))
         .select("doc_id", "domain", "rate_bp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: hashed bag-of-words linear classifier
+# ---------------------------------------------------------------------------
+
+
+def make_hashed_weights(n_buckets: int, seed: str = "qw",
+                        scale: int = 1_000_000) -> list[int]:
+    """Deterministic stand-in for offline-trained classifier weights:
+    ``w[b] = md5(seed + ':' + b)[:8] mod (2*scale+1) - scale`` — a signed
+    integer micro-weight in [-scale, scale]. In production these come from a
+    fasttext/CCNet-style trained model shipped as an artifact; here both
+    engines recompute the identical table from the seed (no external data)."""
+    import hashlib
+
+    out = []
+    for b in range(n_buckets):
+        h = int(hashlib.md5(f"{seed}:{b}".encode()).hexdigest()[:8], 16)
+        out.append(h % (2 * scale + 1) - scale)
+    return out
+
+
+def hashed_quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights_micros: list[int],
+    bias_micros: int = 0,
+    threshold_micros: int = 0,
+) -> DataFrame:
+    """fasttext/CCNet-shaped model-based quality scoring, ZERO-shuffle.
+
+    Each token hashes into ``len(weights_micros)`` buckets via the repo's
+    engine-portable md5 idiom; the doc's score is the integer sum of its
+    buckets' micro-weights plus a bias, normalized by token count
+    (integer ``div`` so both engines agree bit-for-bit — an i64 sum is
+    order-independent where a float dot product is not).
+
+    Scale shape: the weight table rides ONE broadcast row as an
+    ``array<bigint>`` (the ann_ivf_bcast trick) — plan size constant in
+    vocab size (a 2^20-bucket literal would not compile), the corpus side
+    is a pure map (token transform + aggregate fold inside one Catalyst
+    projection), and nothing shuffles: at 10^12 docs this is a
+    scan-bounded pass like redact_pii.
+
+    Returns (doc_id, n_tokens, score_sum, score_mean_micros, pass) with
+    empty/whitespace docs scored NULL and pass=false (no evidence).
+    """
+    n = len(weights_micros)
+    spark = df.sparkSession
+    wrow = spark.createDataFrame(
+        [(list(int(w) for w in weights_micros),)], "qw: array<bigint>"
+    )
+    toks = F.split(normalized(F.col(text_col)), " ")
+    with_w = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .crossJoin(F.broadcast(wrow))
+    )
+    # bucket(tok) = conv(md5[:8]) % n, then element_at's 1-based lookup
+    # (NOT qw[...]: Spark bracket indexing is 0-based and raises on +1
+    # overflow at the last bucket)
+    contrib = F.expr(
+        f"aggregate(transform(_t, t -> element_at(qw, int(conv(substring("
+        f"md5(t), 1, 8), 16, 10) % {n}) + 1)), bigint(0), (a, x) -> a + x)"
+    )
+    scored = with_w.select(
+        "doc_id",
+        F.when(F.array_join("_t", "") == "", F.lit(0))
+        .otherwise(F.size("_t")).cast("bigint").alias("n_tokens"),
+        (contrib + F.lit(int(bias_micros))).cast("bigint").alias("_raw"),
+    )
+    mean = F.expr("_raw div n_tokens")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, F.col("_raw")).alias("score_sum"),
+        F.when(F.col("n_tokens") > 0, mean).alias("score_mean_micros"),
+        F.when(
+            F.col("n_tokens") > 0, mean >= F.lit(int(threshold_micros))
+        ).otherwise(F.lit(False)).alias("pass"),
+    )

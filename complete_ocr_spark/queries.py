@@ -806,6 +806,57 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
 """
 
 
+# hashed-linear quality classifier: buckets sized so fixture docs collide
+# into a shared vocabulary (256 buckets over ~2k distinct fixture tokens)
+# and threshold 0 splits the corpus (weights are ~uniform signed micros, so
+# the per-doc mean is centred on 0 — both pass outcomes exercised at sf)
+_QCLF_BUCKETS = 256
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (prep.hashed_quality_score): fasttext/
+    CCNet-shaped hashed bag-of-words linear scorer. The weight table rides
+    one broadcast array<bigint> row; the corpus side is a single Catalyst
+    projection (transform + aggregate fold over the token array) — zero
+    shuffle, integer-exact across engines."""
+    d = _t(spark, sf_dir, "documents")
+    w = prep.make_hashed_weights(_QCLF_BUCKETS)
+    return prep.hashed_quality_score(d, "doc_id", "text", w,
+                                     bias_micros=0, threshold_micros=0)
+
+
+def _quality_clf_sql(n: int = _QCLF_BUCKETS) -> str:
+    return rf"""
+WITH w AS (
+  SELECT CAST(i AS BIGINT) AS b,
+         ('0x' || substr(md5('qw:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           % 2000001 - 1000000 AS wt
+  FROM range({n}) t(i)),
+toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+  FROM documents),
+sized AS (
+  SELECT doc_id, l,
+         CASE WHEN array_to_string(l, '') = '' THEN 0
+              ELSE len(l) END AS n_tokens
+  FROM toks),
+raw AS (
+  SELECT s.doc_id,
+         CAST(SUM(w.wt) AS BIGINT) AS raw_sum
+  FROM sized s, UNNEST(s.l) AS u(tok)
+  JOIN w ON w.b = ('0x' || substr(md5(u.tok), 1, 8))::BIGINT % {n}
+  WHERE s.n_tokens > 0
+  GROUP BY 1)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       r.raw_sum AS score_sum,
+       r.raw_sum // s.n_tokens AS score_mean_micros,
+       COALESCE(r.raw_sum // s.n_tokens >= 0, FALSE) AS pass
+FROM sized s LEFT JOIN raw r USING (doc_id)
+"""
+
+
 _CUR_MIN_Q = 0.6
 _CUR_LANGS = ("en",)
 # named heuristic gates (Gopher/C4-style): duplicate-line fraction, modal-
@@ -3561,6 +3612,8 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     "q_pack_manifest": (q_pack_manifest, _pack_manifest_sql()),
     "q_redact_pii": (q_redact_pii, _redact_sql()),
     "q_domain_mix": (q_domain_mix, _domain_mix_sql()),
+    # model-based quality filtering (broadcast hashed-linear classifier)
+    "q_quality_classifier": (q_quality_classifier, _quality_clf_sql()),
 }
 
 _DRIVER_CAP = 50  # the driver checks at most this many registry rows

@@ -187,3 +187,76 @@ def test_mix_tau_variants(mix_docs):
     assert r0["small"] == 10_000
     with pytest.raises(ValueError):
         prep.temperature_mix(mix_docs, "doc_id", "domain", tau=0.7)
+
+
+# ---------------------------------------------------------------------------
+# hashed-linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def _score(spark, rows, weights, **kw):
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = prep.hashed_quality_score(df, "doc_id", "text", weights, **kw)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_quality_score_matches_hand_rolled(spark):
+    import hashlib
+
+    w = prep.make_hashed_weights(16)
+    rows = [(1, "Alpha beta  GAMMA alpha"), (2, "x"), (3, "q w e r t y")]
+    got = _score(spark, rows, w)
+    for doc_id, text in rows:
+        toks = " ".join(text.strip().lower().split()).split(" ")
+        raw = sum(
+            w[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 16]
+            for t in toks
+        )
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["score_sum"] == raw
+        # Spark `div` truncates toward zero, as does the DuckDB oracle's //
+        assert r["score_mean_micros"] == int(raw / len(toks))
+        assert r["pass"] == (int(raw / len(toks)) >= 0)
+
+
+def test_quality_score_empty_doc_is_null_and_fails(spark):
+    w = prep.make_hashed_weights(8)
+    got = _score(spark, [(1, ""), (2, "   "), (3, "ok")], w)
+    for d in (1, 2):
+        assert got[d]["n_tokens"] == 0
+        assert got[d]["score_sum"] is None
+        assert got[d]["score_mean_micros"] is None
+        assert got[d]["pass"] is False
+    assert got[3]["score_sum"] is not None
+
+
+def test_quality_score_threshold_and_bias(spark):
+    w = prep.make_hashed_weights(8)
+    base = _score(spark, [(1, "a b"), (2, "c")], w)
+    # a huge positive bias flips every non-empty doc to pass
+    boosted = _score(spark, [(1, "a b"), (2, "c")], w,
+                     bias_micros=10**12)
+    for d in (1, 2):
+        assert boosted[d]["score_sum"] == base[d]["score_sum"] + 10**12
+        assert boosted[d]["pass"] is True
+    # an unreachable threshold fails everything
+    strict = _score(spark, [(1, "a b"), (2, "c")], w,
+                    threshold_micros=10**12)
+    assert all(not strict[d]["pass"] for d in (1, 2))
+
+
+def test_quality_weights_deterministic_and_bounded():
+    a = prep.make_hashed_weights(64)
+    assert a == prep.make_hashed_weights(64)
+    assert a != prep.make_hashed_weights(64, seed="other")
+    assert all(-1_000_000 <= x <= 1_000_000 for x in a)
+
+
+def test_quality_score_last_bucket_reachable(spark):
+    # regression: Spark bracket indexing is 0-based; element_at must be
+    # used so a token hashing into the LAST bucket doesn't raise/NULL.
+    # With 1 bucket every token hits bucket 0 == the last bucket.
+    w = prep.make_hashed_weights(1)
+    got = _score(spark, [(1, "a b c")], w)
+    assert got[1]["score_sum"] == 3 * w[0]
