@@ -857,6 +857,85 @@ FROM sized s LEFT JOIN raw r USING (doc_id)
 """
 
 
+# BPE tokenizer training (functions/bpe.py): gated against the committed
+# golden of the INDEPENDENT Counter/dict oracle (oracle/bpe.py, minted by
+# scripts/gen_goldens.py over the extract golden's text spans — the
+# SF-independent fixture corpus, like the other golden-gated anchors).
+# 48 merges over the fixture reaches multi-char tokens (char-char,
+# token-char AND token-token merges all exercised).
+_BPE_MERGES, _BPE_MIN_COUNT = 48, 2
+BPE_MERGES_GOLDEN = os.path.join(_REPO, "data", "bpe_merges_golden.parquet")
+BPE_ENCODE_GOLDEN = os.path.join(_REPO, "data", "bpe_encode_golden.parquet")
+_BPE_TRAINED: list | None = None  # per-process memo (q_ann_pq_idx pattern)
+
+
+def _bpe_fixture_corpus(spark):
+    return spark.read.parquet(GOLDEN_SF001).filter(
+        (F.col("kind") == "text") & F.col("text").isNotNull()
+    )
+
+
+def _bpe_trained(spark) -> list:
+    global _BPE_TRAINED
+    if _BPE_TRAINED is None:
+        from .functions import bpe
+
+        mdf = bpe.bpe_train(_bpe_fixture_corpus(spark), "text",
+                            n_merges=_BPE_MERGES,
+                            min_pair_count=_BPE_MIN_COUNT)
+        _BPE_TRAINED = [
+            (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in mdf.collect()  # bounded: <= n_merges rows
+        ]
+    return _BPE_TRAINED
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge learning: one corpus scan to the distinct-word
+    table, then per round one map-side pair explode + one groupBy + a
+    1-row driver argmax read + a map-side fold — round cost independent of
+    corpus size after the first scan."""
+    return spark.createDataFrame(
+        _bpe_trained(spark),
+        "rank: bigint, lhs: string, rhs: string, pair_count: bigint",
+    )
+
+
+def _bpe_train_sql() -> str:
+    return f"""
+SELECT "rank", lhs, rhs, pair_count FROM '{BPE_MERGES_GOLDEN}'
+"""
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenize the fixture corpus with the learned merges: rank-order
+    one-pass-each application inside an Arrow mapInPandas kernel (merge
+    table in the closure, per-batch distinct-word memo) — one scan, zero
+    shuffle."""
+    from .functions import bpe
+
+    merges = [(l, r) for _rk, l, r, _c in _bpe_trained(spark)]
+    return bpe.bpe_encode(
+        _bpe_fixture_corpus(spark), ["doc_id", "offset"], "text", merges
+    )
+
+
+def _bpe_encode_sql() -> str:
+    return f"""
+SELECT doc_id, "offset", n_tokens, token_str FROM '{BPE_ENCODE_GOLDEN}'
+"""
+
+
+def q_bpe_train_scale(spark, sf_dir):
+    """Scale twin: train 24 merges on the sf documents table (rows-only
+    check — the fixture-bound q_bpe_train carries the hash gate; this form
+    exists so the bench measures training at sf, not at fixture size)."""
+    from .functions import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe.bpe_train(d, "text", n_merges=24, min_pair_count=2)
+
+
 _CUR_MIN_Q = 0.6
 _CUR_LANGS = ("en",)
 # named heuristic gates (Gopher/C4-style): duplicate-line fraction, modal-
@@ -3614,6 +3693,12 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     "q_domain_mix": (q_domain_mix, _domain_mix_sql()),
     # model-based quality filtering (broadcast hashed-linear classifier)
     "q_quality_classifier": (q_quality_classifier, _quality_clf_sql()),
+    # distributed BPE tokenizer training/encoding vs the independent
+    # Counter/dict oracle's committed goldens; the scale twin is rows-only
+    # (iterative training is not SQL-expressible — the judge sees which)
+    "q_bpe_train": (q_bpe_train, _bpe_train_sql()),
+    "q_bpe_encode": (q_bpe_encode, _bpe_encode_sql()),
+    "q_bpe_train_scale": (q_bpe_train_scale, None),
 }
 
 _DRIVER_CAP = 50  # the driver checks at most this many registry rows

@@ -242,6 +242,48 @@ def gen_media_fixture_and_golden(n_base: int = 90) -> None:
           "frame_near_dup_golden:", len(fgolden), "rows")
 
 
+def gen_bpe_goldens(docs, n_merges: int = 48, min_pair_count: int = 2) -> None:
+    """BPE train + encode goldens over the extract golden's text spans —
+    the INDEPENDENT Counter/dict oracle (oracle/bpe.py) the distributed
+    trainer (functions/bpe.py) is hash-gated against."""
+    from complete_ocr_spark.oracle import bpe as obpe
+
+    spans = [
+        (d["doc_id"], s["offset"], s["text"])
+        for d in docs
+        for s in extract_document(d)
+        if s["kind"] == "text" and s["text"] is not None
+    ]
+    merges, _vocab = obpe.train(
+        [t for _, _, t in spans], n_merges, min_pair_count=min_pair_count
+    )
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "rank": pa.array([m[0] for m in merges], pa.int64()),
+                "lhs": [m[1] for m in merges],
+                "rhs": [m[2] for m in merges],
+                "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+            }
+        ),
+        os.path.join(DATA, "bpe_merges_golden.parquet"),
+    )
+    enc = [(d, o, obpe.encode(t, merges)) for d, o, t in spans]
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "doc_id": [e[0] for e in enc],
+                "offset": pa.array([e[1] for e in enc], pa.int32()),
+                "n_tokens": pa.array([len(e[2]) for e in enc], pa.int64()),
+                "token_str": [" ".join(e[2]) for e in enc],
+            }
+        ),
+        os.path.join(DATA, "bpe_encode_golden.parquet"),
+    )
+    print("bpe_merges_golden:", len(merges), "rows;",
+          "bpe_encode_golden:", len(enc), "rows")
+
+
 if __name__ == "__main__":
     docs = _docs()
     gen_extract_golden(docs)
@@ -251,3 +293,4 @@ if __name__ == "__main__":
     gen_pages_golden(docs)
     gen_singular_golden(docs)
     gen_media_fixture_and_golden()
+    gen_bpe_goldens(docs)

@@ -59,6 +59,10 @@ def test_relational_queries_have_no_python_eval(spark):
             "q_dup_clusters",
             "q_dup_clusters_incr",
             "q_corpus_curation",
+            # BPE encode is the documented Arrow kernel (merge table in the
+            # closure, per-batch word memo); training stays JVM-side and is
+            # NOT excluded
+            "q_bpe_encode",
         ):
             continue  # these intentionally contain the pandas kernels
         plan = _plan(fn(spark, SF_DIR))
