@@ -67,6 +67,17 @@ BENCH_QUERIES = [
     # the dominant map cost) and the two-level prefix-sum packing layout
     "q_decontaminate",
     "q_pack_sequences",
+    # round 7c: distributed BPE tokenizer training at sf (24 merge rounds
+    # over the sf documents table — the fixture-bound hash-gated forms
+    # stay out of the bench, this is the corpus-sized cost)
+    "q_bpe_train_scale",
+    # round 7c: DSIR importance resampling end-to-end at sf (weight fit =
+    # two bounded-key groupBys; scoring = zero-shuffle broadcast fold +
+    # TakeOrderedAndProject)
+    "q_dsir_select",
+    # round 7c: scan-route BM25 at sf (zero-shuffle projection + top-k;
+    # the indexed route's cost is the pruned-bucket read, fixture-bound)
+    "q_bm25_topk",
 ]
 
 N_REPS = int(os.environ.get("BENCH_REPS", "3"))
@@ -204,6 +215,12 @@ def main() -> None:
             "bound_by": "driver coordination (sequential foreachBatch "
                         "bodies: per batch = gates + fp probe + the real "
                         "segment and dedup stream bodies + 3 table writes)",
+        },
+        "q_bpe_train_scale": {
+            "bound_by": "n_merges (24) sequential greedy rounds — inherent "
+                        "to BPE's argmax loop; each round is one "
+                        "vocab-sized groupBy + a 1-row driver read, "
+                        "corpus-independent after the first word-count scan",
         },
         "canary": {
             "frozen": "round 7 — code pinned forever; use "

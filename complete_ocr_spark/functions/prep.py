@@ -1,5 +1,6 @@
 """Training-data preparation operators: decontamination, sequence packing,
-PII redaction, temperature-weighted domain mixing.
+PII redaction, temperature-weighted domain mixing, model-based quality
+filtering, DSIR importance resampling.
 
 These are the pipeline stages that sit BETWEEN curation (functions/curate.py)
 and the training job itself, and each is built shuffle-aware:
@@ -407,4 +408,166 @@ def hashed_quality_score(
         F.when(
             F.col("n_tokens") > 0, mean >= F.lit(int(threshold_micros))
         ).otherwise(F.lit(False)).alias("pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram LLR)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_feats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, feats: array<string>) — the DSIR hashed n-gram feature stream:
+    word unigrams + bigrams, WITH multiplicity (multinomial counts — unlike
+    decontamination's distinct-set overlap, every occurrence counts).
+    Built map-side in one Catalyst projection; whitespace-only docs are
+    dropped (no features, no evidence)."""
+    toks = F.split(normalized(F.col(text_col)), " ")
+    bigrams = F.expr(
+        "CASE WHEN size(_t) >= 2 THEN "
+        "transform(sequence(1, size(_t) - 1), "
+        "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1))) "
+        "ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), toks.alias("_t"))
+        .filter(F.array_join("_t", "") != "")
+        .select("doc", F.concat(F.col("_t"), bigrams).alias("feats"))
+    )
+
+
+def _dsir_bucket(col: Column, n_buckets: int) -> Column:
+    """The repo's engine-portable md5 bucket idiom on a feature gram."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % n_buckets
+    )
+
+
+def dsir_bucket_counts(df: DataFrame, id_col: str, text_col: str,
+                       n_buckets: int) -> DataFrame:
+    """(b, cnt) — total hashed-feature occurrences per bucket across the
+    corpus: the sufficient statistic of DSIR's bag-of-hashed-ngrams
+    multinomial. One explode + one groupBy on a bounded key space
+    (<= n_buckets distinct values), so the shuffle is map-side-combined
+    down to at most n_buckets rows per task — corpus-size-independent."""
+    return (
+        _dsir_feats(df, id_col, text_col)
+        .select(F.explode("feats").alias("g"))
+        .select(_dsir_bucket(F.col("g"), n_buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str,
+                 text_col: str, n_buckets: int = 1024) -> DataFrame:
+    """Per-bucket DSIR importance weights — the log-likelihood ratio of the
+    target vs raw hashed-ngram multinomials, Laplace-smoothed (DSIR, Xie et
+    al. 2023: data selection via importance resampling on hashed n-gram
+    features).
+
+    Output, one row per bucket 0..n_buckets-1:
+      (bucket, target_count, raw_count,
+       w_micros = floor(1e6 * (ln((tc+1)/(T+B)) - ln((rc+1)/(R+B)))))
+
+    The ONLY float arithmetic in the whole DSIR pass happens here, on this
+    <= n_buckets-row table, and is immediately quantized to integer micros;
+    every corpus-sized computation downstream (per-doc scores, ranking) is
+    integer-exact and summation-order-independent. Cross-engine float risk
+    is confined and quantifiable: both engines evaluate ln() on exact
+    integer-valued doubles, each result correct to ~1 ulp, so the floor can
+    only disagree if the true value of 1e6*llr sits within ~1.5e-8 of an
+    integer — expected disagreements over a 2^10-bucket table: ~1e-5
+    (and deterministic per fixture, so the hash gates pin it).
+
+    Scale shape: two bounded-key groupBys (map-side-combined to n_buckets
+    rows each), a join + window over the BUCKET table only (n_buckets rows,
+    one task) — nothing corpus-sized shuffles."""
+    spark = raw.sparkSession
+    tc = dsir_bucket_counts(target, id_col, text_col, n_buckets)
+    rc = dsir_bucket_counts(raw, id_col, text_col, n_buckets)
+    frame = spark.range(n_buckets).select(F.col("id").alias("b"))
+    counts = (
+        frame.join(tc.withColumnRenamed("cnt", "target_count"), "b", "left")
+        .join(rc.withColumnRenamed("cnt", "raw_count"), "b", "left")
+        .select(
+            "b",
+            F.coalesce("target_count", F.lit(0)).cast("bigint").alias("target_count"),
+            F.coalesce("raw_count", F.lit(0)).cast("bigint").alias("raw_count"),
+        )
+    )
+    # Totals via a window over the bucket table only (n_buckets rows).
+    all_w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = counts.select(
+        "b", "target_count", "raw_count",
+        F.sum("target_count").over(all_w).alias("T"),
+        F.sum("raw_count").over(all_w).alias("R"),
+    )
+    llr = (
+        F.log(F.col("target_count") + 1) - F.log(F.col("T") + n_buckets)
+        - F.log(F.col("raw_count") + 1) + F.log(F.col("R") + n_buckets)
+    )
+    return with_tot.select(
+        F.col("b").alias("bucket"), "target_count", "raw_count",
+        F.floor(llr * 1_000_000).cast("bigint").alias("w_micros"),
+    )
+
+
+def dsir_score(df: DataFrame, id_col: str, text_col: str,
+               weights_micros: list[int]) -> DataFrame:
+    """Per-doc DSIR log importance weight, ZERO-shuffle: score_micros =
+    sum over the doc's hashed unigram+bigram occurrences of that bucket's
+    integer micro-LLR (so exp(score/1e6) ~ p_target(x)/p_raw(x) under the
+    hashed multinomials).
+
+    ``weights_micros[b]`` must be dsir_weights' w_micros column ordered by
+    bucket — a <= n_buckets driver read, the same bounded-collect class as
+    the IVF codebooks. The table rides ONE broadcast array<bigint> row
+    (the hashed_quality_score trick: plan size constant in n_buckets); the
+    corpus side is a single Catalyst projection (feature transform +
+    integer aggregate fold) — at 10^12 docs this is a scan-bounded pass.
+
+    Returns (doc_id, n_feats, score_micros); featureless (whitespace-only)
+    docs are dropped — no features, no importance evidence."""
+    n = len(weights_micros)
+    spark = df.sparkSession
+    wrow = spark.createDataFrame(
+        [(list(int(w) for w in weights_micros),)], "dw: array<bigint>"
+    )
+    feats = _dsir_feats(df, id_col, text_col)
+    contrib = F.expr(
+        f"aggregate(transform(feats, g -> element_at(dw, int(conv(substring("
+        f"md5(g), 1, 8), 16, 10) % {n}) + 1)), bigint(0), (a, x) -> a + x)"
+    )
+    return (
+        feats.crossJoin(F.broadcast(wrow))
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.size("feats").cast("bigint").alias("n_feats"),
+            contrib.cast("bigint").alias("score_micros"),
+        )
+    )
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,
+                text_col: str, k: int, n_buckets: int = 1024) -> DataFrame:
+    """End-to-end DSIR: fit target/raw hashed-ngram multinomials, score
+    every raw doc's log importance weight, keep the top k.
+
+    Selection is the DETERMINISTIC top-k by (score desc, doc_id asc) — the
+    paper's Gumbel-top-k sampled-without-replacement variant perturbs each
+    score with an independent Gumbel draw first; determinism is chosen here
+    so both engines and every rerun agree bit-for-bit (plug a seeded
+    perturbation into score_micros upstream of the sort to get the sampled
+    form). At scale the top-k is a TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a global sort of the corpus."""
+    w = dsir_weights(raw, target, id_col, text_col, n_buckets)
+    wm = [r["w_micros"] for r in
+          w.select("bucket", "w_micros").orderBy("bucket").collect()]
+    return (
+        dsir_score(raw, id_col, text_col, wm)
+        .orderBy(F.col("score_micros").desc(), F.col("doc_id"))
+        .limit(k)
     )

@@ -1,0 +1,262 @@
+"""BM25 keyword retrieval: the text-side top-k search surface (the
+embedding ANN stack's lexical sibling).
+
+Two routes, one scoring contract:
+
+* ``bm25_topk`` — scan-based: score every doc against the query terms in a
+  single pass. The per-term idf table is the ONLY float arithmetic
+  (|terms| rows, floor-quantized to integer micros — the DSIR confinement
+  trick); per-doc tf, length normalization and the final score are
+  INTEGER-exact (fixed-point e6 arithmetic, integer ``div`` only), so both
+  engines and any summation order agree bit-for-bit. Plan shape: one
+  parquet scan -> per-term map-side tf expressions -> TakeOrderedAndProject.
+  Zero shuffle. Right for batch scoring / one-off sweeps; at 10^12 docs an
+  interactive query should use the index route instead.
+
+* ``build_term_index`` / ``bm25_topk_indexed`` — the scale path, the ANN
+  "index at rest" pattern (similarity.py's IVF-at-rest / pq.py's IVFADC)
+  transplanted to text: posting lists (term, doc_id, tf, dl) written ONCE,
+  partitioned by a term hash bucket; a query reads ONLY its terms' buckets
+  (partition pruning, plan-constant in corpus size), computes df from the
+  pruned postings, and aggregates scores with one groupBy over candidate
+  postings — bounded by the query terms' total document frequency, never
+  corpus-sized. dl is denormalized into the posting row (the Lucene norm
+  trick) so scoring needs no doc-table join; (N, total_tokens) live in a
+  1-row stats table next to the postings.
+
+BM25 (Robertson/Sparck Jones; the Lucene-default formulation):
+  idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+  score   = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+with k1 = 1.2, b = 0.75 fixed as the exact rationals 12/10 and 3/4 so the
+fixed-point plan below is integer-closed:
+  L_e6     = (dl * N * 1e6) div total_tokens             -- dl/avgdl, exact
+  denom_e6 = tf*1e6 + (12 * (250000 + (750000 * L_e6) div 1e6)) div 10
+  score_t  = (idf_micros * tf * 2200000) div denom_e6    -- tf*(k1+1)=tf*22/10
+Magnitudes: idf_micros <= ~30e6, so the numerator at tf 10^5 is ~7e18 —
+inside int64; promote to DECIMAL(38,0) before landing corpora where a
+single doc's tf can exceed ~1.3e5.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import normalized
+
+K1_NUM, K1_DEN = 12, 10  # k1 = 1.2
+B_E6 = 750_000           # b  = 0.75
+
+
+def _tokens(col):
+    return F.split(normalized(col), " ")
+
+
+def _score_sql(i: int, idf_m: int, n_docs: int, total_tokens: int) -> str:
+    """The integer-closed per-term BM25 contribution over columns _tf{i}
+    and dl (module-docstring derivation). Emitted as SQL text so the SAME
+    string (modulo `div` vs `//`) is what the DuckDB oracle runs."""
+    return (
+        f"(CASE WHEN _tf{i} > 0 THEN "
+        f"(CAST({idf_m} AS BIGINT) * _tf{i} * 2200000) div "
+        f"(_tf{i} * 1000000 + ({K1_NUM} * (250000 + ({B_E6} * "
+        f"((dl * CAST({n_docs} AS BIGINT) * 1000000) div {total_tokens})"
+        f") div 1000000)) div {K1_DEN}) ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def corpus_stats(docs: DataFrame, text_col: str) -> tuple[int, int]:
+    """(n_docs, total_tokens) over non-empty docs — the two scalars BM25's
+    length normalization needs. One aggregate, a 1-row driver read (the
+    bounded-collect class: codebooks, bucket lists, now corpus scalars)."""
+    t = _tokens(F.col(text_col))
+    row = (
+        docs.select(t.alias("_t"))
+        .filter(F.array_join("_t", "") != "")
+        .agg(F.count("*").alias("n"), F.sum(F.size("_t")).alias("tt"))
+        .head()
+    )
+    return int(row["n"]), int(row["tt"])
+
+
+def idf_micros(docs: DataFrame, text_col: str, terms: list[str],
+               n_docs: int) -> dict[str, int]:
+    """floor(1e6 * ln(1 + (N - df + 0.5)/(df + 0.5))) per query term — the
+    one float step, on a |terms|-row table, quantized to integer micros
+    before anything corpus-sized sees it. df is computed with the candidate
+    terms filtered MAP-SIDE out of each doc's distinct-token array, so the
+    groupBy shuffle carries at most |terms| x n_matching_docs narrow rows.
+    Terms absent from the corpus get the df=0 smoothed idf."""
+    uniq = sorted(set(terms))
+    t = _tokens(F.col(text_col))
+    hits = F.filter(F.array_distinct(t), lambda x: x.isin(*uniq))
+    df_rows = (
+        docs.select(F.explode(hits).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    df = {r["term"]: int(r["df"]) for r in df_rows}
+    return {
+        term: math.floor(1_000_000 * math.log(
+            1 + (n_docs - df.get(term, 0) + 0.5) / (df.get(term, 0) + 0.5)))
+        for term in uniq
+    }
+
+
+def bm25_topk(docs: DataFrame, id_col: str, text_col: str,
+              terms: list[str], k: int = 20) -> DataFrame:
+    """Scan-based BM25 top-k: (doc_id, dl, n_matched, score_micros).
+
+    Per-term tf is one size(filter(tokens)) expression per query term —
+    plan-time expansion over the (few) terms, all inside a single Catalyst
+    projection; docs matching no term die map-side; the top-k is a
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    never a global sort. Zero shuffle end-to-end."""
+    uniq = sorted(set(terms))
+    n_docs, total_tokens = corpus_stats(docs, text_col)
+    idf = idf_micros(docs, text_col, uniq, n_docs)
+
+    t = _tokens(F.col(text_col))
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+        .filter(F.array_join("_t", "") != "")
+        .withColumn("dl", F.size("_t").cast("bigint"))
+    )
+    for i, term in enumerate(uniq):
+        if "'" in term or "\\" in term:
+            raise ValueError(f"query term {term!r} must not contain quotes")
+        # expr text, not a python lambda: a 2-arg default-bound lambda would
+        # be read by F.filter as the (element, index) form
+        base = base.withColumn(
+            f"_tf{i}",
+            F.expr(f"CAST(size(filter(_t, x -> x = '{term}')) AS BIGINT)"),
+        )
+    score = " + ".join(
+        _score_sql(i, idf[term], n_docs, total_tokens)
+        for i, term in enumerate(uniq)
+    )
+    matched = " + ".join(
+        f"(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(uniq))
+    )
+    return (
+        base.withColumn("score_micros", F.expr(score))
+        .withColumn("n_matched", F.expr(matched).cast("int"))
+        .filter(F.col("n_matched") > 0)
+        .select("doc_id", "dl", "n_matched", "score_micros")
+        .orderBy(F.col("score_micros").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index at rest
+# ---------------------------------------------------------------------------
+
+
+def term_bucket(col, n_buckets: int):
+    """Partition key of the posting store: the repo's md5 bucket idiom on
+    the term string."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % n_buckets
+    )
+
+
+def build_term_index(docs: DataFrame, id_col: str, text_col: str,
+                     path: str, n_buckets: int = 64) -> None:
+    """Write the posting store: ``{path}/postings`` partitioned by tb =
+    md5(term) % n_buckets with rows (term, doc_id, tf, dl), plus a 1-row
+    ``{path}/stats`` (n_docs, total_tokens).
+
+    One corpus pass: tokens -> per-doc (term, tf) via aggregate over the
+    SORTED token array (run-length fold — no per-doc hash map, no second
+    explode), then one explode to posting rows. The only shuffle is the
+    partitioned write's hash distribution by tb. At 10^12 docs the posting
+    table is ~|distinct (doc, term)| narrow rows — large, but written once
+    and pruned to ~|terms|/n_buckets of itself by every query after."""
+    t = _tokens(F.col(text_col))
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+        .filter(F.array_join("_t", "") != "")
+        .withColumn("dl", F.size("_t").cast("bigint"))
+    )
+    # (term, tf) pairs from one pass over the SORTED token array: emit a
+    # struct only where a run ends (next element differs); tf = run end -
+    # first occurrence + 1 via array_position. No per-doc hash map, no
+    # second explode; stays inside whole-stage codegen.
+    pairs = F.expr(
+        "filter(transform(_t_s, (x, i) -> "
+        "CASE WHEN i = size(_t_s) - 1 OR element_at(_t_s, i + 2) <> x THEN "
+        "struct(x AS term, CAST(i + 2 - array_position(_t_s, x) AS BIGINT) AS tf) "
+        "END), p -> p IS NOT NULL)"
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    (
+        base.withColumn("_t_s", F.array_sort("_t"))
+        .select("doc_id", "dl", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id", "dl",
+            F.col("p.term").alias("term"), F.col("p.tf").alias("tf"),
+            term_bucket(F.col("p.term"), n_buckets).alias("tb"),
+        )
+        .repartition("tb")
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(spark, path: str, terms: list[str], k: int = 20,
+                      n_buckets: int = 64) -> DataFrame:
+    """BM25 top-k against the at-rest posting store: reads ONLY the query
+    terms' tb partitions (PartitionFilters — plan-constant in corpus size),
+    computes df from the pruned postings (one tiny groupBy), joins the
+    broadcast |terms|-row idf table, and aggregates per-doc scores with one
+    groupBy bounded by the terms' total document frequency.
+
+    Same integer-closed scoring contract as bm25_topk: identical inputs
+    produce bit-identical (doc_id, dl, n_matched, score_micros) rows."""
+    uniq = sorted(set(terms))
+    srow = spark.read.parquet(f"{path}/stats").head()
+    n_docs, total_tokens = int(srow["n_docs"]), int(srow["total_tokens"])
+    buckets = sorted({
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+        for t in uniq
+    })
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tb").isin(buckets) & F.col("term").isin(uniq))
+    )
+    df_rows = post.groupBy("term").agg(F.count("*").alias("df")).collect()
+    dfm = {r["term"]: int(r["df"]) for r in df_rows}
+    idf = {
+        t: math.floor(1_000_000 * math.log(
+            1 + (n_docs - dfm.get(t, 0) + 0.5) / (dfm.get(t, 0) + 0.5)))
+        for t in uniq
+    }
+    idf_tbl = spark.createDataFrame(
+        [(t, idf[t]) for t in uniq], "term: string, idf_m: bigint"
+    )
+    contrib = F.expr(
+        f"(idf_m * tf * 2200000) div "
+        f"(tf * 1000000 + ({K1_NUM} * (250000 + ({B_E6} * "
+        f"((dl * CAST({n_docs} AS BIGINT) * 1000000) div {total_tokens})"
+        f") div 1000000)) div {K1_DEN})"
+    )
+    return (
+        post.join(F.broadcast(idf_tbl), "term")
+        .select("doc_id", "dl", contrib.alias("_s"))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count("*").cast("int").alias("n_matched"),
+            F.sum("_s").cast("bigint").alias("score_micros"),
+        )
+        .select("doc_id", "dl", "n_matched", "score_micros")
+        .orderBy(F.col("score_micros").desc(), F.col("doc_id"))
+        .limit(k)
+    )

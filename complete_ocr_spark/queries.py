@@ -21,7 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from .functions import dedup, pq, prep, similarity
+from .functions import dedup, pq, prep, retrieval, similarity
 from .functions.text import (
     STOPWORDS_EN,
     bpe_ish_token_count,
@@ -854,6 +854,185 @@ SELECT s.doc_id,
        r.raw_sum // s.n_tokens AS score_mean_micros,
        COALESCE(r.raw_sum // s.n_tokens >= 0, FALSE) AS pass
 FROM sized s LEFT JOIN raw r USING (doc_id)
+"""
+
+
+# DSIR importance resampling (prep.dsir_*): target = one source slice
+# ('src0', ~5% of docs — "the Wikipedia-like domain sample"), raw = the
+# rest; hashed unigram+bigram features into 1024 buckets. The weight table
+# is the ONLY float computation (quantized to integer micros over <= 1024
+# rows); per-doc scoring and the top-k are integer-exact.
+_DSIR_BUCKETS, _DSIR_TGT, _DSIR_K = 1024, "src0", 30
+
+
+def _dsir_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.filter(F.col("source") != _DSIR_TGT),
+            d.filter(F.col("source") == _DSIR_TGT))
+
+
+def q_dsir_weights(spark, sf_dir):
+    """The DSIR per-bucket importance-weight table (prep.dsir_weights):
+    Laplace-smoothed log-likelihood ratio of the target vs raw hashed
+    n-gram multinomials, floor-quantized to integer micros. Gates the
+    count stage AND the one confined float step of the DSIR pass."""
+    raw, target = _dsir_split(spark, sf_dir)
+    return prep.dsir_weights(raw, target, "doc_id", "text",
+                             n_buckets=_DSIR_BUCKETS)
+
+
+def q_dsir_select(spark, sf_dir):
+    """End-to-end DSIR data selection (prep.dsir_select): top-k raw docs by
+    hashed-ngram log importance weight vs the 'src0' target domain. The
+    weight table is a bounded (<= n_buckets) driver read riding one
+    broadcast array row; scoring is a zero-shuffle Catalyst fold; the top-k
+    is a TakeOrderedAndProject, never a global sort."""
+    raw, target = _dsir_split(spark, sf_dir)
+    return prep.dsir_select(raw, target, "doc_id", "text",
+                            k=_DSIR_K, n_buckets=_DSIR_BUCKETS)
+
+
+def _dsir_cte(b: int = _DSIR_BUCKETS) -> str:
+    """Shared oracle CTE chain: tokens -> unigram+bigram feature stream
+    (WITH multiplicity) -> bucket counts per side -> full bucket frame ->
+    integer micro-LLR weights."""
+    return rf"""
+toks AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+  WHERE array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), '') <> ''),
+feats AS (
+  SELECT doc_id, source, u.tok AS g FROM toks, UNNEST(l) AS u(tok)
+  UNION ALL
+  SELECT doc_id, source,
+         l[CAST(i AS BIGINT) + 1] || ' ' || l[CAST(i AS BIGINT) + 2] AS g
+  FROM toks, UNNEST(range(len(l) - 1)) AS t(i)
+  WHERE len(l) >= 2),
+fb AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {b} AS bkt
+  FROM feats),
+tc AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS tcnt FROM fb
+       WHERE source = '{_DSIR_TGT}' GROUP BY 1),
+rc AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS rcnt FROM fb
+       WHERE source <> '{_DSIR_TGT}' GROUP BY 1),
+cnt AS (
+  SELECT CAST(f.i AS BIGINT) AS bkt,
+         COALESCE(tcnt, 0) AS target_count, COALESCE(rcnt, 0) AS raw_count
+  FROM range({b}) f(i)
+  LEFT JOIN tc ON tc.bkt = f.i LEFT JOIN rc ON rc.bkt = f.i),
+wm AS (
+  SELECT bkt, target_count, raw_count,
+         CAST(FLOOR(1000000 * (LN(target_count + 1) - LN(SUM(target_count) OVER () + {b})
+                             - LN(raw_count + 1) + LN(SUM(raw_count) OVER () + {b})))
+              AS BIGINT) AS w_micros
+  FROM cnt)
+"""
+
+
+# BM25 keyword retrieval (functions/retrieval.py): a fixed 4-term query
+# over the documents table; k1=1.2 b=0.75 (the exact rationals the
+# integer-closed fixed-point plan encodes). idf is the one float step
+# (|terms| rows, floor-quantized to micros); Spark computes it with
+# math.log driver-side, the oracle independently with DuckDB LN.
+_BM25_TERMS = ["hash", "join", "scan", "vector"]
+_BM25_K, _BM25_IDX_BUCKETS = 20, 16
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Scan-based BM25 top-k (retrieval.bm25_topk): per-term tf as map-side
+    size(filter(tokens)) expressions in ONE Catalyst projection, integer-
+    closed fixed-point scoring, TakeOrderedAndProject — zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=_BM25_K)
+
+
+_BM25_IDX_BUILT: set[str] = set()
+
+
+def q_bm25_indexed(spark, sf_dir):
+    """BM25 against the AT-REST posting store (retrieval.build_term_index +
+    bm25_topk_indexed): postings partitioned by term hash bucket, the query
+    prunes to its terms' buckets before any file opens, df/idf come from
+    the pruned postings, one groupBy bounded by the terms' total document
+    frequency. Rows are identical to q_bm25_topk — the oracle is the same
+    generated SQL, so the gate covers the layout a 100x deployment would
+    serve from. Index write memoized per process (the q_ann_pq_idx
+    pattern: an unconditional rewrite would yank the store from under a
+    prior call's lazy reads)."""
+    import shutil
+
+    d = _t(spark, sf_dir, "documents")
+    path = _scratch("bm25_index", sf_dir)
+    if path not in _BM25_IDX_BUILT or not os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+        retrieval.build_term_index(d, "doc_id", "text", path,
+                                   n_buckets=_BM25_IDX_BUCKETS)
+        _BM25_IDX_BUILT.add(path)
+    return retrieval.bm25_topk_indexed(spark, path, _BM25_TERMS, k=_BM25_K,
+                                       n_buckets=_BM25_IDX_BUCKETS)
+
+
+def _bm25_sql(k: int = _BM25_K) -> str:
+    terms = ", ".join(f"('{t}')" for t in sorted(set(_BM25_TERMS)))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+  WHERE array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), '') <> ''),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(len(l)) AS BIGINT) AS TT
+  FROM toks),
+qterms(term) AS (VALUES {terms}),
+dfs AS (
+  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM qterms t JOIN toks ON list_contains(toks.l, t.term)
+  GROUP BY 1),
+idf AS (
+  SELECT t.term,
+         CAST(FLOOR(1000000 * LN(1 + (N - COALESCE(df, 0) + 0.5)
+                                   / (COALESCE(df, 0) + 0.5))) AS BIGINT) AS idf_m
+  FROM qterms t LEFT JOIN dfs USING (term), stats),
+tf AS (
+  SELECT toks.doc_id, CAST(len(l) AS BIGINT) AS dl, t.term,
+         CAST(len(list_filter(l, x -> x = t.term)) AS BIGINT) AS tf
+  FROM toks, qterms t),
+scored AS (
+  SELECT doc_id, dl,
+         CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS INT) AS n_matched,
+         CAST(SUM(CASE WHEN tf > 0 THEN
+              (idf_m * tf * 2200000)
+              // (tf * 1000000 + (12 * (250000 + (750000 *
+                  ((dl * N * 1000000) // TT)) // 1000000)) // 10)
+              ELSE 0 END) AS BIGINT) AS score_micros
+  FROM tf JOIN idf USING (term), stats
+  GROUP BY 1, 2)
+SELECT doc_id, dl, n_matched, score_micros
+FROM scored WHERE n_matched > 0
+ORDER BY score_micros DESC, doc_id LIMIT {k}
+"""
+
+
+def _dsir_weights_sql() -> str:
+    return f"""
+WITH {_dsir_cte()}
+SELECT bkt AS bucket, target_count, raw_count, w_micros FROM wm
+"""
+
+
+def _dsir_select_sql(k: int = _DSIR_K) -> str:
+    return f"""
+WITH {_dsir_cte()}
+SELECT fb.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(w_micros) AS BIGINT) AS score_micros
+FROM fb JOIN wm USING (bkt)
+WHERE fb.source <> '{_DSIR_TGT}'
+GROUP BY 1
+ORDER BY score_micros DESC, doc_id
+LIMIT {k}
 """
 
 
@@ -3583,7 +3762,10 @@ REGISTRY: dict[str, tuple] = {
     "q_sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "q_session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "q_asof_last_click": (q_asof_last_click, SQL_ASOF),
-    "q_token_stats": (q_token_stats, SQL_TOKENS),
+    # BM25 keyword retrieval end-to-end (round 7, functions/retrieval.py);
+    # q_token_stats folded to anchors for the slot — the per-doc token-count
+    # scan shape rides inside q_quality and the BM25 dl column itself
+    "q_bm25_topk": (q_bm25_topk, _bm25_sql()),
     "q_quality": (q_quality, SQL_QUALITY),
     "q_lang_id": (q_lang_id, SQL_LANG),
     "q_fingerprint_groups": (q_fingerprint_groups, SQL_FP),
@@ -3596,7 +3778,11 @@ REGISTRY: dict[str, tuple] = {
     "q_dup_clusters_incr": (q_dup_clusters_incr, _dup_clusters_sql()),
     "q_ann_recall": (q_ann_recall, _ann_recall_sql()),
     "q_ivf_train": (q_ivf_train, _kmeans_sql()),
-    "q_quality_sample": (q_quality_sample, _quality_sample_sql()),
+    # DSIR importance resampling end-to-end (round 7, functions/prep.py);
+    # q_quality_sample folded to anchors for the slot — its md5-threshold
+    # keep idiom stays driver-adjacent inside q_domain_mix's gate and the
+    # curation sampling paths
+    "q_dsir_select": (q_dsir_select, _dsir_select_sql()),
     "q_corpus_curation": (q_corpus_curation,
                           _curate_sql("stride", semantic=True)),
     "q_corpus_curation_cdc": (q_corpus_curation_cdc, _curate_sql("cdc")),
@@ -3699,6 +3885,15 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     "q_bpe_train": (q_bpe_train, _bpe_train_sql()),
     "q_bpe_encode": (q_bpe_encode, _bpe_encode_sql()),
     "q_bpe_train_scale": (q_bpe_train_scale, None),
+    # DSIR: the weight-table stage (the end-to-end q_dsir_select holds the
+    # driver slot); q_quality_sample folded r7 to make that room
+    "q_dsir_weights": (q_dsir_weights, _dsir_weights_sql()),
+    "q_quality_sample": (q_quality_sample, _quality_sample_sql()),
+    # BM25 served from the at-rest posting store: same oracle as the scan
+    # route, so the gate pins scan == indexed; q_token_stats folded r7 for
+    # the q_bm25_topk driver slot
+    "q_bm25_indexed": (q_bm25_indexed, _bm25_sql()),
+    "q_token_stats": (q_token_stats, SQL_TOKENS),
 }
 
 _DRIVER_CAP = 50  # the driver checks at most this many registry rows

@@ -260,3 +260,112 @@ def test_quality_score_last_bucket_reachable(spark):
     w = prep.make_hashed_weights(1)
     got = _score(spark, [(1, "a b c")], w)
     assert got[1]["score_sum"] == 3 * w[0]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+def _dsir_py(raw_rows, target_rows, n_buckets):
+    """Independent pure-Python DSIR: hashlib + math.log + Counter — no
+    shared code with the Spark implementation beyond the published
+    definition (hashed unigram+bigram multinomials, Laplace-smoothed LLR,
+    floor micro-quantization)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def feats(text):
+        toks = " ".join(text.lower().strip().split()).split(" ")
+        if "".join(toks) == "":
+            return []
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    tc, rc = Counter(), Counter()
+    for _i, t in target_rows:
+        tc.update(bucket(g) for g in feats(t))
+    for _i, t in raw_rows:
+        rc.update(bucket(g) for g in feats(t))
+    T, R = sum(tc.values()), sum(rc.values())
+    w = {
+        b: math.floor(1_000_000 * (
+            math.log(tc.get(b, 0) + 1) - math.log(T + n_buckets)
+            - math.log(rc.get(b, 0) + 1) + math.log(R + n_buckets)))
+        for b in range(n_buckets)
+    }
+    scores = {}
+    for i, t in raw_rows:
+        fs = feats(t)
+        if fs:
+            scores[i] = (len(fs), sum(w[bucket(g)] for g in fs))
+    return w, scores
+
+
+def test_dsir_matches_independent_python_oracle(spark):
+    n_buckets = 32
+    target = [(100, "alpha beta gamma"), (101, "beta gamma delta beta")]
+    raw = [
+        (1, "alpha beta gamma"),          # verbatim target-like
+        (2, "zeta eta theta iota"),       # disjoint vocab
+        (3, "beta gamma"),                # partial overlap
+        (4, "   "),                       # featureless: must be dropped
+        (5, "alpha"),                     # single token: unigram only
+    ]
+    exp_w, exp_s = _dsir_py(raw, target, n_buckets)
+    t_df = spark.createDataFrame(target, ["doc_id", "text"])
+    r_df = spark.createDataFrame(raw, ["doc_id", "text"])
+
+    got_w = {
+        r["bucket"]: r["w_micros"]
+        for r in prep.dsir_weights(r_df, t_df, "doc_id", "text",
+                                   n_buckets=n_buckets).collect()
+    }
+    assert got_w == exp_w
+
+    wm = [exp_w[b] for b in range(n_buckets)]
+    got_s = {
+        r["doc_id"]: (r["n_feats"], r["score_micros"])
+        for r in prep.dsir_score(r_df, "doc_id", "text", wm).collect()
+    }
+    assert got_s == exp_s
+    assert 4 not in got_s  # featureless doc carries no evidence
+
+
+def test_dsir_select_ranks_target_like_docs_first(spark):
+    # Target domain speaks an exotic vocabulary; raw docs 1..3 share it with
+    # decreasing intensity, 4..6 don't. All raw docs have the SAME feature
+    # count (4 words -> 4 unigrams + 3 bigrams): the raw LLR score is
+    # length-sensitive by construction (it is in the paper too), so the
+    # ranking claim is only clean at equal length.
+    target = [(100 + i, "qux quux corge grault qux quux") for i in range(3)]
+    raw = [
+        (1, "qux quux corge grault"),
+        (2, "qux quux plain words"),
+        (3, "qux other text entirely"),
+        (4, "completely unrelated prose one"),
+        (5, "another plain document two"),
+        (6, "more ordinary words three"),
+    ]
+    t_df = spark.createDataFrame(target, ["doc_id", "text"])
+    r_df = spark.createDataFrame(raw, ["doc_id", "text"])
+    top = prep.dsir_select(r_df, t_df, "doc_id", "text", k=3,
+                           n_buckets=64).collect()
+    assert [r["doc_id"] for r in top] == [1, 2, 3]
+    scores = [r["score_micros"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dsir_weights_full_bucket_frame(spark):
+    # Every bucket 0..B-1 gets a row even when unseen (the smoothed prior
+    # ln((R+B)/(T+B)) applies there), so the collected weight array always
+    # lines up with the scorer's element_at indexing.
+    t_df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    r_df = spark.createDataFrame([(2, "b")], ["doc_id", "text"])
+    rows = prep.dsir_weights(r_df, t_df, "doc_id", "text", n_buckets=16).collect()
+    assert sorted(r["bucket"] for r in rows) == list(range(16))
+    unseen = [r for r in rows if r["target_count"] == 0 and r["raw_count"] == 0]
+    assert len(unseen) == 14
+    assert len({r["w_micros"] for r in unseen}) == 1  # shared smoothed prior
