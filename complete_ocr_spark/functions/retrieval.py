@@ -164,46 +164,57 @@ def term_bucket(col, n_buckets: int):
     )
 
 
-def build_term_index(docs: DataFrame, id_col: str, text_col: str,
-                     path: str, n_buckets: int = 64) -> None:
-    """Write the posting store: ``{path}/postings`` partitioned by tb =
-    md5(term) % n_buckets with rows (term, doc_id, tf, dl), plus a 1-row
-    ``{path}/stats`` (n_docs, total_tokens).
+def doc_term_pairs(docs: DataFrame, id_col: str, text_col: str,
+                   n_buckets: int) -> DataFrame:
+    """(doc_id, dl, term, tf, tb) posting rows for every non-empty doc —
+    the map-side half every index build (batch or streaming) shares.
 
-    One corpus pass: tokens -> per-doc (term, tf) via aggregate over the
-    SORTED token array (run-length fold — no per-doc hash map, no second
-    explode), then one explode to posting rows. The only shuffle is the
-    partitioned write's hash distribution by tb. At 10^12 docs the posting
-    table is ~|distinct (doc, term)| narrow rows — large, but written once
-    and pruned to ~|terms|/n_buckets of itself by every query after."""
+    (term, tf) pairs come from one pass over the SORTED token array: emit a
+    struct only where a run ends (next element differs); tf = run end -
+    first occurrence + 1 via array_position. No per-doc hash map, no second
+    explode; stays inside whole-stage codegen."""
     t = _tokens(F.col(text_col))
-    base = (
-        docs.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
-        .filter(F.array_join("_t", "") != "")
-        .withColumn("dl", F.size("_t").cast("bigint"))
-    )
-    # (term, tf) pairs from one pass over the SORTED token array: emit a
-    # struct only where a run ends (next element differs); tf = run end -
-    # first occurrence + 1 via array_position. No per-doc hash map, no
-    # second explode; stays inside whole-stage codegen.
     pairs = F.expr(
         "filter(transform(_t_s, (x, i) -> "
         "CASE WHEN i = size(_t_s) - 1 OR element_at(_t_s, i + 2) <> x THEN "
         "struct(x AS term, CAST(i + 2 - array_position(_t_s, x) AS BIGINT) AS tf) "
         "END), p -> p IS NOT NULL)"
     )
-    stats = base.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("total_tokens"),
-    )
-    (
-        base.withColumn("_t_s", F.array_sort("_t"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+        .filter(F.array_join("_t", "") != "")
+        .withColumn("dl", F.size("_t").cast("bigint"))
+        .withColumn("_t_s", F.array_sort("_t"))
         .select("doc_id", "dl", F.explode(pairs).alias("p"))
         .select(
             "doc_id", "dl",
             F.col("p.term").alias("term"), F.col("p.tf").alias("tf"),
             term_bucket(F.col("p.term"), n_buckets).alias("tb"),
         )
+    )
+
+
+def build_term_index(docs: DataFrame, id_col: str, text_col: str,
+                     path: str, n_buckets: int = 64) -> None:
+    """Write the posting store: ``{path}/postings`` partitioned by tb =
+    md5(term) % n_buckets with rows (term, doc_id, tf, dl), plus a 1-row
+    ``{path}/stats`` (n_docs, total_tokens).
+
+    One corpus pass (doc_term_pairs); the only shuffle is the partitioned
+    write's hash distribution by tb. At 10^12 docs the posting table is
+    ~|distinct (doc, term)| narrow rows — large, but written once and
+    pruned to ~|terms|/n_buckets of itself by every query after."""
+    t = _tokens(F.col(text_col))
+    stats = (
+        docs.select(t.alias("_t"))
+        .filter(F.array_join("_t", "") != "")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size("_t")).cast("bigint").alias("total_tokens"),
+        )
+    )
+    (
+        doc_term_pairs(docs, id_col, text_col, n_buckets)
         .repartition("tb")
         .write.partitionBy("tb").mode("overwrite")
         .parquet(f"{path}/postings")
@@ -224,14 +235,30 @@ def bm25_topk_indexed(spark, path: str, terms: list[str], k: int = 20,
     uniq = sorted(set(terms))
     srow = spark.read.parquet(f"{path}/stats").head()
     n_docs, total_tokens = int(srow["n_docs"]), int(srow["total_tokens"])
-    buckets = sorted({
-        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
-        for t in uniq
-    })
+    buckets = query_buckets(uniq, n_buckets)
     post = (
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("tb").isin(buckets) & F.col("term").isin(uniq))
     )
+    return score_postings(post, uniq, n_docs, total_tokens, k)
+
+
+def query_buckets(terms: list[str], n_buckets: int) -> list[int]:
+    """The tb partitions a query must read — same md5 idiom as
+    term_bucket, computed driver-side."""
+    return sorted({
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+        for t in set(terms)
+    })
+
+
+def score_postings(post: DataFrame, terms: list[str], n_docs: int,
+                   total_tokens: int, k: int) -> DataFrame:
+    """Shared scoring tail of every at-rest route: df from the (pruned)
+    postings, idf quantized to micros (|terms| rows), broadcast join, one
+    groupBy bounded by the terms' total document frequency, top-k."""
+    spark = post.sparkSession
+    uniq = sorted(set(terms))
     df_rows = post.groupBy("term").agg(F.count("*").alias("df")).collect()
     dfm = {r["term"]: int(r["df"]) for r in df_rows}
     idf = {

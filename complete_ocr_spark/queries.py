@@ -974,6 +974,33 @@ def q_bm25_indexed(spark, sf_dir):
                                        n_buckets=_BM25_IDX_BUCKETS)
 
 
+_BM25_INCR_BUILT: set[str] = set()
+
+
+def q_bm25_incr(spark, sf_dir):
+    """The INCREMENTALLY-maintained BM25 index (streaming/index_stream.py):
+    the documents table arrives as 3 foreachBatch deliveries (doc_id % 3),
+    each appending (batch_id, tb)-partitioned postings + a 1-row stats
+    partition; the query prunes to its terms' tb buckets across all
+    batches and scores with the shared integer-closed tail. Same oracle as
+    q_bm25_topk/q_bm25_indexed: the gate pins streaming == batch == SQL.
+    Store memoized per process (the q_ann_pq_idx pattern)."""
+    import shutil
+
+    from .streaming.index_stream import bm25_topk_incr, make_index_batch
+
+    d = _t(spark, sf_dir, "documents")
+    root = _scratch("bm25_incr", sf_dir)
+    if root not in _BM25_INCR_BUILT or not os.path.isdir(root):
+        shutil.rmtree(root, ignore_errors=True)
+        pb = make_index_batch(spark, root, n_buckets=_BM25_IDX_BUCKETS)
+        for bid in range(3):
+            pb(d.filter(F.col("doc_id") % 3 == bid), bid)
+        _BM25_INCR_BUILT.add(root)
+    return bm25_topk_incr(spark, root, _BM25_TERMS, k=_BM25_K,
+                          n_buckets=_BM25_IDX_BUCKETS)
+
+
 def _bm25_sql(k: int = _BM25_K) -> str:
     terms = ", ".join(f"('{t}')" for t in sorted(set(_BM25_TERMS)))
     return rf"""
@@ -3893,6 +3920,9 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     # route, so the gate pins scan == indexed; q_token_stats folded r7 for
     # the q_bm25_topk driver slot
     "q_bm25_indexed": (q_bm25_indexed, _bm25_sql()),
+    # the incrementally-maintained index, same oracle: pins streaming ==
+    # batch == SQL over the same corpus
+    "q_bm25_incr": (q_bm25_incr, _bm25_sql()),
     "q_token_stats": (q_token_stats, SQL_TOKENS),
 }
 
