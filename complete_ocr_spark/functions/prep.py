@@ -329,6 +329,56 @@ def temperature_mix(df: DataFrame, id_col: str, domain_col: str,
     )
 
 
+def upsample_domains(df: DataFrame, id_col: str, domain_col: str,
+                     factors_bp: dict[str, int],
+                     default_bp: int = 10_000) -> DataFrame:
+    """Per-domain repetition factors — the 'epochs' column of the GPT-3 /
+    Llama pretraining mix tables (Wikipedia x3.4, books x1.x, web x<1),
+    the UPSAMPLING complement of temperature_mix (whose rates are <= 1).
+
+    ``factors_bp[domain]`` is the repetition factor in basis points
+    (25_000 = 2.5 epochs; 5_000 = keep half); unlisted domains get
+    ``default_bp``. Each doc emits floor(f) full copies plus one extra iff
+    md5(doc_id) mod 10^4 < frac(f) — integer-exact, deterministic, and
+    per-doc independent (the same doc decides its fractional copy the
+    same way under any partitioning or rerun).
+
+    Output (doc_id, domain, copy, factor_bp): copy = 0..n_copies-1 keeps
+    downstream shuffles/writes able to treat each repetition as a distinct
+    row (e.g. distinct pack positions); factor_bp rides as the audit
+    signal like temperature_mix's rate_bp.
+
+    Scale shape: one broadcast join of the <= n_domains-row factor table,
+    then a per-row sequence explode — zero corpus-sized shuffle; output
+    volume is sum(f_s * n_s), exactly the token budget the mix table
+    promises."""
+    spark = df.sparkSession
+    rows = [(d, int(bp)) for d, bp in sorted(factors_bp.items())]
+    if any(bp < 0 for _, bp in rows) or default_bp < 0:
+        raise ValueError("repetition factors must be >= 0 basis points")
+    ftbl = spark.createDataFrame(rows, "domain: string, factor_bp: bigint") \
+        if rows else spark.createDataFrame([], "domain: string, factor_bp: bigint")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10_000
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(domain_col).alias("domain"))
+        .join(F.broadcast(ftbl), "domain", "left")
+        .withColumn("factor_bp",
+                    F.coalesce("factor_bp", F.lit(int(default_bp))))
+        .withColumn("_n", F.expr("factor_bp div 10000")
+                    + F.when(h < F.col("factor_bp") % 10_000, 1).otherwise(0))
+        .filter(F.col("_n") > 0)
+        .select(
+            "doc_id", "domain",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy"),
+            "factor_bp",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Model-based quality filtering: hashed bag-of-words linear classifier
 # ---------------------------------------------------------------------------

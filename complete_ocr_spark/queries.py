@@ -806,6 +806,41 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
 """
 
 
+# domain upsampling: src0 gets 2.3 epochs, src3 half an epoch, everything
+# else exactly 1 — exercises the full-copies, fractional-extra and
+# downsample paths of the repetition-factor table
+_UPS_FACTORS = {"src0": 23_000, "src3": 5_000}
+
+
+def q_domain_upsample(spark, sf_dir):
+    """Per-domain repetition factors (prep.upsample_domains): floor(f)
+    full copies + md5-basis-point fractional extra, broadcast factor
+    table, zero corpus-sized shuffle — the 'epochs' column of the GPT-3/
+    Llama mix tables as a deterministic operator."""
+    d = _t(spark, sf_dir, "documents")
+    return prep.upsample_domains(d, "doc_id", "source", _UPS_FACTORS)
+
+
+def _upsample_sql() -> str:
+    vals = ", ".join(f"('{d}', {bp})" for d, bp in sorted(_UPS_FACTORS.items()))
+    return f"""
+WITH f(domain, factor_bp) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id, source AS domain,
+         CAST(COALESCE(f.factor_bp, 10000) AS BIGINT) AS factor_bp,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS h
+  FROM documents LEFT JOIN f ON f.domain = documents.source),
+n AS (
+  SELECT doc_id, domain, factor_bp,
+         factor_bp // 10000
+           + CASE WHEN h < factor_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+  FROM d)
+SELECT doc_id, domain, CAST(t.i AS BIGINT) AS copy, factor_bp
+FROM n, UNNEST(range(n_copies)) AS t(i)
+WHERE n_copies > 0
+"""
+
+
 # hashed-linear quality classifier: buckets sized so fixture docs collide
 # into a shared vocabulary (256 buckets over ~2k distinct fixture tokens)
 # and threshold 0 splits the corpus (weights are ~uniform signed micros, so
@@ -3916,6 +3951,8 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     # driver slot); q_quality_sample folded r7 to make that room
     "q_dsir_weights": (q_dsir_weights, _dsir_weights_sql()),
     "q_quality_sample": (q_quality_sample, _quality_sample_sql()),
+    # the upsampling complement of q_domain_mix (epochs > 1)
+    "q_domain_upsample": (q_domain_upsample, _upsample_sql()),
     # BM25 served from the at-rest posting store: same oracle as the scan
     # route, so the gate pins scan == indexed; q_token_stats folded r7 for
     # the q_bm25_topk driver slot

@@ -369,3 +369,48 @@ def test_dsir_weights_full_bucket_frame(spark):
     unseen = [r for r in rows if r["target_count"] == 0 and r["raw_count"] == 0]
     assert len(unseen) == 14
     assert len({r["w_micros"] for r in unseen}) == 1  # shared smoothed prior
+
+
+# ---------------------------------------------------------------------------
+# upsample_domains
+# ---------------------------------------------------------------------------
+
+def test_upsample_matches_python_recompute(spark):
+    import hashlib
+
+    rows = [(i, "wiki" if i % 3 == 0 else ("web" if i % 3 == 1 else "books"))
+            for i in range(60)]
+    factors = {"wiki": 34_000, "web": 4_000}  # books -> default 10_000
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    got = sorted(
+        tuple(r) for r in
+        prep.upsample_domains(df, "doc_id", "domain", factors).collect()
+    )
+    exp = []
+    for i, d in rows:
+        bp = factors.get(d, 10_000)
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10_000
+        n = bp // 10_000 + (1 if h < bp % 10_000 else 0)
+        exp.extend((i, d, c, bp) for c in range(n))
+    assert got == sorted(exp)
+    # wiki docs all got >= 3 copies; web became a strict subset
+    wiki = [g for g in got if g[1] == "wiki"]
+    assert len(wiki) >= 3 * 20
+    assert len({g[0] for g in got if g[1] == "web"}) < 20
+
+
+def test_upsample_deterministic_and_exact_one_is_identity(spark):
+    df = spark.createDataFrame([(i, "a") for i in range(30)],
+                               ["doc_id", "domain"])
+    out1 = sorted(tuple(r) for r in
+                  prep.upsample_domains(df, "doc_id", "domain", {}).collect())
+    out2 = sorted(tuple(r) for r in
+                  prep.upsample_domains(df, "doc_id", "domain", {}).collect())
+    assert out1 == out2
+    assert out1 == [(i, "a", 0, 10_000) for i in range(30)]
+
+
+def test_upsample_rejects_negative_factor(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "domain"])
+    with pytest.raises(ValueError, match=">= 0"):
+        prep.upsample_domains(df, "doc_id", "domain", {"a": -5})
