@@ -1045,7 +1045,13 @@ WITH toks AS (
   FROM documents
   WHERE array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), '') <> ''),
 stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(len(l)) AS BIGINT) AS TT
+  -- Q = (N * 1e12) // TT: the driver-folded length-norm constant of
+  -- retrieval.inv_avgdl_e12 (HUGEINT intermediate; the engine computes it
+  -- as an exact Python big-int) — the per-row norm is (dl * Q) // 1e6, so
+  -- neither engine ever forms a dl*N product
+  SELECT CAST(COUNT(*) AS BIGINT) AS N,
+         CAST((CAST(COUNT(*) AS HUGEINT) * 1000000000000)
+              // SUM(len(l)) AS BIGINT) AS Q
   FROM toks),
 qterms(term) AS (VALUES {terms}),
 dfs AS (
@@ -1067,7 +1073,7 @@ scored AS (
          CAST(SUM(CASE WHEN tf > 0 THEN
               (idf_m * tf * 2200000)
               // (tf * 1000000 + (12 * (250000 + (750000 *
-                  ((dl * N * 1000000) // TT)) // 1000000)) // 10)
+                  ((dl * Q) // 1000000)) // 1000000)) // 10)
               ELSE 0 END) AS BIGINT) AS score_micros
   FROM tf JOIN idf USING (term), stats
   GROUP BY 1, 2)

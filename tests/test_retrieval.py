@@ -129,3 +129,96 @@ def test_indexed_query_prunes_posting_partitions(spark, tmp_path):
     assert any("PartitionFilters" in seg and "tb" in
                seg.split("PartitionFilters:")[1].split("]")[0]
                for seg in scans), plan
+
+
+def test_scan_route_stats_phase_is_one_job(spark):
+    """Round-8 contract: the scan route's whole stats phase (n_docs,
+    total_tokens, per-term df) is ONE corpus pass — corpus_stats_with_df
+    launches one aggregate query — at most 2 Spark jobs (AQE materializes
+    the partial-agg exchange as its own job, then the result stage; both
+    read the corpus-scan output once). The old route ran the stats agg
+    PLUS a separate df explode/groupBy pass: >= 4 jobs, 2 corpus scans."""
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    sc = spark.sparkContext
+    sc.setJobGroup("bm25-stats-pass", "single-pass stats", False)
+    try:
+        n, tt, dfm = retrieval.corpus_stats_with_df(df, "text", TERMS)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("bm25-stats-pass")
+    assert len(jobs) <= 2, jobs
+    # and the fold is correct: same numbers the two-pass route produced
+    assert (n, tt) == retrieval.corpus_stats(df, "text")
+    assert dfm == {"join": 4, "shuffle": 3}
+
+
+def test_term_validation_fires_before_any_job(spark):
+    """Empty list / quoted / backslashed / empty-string terms raise at
+    entry, BEFORE any corpus job launches (previously an empty list
+    reached F.expr('') only after two corpus passes)."""
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    sc = spark.sparkContext
+    for bad in [[], ["ok", "in'ject"], ["back\\slash"], [""], ["ok", 7]]:
+        sc.setJobGroup("bm25-validate", "no jobs expected", False)
+        try:
+            with pytest.raises((ValueError, TypeError)):
+                retrieval.bm25_topk(df, "doc_id", "text", bad, k=5)
+            with pytest.raises((ValueError, TypeError)):
+                retrieval.score_postings(
+                    df.limit(0).selectExpr(
+                        "doc_id", "cast(1 as bigint) dl",
+                        "'x' term", "cast(1 as bigint) tf"),
+                    bad, 10, 100, 5)
+        finally:
+            sc.setJobGroup(None, None)
+        assert sc.statusTracker().getJobIdsForGroup("bm25-validate") == []
+
+
+def test_length_norm_survives_web_scale_constants(spark):
+    """The driver-folded Q kills the dl*N overflow: with N=1e10 docs and
+    kilotoken dl (the regime where the old dl*N*1e6 int64 product wrapped
+    silently), scores stay positive, finite and correctly ordered. The
+    corpus scalars are injected directly (score_postings takes them as
+    ints) — no 1e10-row fixture needed."""
+    n_docs, total_tokens = 10**10, 10**13  # avgdl = 1000
+    post = spark.createDataFrame(
+        [(1, 1000, "join", 5), (2, 4000, "join", 5), (3, 1000, "join", 1)],
+        "doc_id: bigint, dl: bigint, term: string, tf: bigint",
+    )
+    rows = {r["doc_id"]: r["score_micros"]
+            for r in retrieval.score_postings(
+                post, ["join"], n_docs, total_tokens, 10).collect()}
+    assert all(0 < v < 2**62 for v in rows.values()), rows
+    # same tf, 4x the length => strictly lower score; higher tf wins
+    assert rows[1] > rows[2] and rows[1] > rows[3]
+    # cross-check doc 1 against the float formulation to 1e-4 relative
+    # (df = 3: all three posting rows carry the term)
+    idf = math.log(1 + (n_docs - 3 + 0.5) / (3 + 0.5))
+    exp = idf * 5 * 2.2 / (5 + 1.2 * (0.25 + 0.75 * 1000 / 1000))
+    assert abs(rows[1] / 1e6 - exp) <= 1e-4 * exp
+
+
+def test_doc_term_pairs_positional_tf_on_adversarial_runs(spark):
+    """The positional run-boundary tf (round-8 rewrite of the quadratic
+    array_position form): singleton runs, long runs, first/last-position
+    runs, and an all-distinct doc all produce exact (term, tf) postings."""
+    docs = spark.createDataFrame(
+        [
+            (1, "z a a a a m z z b"),          # runs at both ends + middle
+            (2, "only"),                        # single token
+            (3, "d c b a"),                     # all distinct (worst case
+                                                # for the old array_position)
+            (4, "t t t t t t t"),               # one run = whole doc
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in retrieval.doc_term_pairs(docs, "doc_id", "text", 4).collect()
+    }
+    assert got == {
+        (1, "a"): (4, 9), (1, "b"): (1, 9), (1, "m"): (1, 9), (1, "z"): (3, 9),
+        (2, "only"): (1, 1),
+        (3, "a"): (1, 4), (3, "b"): (1, 4), (3, "c"): (1, 4), (3, "d"): (1, 4),
+        (4, "t"): (7, 7),
+    }
