@@ -126,32 +126,69 @@ def decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
 # ---------------------------------------------------------------------------
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _order_key(df: DataFrame, id_col: str, order_col: str | None) -> str:
+    """The packing order key MUST be an integral column: floor(key /
+    bucket_span) on a string id silently casts to NULL buckets and rows
+    vanish from the layout (the engine's own docs-out table has string ids
+    like 'doc-00000003'). Refuse loudly — callers with string ids pass an
+    explicit numeric ``order_col`` (e.g. the digits parsed out of the id,
+    or a precomputed dense rank) — the geometry-guard idiom: a wrong
+    layout must never be writable."""
+    key = order_col or id_col
+    dtype = dict(df.dtypes).get(key)
+    if dtype not in _INTEGRAL_TYPES:
+        raise ValueError(
+            f"pack order key {key!r} must be an integral column, got "
+            f"{dtype!r} — pass order_col with a numeric key (string ids "
+            f"would floor-div to NULL buckets and silently drop rows)"
+        )
+    return key
+
+
 def pack_sequences(df: DataFrame, id_col: str, text_col: str,
-                   ctx_len: int = 2048, bucket_span: int = 1024) -> DataFrame:
+                   ctx_len: int = 2048, bucket_span: int = 1024,
+                   order_col: str | None = None,
+                   count_col: str | None = None) -> DataFrame:
     """Assign every non-empty doc its token interval in the concatenated
     corpus stream and the ctx_len packs it lands in.
 
     Output: (doc_id, n_tokens, tok_start, pack_start, pack_end, n_packs)
-    where tok_start is the doc's exclusive token prefix-sum in doc_id order,
-    pack_start/pack_end = the first/last floor(token/ctx_len) window the doc
-    touches. Deterministic: the layout is a pure function of the corpus.
+    where tok_start is the doc's exclusive token prefix-sum in order-key
+    order, pack_start/pack_end = the first/last floor(token/ctx_len) window
+    the doc touches. Deterministic: the layout is a pure function of the
+    corpus.
+
+    ``order_col``: integral column defining stream order (default: id_col,
+    which must itself be integral — enforced loudly, see _order_key).
+    ``count_col``: pre-computed per-doc token count to pack by (e.g. the
+    BPE ``n_tokens`` bpe_encode emits — the count a training job actually
+    consumes); default is the whitespace token_count of text_col.
 
     The prefix sum is a two-level distributed scan, NOT a global window:
-      1. bucket = floor(doc_id / bucket_span); one groupBy gives per-bucket
+      1. bucket = floor(key / bucket_span); one groupBy gives per-bucket
          token totals (n_buckets rows).
       2. exclusive bucket offsets via a window over that BUCKET table only
          (single task over n_docs/bucket_span narrow rows — pick bucket_span
          so this fits: 10^6 at 10^12 docs; recurse the same construction if
          it ever doesn't).
-      3. within-bucket exclusive window PARTITION BY bucket ORDER BY doc_id,
+      3. within-bucket exclusive window PARTITION BY bucket ORDER BY key,
          plus the broadcast bucket offset.
     The result is bucket_span-invariant (property-tested), so the knob is
     purely physical."""
+    key = _order_key(df, id_col, order_col)
+    counted = (
+        F.col(count_col).cast("bigint") if count_col
+        else token_count(F.col(text_col)).cast("bigint")
+    )
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        F.col(key).alias("_key"),
+        counted.alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
-    b = toks.withColumn("bucket", F.floor(F.col("doc_id") / bucket_span))
+    b = toks.withColumn("bucket", F.floor(F.col("_key") / bucket_span))
 
     totals = b.groupBy("bucket").agg(F.sum("n_tokens").alias("bt"))
     # Window over the bucket table only: <= n_docs/bucket_span rows.
@@ -162,7 +199,7 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
     )
 
     in_w = (
-        Window.partitionBy("bucket").orderBy("doc_id")
+        Window.partitionBy("bucket").orderBy("_key")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     tok_start = (
@@ -184,14 +221,17 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
 
 
 def pack_manifest(df: DataFrame, id_col: str, text_col: str,
-                  ctx_len: int = 2048, bucket_span: int = 1024) -> DataFrame:
+                  ctx_len: int = 2048, bucket_span: int = 1024,
+                  order_col: str | None = None,
+                  count_col: str | None = None) -> DataFrame:
     """Per-pack rollup of pack_sequences: (pack_id, n_docs, n_tokens) where
     a doc spanning k packs contributes its per-pack token share to each.
     Integer-exact: tokens_in_pack = min(tok_end, (p+1)*ctx) - max(tok_start,
     p*ctx). The explode fans each doc out to its (usually 1-2) packs, then
     one groupBy on pack_id — all full packs carry exactly ctx_len tokens
     (asserted by the property tests); only the final pack may be short."""
-    packed = pack_sequences(df, id_col, text_col, ctx_len, bucket_span)
+    packed = pack_sequences(df, id_col, text_col, ctx_len, bucket_span,
+                            order_col=order_col, count_col=count_col)
     per_pack = packed.select(
         "doc_id", "tok_start",
         (F.col("tok_start") + F.col("n_tokens")).alias("tok_end"),
@@ -339,9 +379,15 @@ def upsample_domains(df: DataFrame, id_col: str, domain_col: str,
     ``factors_bp[domain]`` is the repetition factor in basis points
     (25_000 = 2.5 epochs; 5_000 = keep half); unlisted domains get
     ``default_bp``. Each doc emits floor(f) full copies plus one extra iff
-    md5(doc_id) mod 10^4 < frac(f) — integer-exact, deterministic, and
-    per-doc independent (the same doc decides its fractional copy the
-    same way under any partitioning or rerun).
+    md5('upsample:' || doc_id) mod 10^4 < frac(f) — integer-exact,
+    deterministic, and per-doc independent (the same doc decides its
+    fractional copy the same way under any partitioning or rerun). The
+    hash is SALTED with the operator name: temperature_mix and
+    q_quality_sample threshold the UNSALTED md5(doc_id), so without the
+    salt a composed pipeline's decisions would be perfectly correlated —
+    e.g. after temperature_mix at rate_bp=5000, every survivor in a
+    domain with fractional part >= 5000 bp would get the extra copy
+    (100% instead of the promised fraction), biasing realized epochs.
 
     Output (doc_id, domain, copy, factor_bp): copy = 0..n_copies-1 keeps
     downstream shuffles/writes able to treat each repetition as a distinct
@@ -359,7 +405,8 @@ def upsample_domains(df: DataFrame, id_col: str, domain_col: str,
     ftbl = spark.createDataFrame(rows, "domain: string, factor_bp: bigint") \
         if rows else spark.createDataFrame([], "domain: string, factor_bp: bigint")
     h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("upsample:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("bigint") % 10_000
     )
     return (

@@ -828,7 +828,9 @@ WITH f(domain, factor_bp) AS (VALUES {vals}),
 d AS (
   SELECT doc_id, source AS domain,
          CAST(COALESCE(f.factor_bp, 10000) AS BIGINT) AS factor_bp,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS h
+         -- salted per-operator (prep.upsample_domains): composed keep
+         -- decisions must be independent of temperature_mix's unsalted hash
+         ('0x' || substr(md5('upsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS h
   FROM documents LEFT JOIN f ON f.domain = documents.source),
 n AS (
   SELECT doc_id, domain, factor_bp,
