@@ -1018,10 +1018,13 @@ def q_bm25_incr(spark, sf_dir):
     """The INCREMENTALLY-maintained BM25 index (streaming/index_stream.py):
     the documents table arrives as 3 foreachBatch deliveries (doc_id % 3),
     each appending (batch_id, tb)-partitioned postings + a 1-row stats
-    partition; the query prunes to its terms' tb buckets across all
-    batches and scores with the shared integer-closed tail. Same oracle as
-    q_bm25_topk/q_bm25_indexed: the gate pins streaming == batch == SQL.
-    Store memoized per process (the q_ann_pq_idx pattern)."""
+    partition; rebase_every=2 folds batches 0-1 into the tb-partitioned
+    base after the 2nd delivery (the round-8 scheduled in-place rebase),
+    so the query reads base + the batch-2 delta — the mixed path a
+    long-running stream serves — prunes to its terms' tb buckets and
+    scores with the shared integer-closed tail. Same oracle as
+    q_bm25_topk/q_bm25_indexed: the gate pins streaming == rebase ==
+    batch == SQL. Store memoized per process (the q_ann_pq_idx pattern)."""
     import shutil
 
     from .streaming.index_stream import bm25_topk_incr, make_index_batch
@@ -1030,7 +1033,8 @@ def q_bm25_incr(spark, sf_dir):
     root = _scratch("bm25_incr", sf_dir)
     if root not in _BM25_INCR_BUILT or not os.path.isdir(root):
         shutil.rmtree(root, ignore_errors=True)
-        pb = make_index_batch(spark, root, n_buckets=_BM25_IDX_BUCKETS)
+        pb = make_index_batch(spark, root, n_buckets=_BM25_IDX_BUCKETS,
+                              rebase_every=2)
         for bid in range(3):
             pb(d.filter(F.col("doc_id") % 3 == bid), bid)
         _BM25_INCR_BUILT.add(root)
