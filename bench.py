@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     # round 7c: scan-route BM25 at sf (zero-shuffle projection + top-k;
     # the indexed route's cost is the pruned-bucket read, fixture-bound)
     "q_bm25_topk",
+    # round 8: the composed end-to-end training-data product (curate ->
+    # strip -> decontaminate -> redact -> mix -> upsample -> BPE -> pack,
+    # one lineage-tracked job; the audit is the returned frame). The cost
+    # is the whole chain: the query rebuilds its scratch product per call
+    "q_training_data",
 ]
 
 N_REPS = int(os.environ.get("BENCH_REPS", "3"))

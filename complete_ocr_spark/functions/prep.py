@@ -299,7 +299,8 @@ def pii_counts(col: Column) -> tuple[Column, Column, Column]:
 
 def temperature_mix(df: DataFrame, id_col: str, domain_col: str,
                     tau: float = 0.5, target_num: int = 1,
-                    target_den: int = 2) -> DataFrame:
+                    target_den: int = 2,
+                    annotate: bool = False) -> DataFrame:
     """Deterministic domain-rebalanced sample: keep ~(target_num/target_den)
     of the corpus with per-domain quotas proportional to n_domain^tau — the
     temperature-sampling mix (tau<1 upweights small domains) used for
@@ -318,7 +319,10 @@ def temperature_mix(df: DataFrame, id_col: str, domain_col: str,
     filter — join-free per row otherwise, no corpus-sized shuffle at all.
 
     Returns kept rows: (doc_id, domain, rate_bp) with rate_bp the domain's
-    keep rate in basis points (audit signal)."""
+    keep rate in basis points (audit signal). ``annotate=True`` returns
+    EVERY input row with a ``keep`` boolean instead of filtering — the
+    audit-trail form composed runners record (a dropped doc's rate is part
+    of its verdict)."""
     if tau == 0.5:
         s_s = F.floor(F.sqrt(F.col("n_s")) * 1_000_000).cast("bigint")
     elif tau == 1.0:
@@ -361,17 +365,23 @@ def temperature_mix(df: DataFrame, id_col: str, domain_col: str,
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint") % 10_000
     )
-    return (
+    joined = (
         df.select(F.col(id_col).alias("doc_id"), F.col(domain_col).alias("domain"))
         .join(F.broadcast(rates), "domain")
-        .filter(h < F.col("rate_bp"))
+    )
+    if annotate:
+        return joined.select("doc_id", "domain", "rate_bp",
+                             (h < F.col("rate_bp")).alias("keep"))
+    return (
+        joined.filter(h < F.col("rate_bp"))
         .select("doc_id", "domain", "rate_bp")
     )
 
 
 def upsample_domains(df: DataFrame, id_col: str, domain_col: str,
                      factors_bp: dict[str, int],
-                     default_bp: int = 10_000) -> DataFrame:
+                     default_bp: int = 10_000,
+                     annotate: bool = False) -> DataFrame:
     """Per-domain repetition factors — the 'epochs' column of the GPT-3 /
     Llama pretraining mix tables (Wikipedia x3.4, books x1.x, web x<1),
     the UPSAMPLING complement of temperature_mix (whose rates are <= 1).
@@ -397,7 +407,11 @@ def upsample_domains(df: DataFrame, id_col: str, domain_col: str,
     Scale shape: one broadcast join of the <= n_domains-row factor table,
     then a per-row sequence explode — zero corpus-sized shuffle; output
     volume is sum(f_s * n_s), exactly the token budget the mix table
-    promises."""
+    promises.
+
+    ``annotate=True`` skips the explode and returns one row per INPUT doc:
+    (doc_id, domain, n_copies, factor_bp) including n_copies = 0 (a
+    downsampled-away doc) — the audit-trail form composed runners record."""
     spark = df.sparkSession
     rows = [(d, int(bp)) for d, bp in sorted(factors_bp.items())]
     if any(bp < 0 for _, bp in rows) or default_bp < 0:
@@ -409,7 +423,7 @@ def upsample_domains(df: DataFrame, id_col: str, domain_col: str,
             F.lit("upsample:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("bigint") % 10_000
     )
-    return (
+    base = (
         df.select(F.col(id_col).alias("doc_id"),
                   F.col(domain_col).alias("domain"))
         .join(F.broadcast(ftbl), "domain", "left")
@@ -417,7 +431,14 @@ def upsample_domains(df: DataFrame, id_col: str, domain_col: str,
                     F.coalesce("factor_bp", F.lit(int(default_bp))))
         .withColumn("_n", F.expr("factor_bp div 10000")
                     + F.when(h < F.col("factor_bp") % 10_000, 1).otherwise(0))
-        .filter(F.col("_n") > 0)
+    )
+    if annotate:
+        return base.select(
+            "doc_id", "domain",
+            F.col("_n").cast("bigint").alias("n_copies"), "factor_bp",
+        )
+    return (
+        base.filter(F.col("_n") > 0)
         .select(
             "doc_id", "domain",
             F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy"),

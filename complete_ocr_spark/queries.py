@@ -843,6 +843,208 @@ WHERE n_copies > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end training-data product (prep_io.write_training_data, round-7
+# verdict #1): curate -> strip -> decontaminate -> redact -> temperature-mix
+# -> upsample -> BPE train/encode -> pack, one lineage-tracked resumable job.
+# The driver row hashes the composed AUDIT (every stage's decision + signal
+# per input doc) against ONE generated SQL oracle built from the same CTE
+# generators the constituent queries use. The BPE/pack halves (not
+# SQL-expressible) are gated by the independent Python composition in
+# tests/test_prep_io.py.
+_TD_FACTORS = {"src0": 23_000, "src3": 5_000}  # 2.3 epochs / half an epoch
+_TD_DECON_N, _TD_BENCH_MOD = 5, 97  # bench = every 97th doc's raw text
+_TD_CTX, _TD_MERGES = 256, 16
+
+
+def _td_root(spark, sf_dir) -> str:
+    """Build the training-data product at a scratch root and return it.
+    Rebuilt per call (the q_curate_incr convention, NOT the memo pattern):
+    the bench measures the whole composed chain, and the correctness gate
+    exercises a cold build every run."""
+    import shutil
+
+    from . import prep_io
+
+    root = _scratch("training_data", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _TD_BENCH_MOD == 0).select(
+        "doc_id", "text")
+    prep_io.write_training_data(
+        spark, d, bench, root,
+        languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
+        max_dup_line_frac=_CUR_MAX_DLF, max_top_bigram_frac=_CUR_MAX_TBF,
+        min_bigram_tokens=_CUR_MIN_BGT, max_symbol_ratio=_CUR_MAX_SYM,
+        max_dup_segment_frac=_CUR_MAX_SEGF,
+        seg_win=_SEG_WIN, seg_stride=_SEG_STRIDE,
+        max_hamming=_SH_MAX_HAMMING, n_blocks=4,
+        decon_n=_TD_DECON_N, mix_tau=0.5, mix_num=1, mix_den=2,
+        upsample_bp=_TD_FACTORS, n_merges=_TD_MERGES, ctx_len=_TD_CTX,
+    )
+    return root
+
+
+def q_training_data(spark, sf_dir):
+    """The composed training-data product's per-doc AUDIT
+    (prep_io.write_training_data): curation signals + drop_reason,
+    decontamination overlap, PII counts on the cleaned text, temperature-
+    mix rate + verdict, repetition factor + copy count — with the FIRST
+    failing stage as ``stage`` and kept + every stage reconciling to the
+    input count by construction. Gated against one generated SQL oracle
+    composing the same CTE generators the constituent driver rows use;
+    the product's BPE/pack tables are gated by the independent Python
+    composition in tests/test_prep_io.py."""
+    from .prep_io import AUDIT_COLS, read_training_audit
+
+    root = _td_root(spark, sf_dir)
+    return read_training_audit(spark, root).select("doc_id", *AUDIT_COLS)
+
+
+def _training_ctes() -> str:
+    """The composed CTE chain shared by the training-data oracles: the
+    curation CTEs (as_cte form), the strip consumer over the kept docs,
+    the decon gram overlap over the cleaned text, the PII counts, the mix
+    rates over the decon survivors, and the salted upsample copy counts —
+    every constant shared with the engine call."""
+    cur = _curate_sql("stride", semantic=False, as_cte=True)
+    em, ip, ph = prep.EMAIL_RE, prep.IPV4_RE, prep.PHONE_RE
+    segk = _segment_dedup_sql(src="keptd").strip()
+    n = _TD_DECON_N
+    fvals = ", ".join(
+        f"('{d}', {bp})" for d, bp in sorted(_TD_FACTORS.items()))
+    return cur + rf""",
+keptd AS MATERIALIZED (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN cur ON cur.doc_id = d.doc_id AND cur.keep),
+segk AS MATERIALIZED ({segk}),
+stoksk AS MATERIALIZED (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM keptd),
+tpk AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
+  FROM stoksk),
+keptt AS (
+  SELECT tpk.doc_id, tpk.tok, tpk.pos
+  FROM tpk LEFT JOIN segk s
+    ON s.doc_id = tpk.doc_id AND tpk.pos >= s.span_start AND tpk.pos < s.span_end
+  WHERE s.doc_id IS NULL),
+cleaned AS MATERIALIZED (
+  SELECT k.doc_id, COALESCE(a.text_clean, '') AS text_clean
+  FROM keptd k LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+    FROM keptt GROUP BY doc_id) a ON a.doc_id = k.doc_id),
+btoks AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents WHERE doc_id % {_TD_BENCH_MOD} = 0),
+bg AS MATERIALIZED (
+  SELECT DISTINCT
+         md5(array_to_string(w[CAST(i AS BIGINT) + 1 : CAST(i AS BIGINT) + {n}], ' ')) AS g
+  FROM btoks, LATERAL unnest(range(len(w) - {n} + 1)) AS u(i)
+  WHERE len(w) >= {n}),
+dtoks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text_clean)), '\s+', ' ', 'g'), ' ') AS w
+  FROM cleaned),
+dgr AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([md5(array_to_string(w[CAST(i AS BIGINT) + 1 : CAST(i AS BIGINT) + {n}], ' '))
+                        FOR i IN range(len(w) - {n} + 1)]) AS grams
+  FROM dtoks WHERE len(w) >= {n}),
+dex AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g FROM dgr),
+contam AS MATERIALIZED (
+  SELECT doc_id, ROUND(COUNT(*) * 1.0 / ANY_VALUE(n_grams), 6) AS contamination
+  FROM dex JOIN bg USING (g)
+  GROUP BY doc_id
+  HAVING COUNT(*) >= 1),
+cleaned2 AS MATERIALIZED (
+  SELECT c.doc_id, c.text_clean FROM cleaned c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)),
+piic AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text_clean, '{em}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(s1, '{ip}')) AS BIGINT) AS n_ips,
+         CAST(len(regexp_extract_all(s1, '{ph}')) AS BIGINT) AS n_phones
+  FROM (SELECT doc_id, text_clean,
+               regexp_replace(text_clean, '{em}', '<EMAIL>', 'g') AS s1
+        FROM cleaned2)),
+mixsrc AS (
+  SELECT c.doc_id, d.source AS domain
+  FROM cleaned2 c JOIN documents d ON d.doc_id = c.doc_id),
+mixc AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_s FROM mixsrc GROUP BY 1),
+mixw AS (SELECT domain, n_s, CAST(FLOOR(SQRT(n_s) * 1000000) AS BIGINT) AS s_s
+         FROM mixc),
+mixt AS (SELECT domain, n_s, s_s,
+                CAST(SUM(s_s) OVER () AS BIGINT) AS S,
+                CAST(SUM(n_s) OVER () AS BIGINT) AS N
+         FROM mixw),
+mixr AS (SELECT domain,
+                LEAST(CAST(10000 AS BIGINT),
+                      (10000 * LEAST(n_s, ((N * 1) // 2) * s_s // S)) // n_s)
+                  AS rate_bp
+         FROM mixt),
+mixk AS MATERIALIZED (
+  SELECT m.doc_id, m.domain, r.rate_bp,
+         ('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+           < r.rate_bp AS mkeep
+  FROM mixsrc m JOIN mixr r USING (domain)),
+ftbl(domain, factor_bp) AS (VALUES {fvals}),
+upsn AS MATERIALIZED (
+  SELECT k.doc_id,
+         CAST(COALESCE(ftbl.factor_bp, 10000) AS BIGINT) AS factor_bp,
+         CAST(CAST(COALESCE(ftbl.factor_bp, 10000) AS BIGINT) // 10000
+              + CASE WHEN ('0x' || substr(md5('upsample:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                          < CAST(COALESCE(ftbl.factor_bp, 10000) AS BIGINT) % 10000
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM (SELECT doc_id, domain FROM mixk WHERE mkeep) k
+  LEFT JOIN ftbl ON ftbl.domain = k.domain)"""
+
+
+def _training_audit_sql() -> str:
+    """The composed audit oracle (q_training_data docstring): one SQL
+    statement over the shared CTE chain."""
+    return _training_ctes() + """
+SELECT doc_id, lang, quality, n_tokens, dup_line_frac, top_bigram_frac,
+       sym_ratio, eval_overlap, n_emails, n_ips, n_phones, rate_bp,
+       factor_bp, n_copies, stage IS NULL AS keep, stage
+FROM (
+  SELECT c.doc_id, c.lang, c.quality, c.n_tokens, c.dup_line_frac,
+         c.top_bigram_frac, c.sym_ratio,
+         CASE WHEN c.keep THEN COALESCE(ct.contamination, 0.0) END AS eval_overlap,
+         p.n_emails, p.n_ips, p.n_phones,
+         mk.rate_bp, u.factor_bp, u.n_copies,
+         CASE WHEN NOT c.keep THEN c.drop_reason
+              WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+              WHEN NOT COALESCE(mk.mkeep, FALSE) THEN 'mix_sampled'
+              WHEN u.n_copies = 0 THEN 'upsample_dropped'
+         END AS stage
+  FROM cur c
+  LEFT JOIN contam ct ON ct.doc_id = c.doc_id
+  LEFT JOIN piic p ON p.doc_id = c.doc_id
+  LEFT JOIN mixk mk ON mk.doc_id = c.doc_id
+  LEFT JOIN upsn u ON u.doc_id = c.doc_id)
+"""
+
+
+def _training_texts_sql() -> str:
+    """The independent text_final of every stream member (n_copies > 0):
+    the strip output redacted with the engine's PII chain — the input
+    tests/test_prep_io.py feeds the independent Python BPE + pack
+    composition (BPE is not SQL-expressible; this SQL ends where SQL
+    can)."""
+    em, ip, ph = prep.EMAIL_RE, prep.IPV4_RE, prep.PHONE_RE
+    return _training_ctes() + f"""
+SELECT u.doc_id,
+       regexp_replace(regexp_replace(regexp_replace(c2.text_clean,
+           '{em}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'),
+           '{ph}', '<PHONE>', 'g') AS text_final,
+       u.n_copies
+FROM upsn u JOIN cleaned2 c2 ON c2.doc_id = u.doc_id
+WHERE u.n_copies > 0
+"""
+
+
 # hashed-linear quality classifier: buckets sized so fixture docs collide
 # into a shared vocabulary (256 buckets over ~2k distinct fixture tokens)
 # and threshold 0 splits the corpus (weights are ~uniform signed micros, so
@@ -1511,7 +1713,12 @@ FROM {prefix}d WHERE ROUND(dot / (sqrt(na) * sqrt(nc)), 6) >= {threshold}"""
 
 
 def _curate_sql(segment_scheme: str | None = "stride",
-                semantic: bool = False, media: bool = False) -> str:
+                semantic: bool = False, media: bool = False,
+                as_cte: bool = False) -> str:
+    """The generated curation oracle. ``as_cte=True`` returns the same
+    query with its final SELECT wrapped as a ``cur`` CTE and no trailing
+    statement — composed oracles (q_training_data) append their own CTEs
+    and final SELECT to it."""
     langs = ", ".join(f"'{lg}'" for lg in _CUR_LANGS)
     pair_sql = _simhash_near_dup_sql(4, "surv2").strip()
     if segment_scheme is None:
@@ -1600,6 +1807,24 @@ medd AS (SELECT doc_id FROM medfrac WHERE dmf > {_CUR_MAX_MEDIA})"""
         med_clause, med_when, med_col, med_col_inner, med_join = (
             "", "", "", "", ""
         )
+    final_select = rf"""SELECT doc_id, lang, quality, n_tokens, dup_line_frac, top_bigram_frac,
+       sym_ratio{med_col}, drop_reason IS NULL AS keep, drop_reason
+FROM (
+  SELECT a.doc_id, a.lang, a.quality, a.n_tokens, a.dup_line_frac,
+         a.top_bigram_frac, a.sym_ratio{med_col_inner},
+         CASE WHEN a.text IS NULL
+                   OR regexp_replace(a.text, '\s+', '', 'g') = '' THEN 'empty'
+              WHEN a.lang NOT IN ({langs}) THEN 'lang'
+              WHEN a.quality < {_CUR_MIN_Q} THEN 'quality'
+              WHEN a.dup_line_frac > {_CUR_MAX_DLF} THEN 'dup_lines'
+              WHEN a.top_bigram_frac > {_CUR_MAX_TBF}
+                   AND a.n_tokens >= {_CUR_MIN_BGT} THEN 'bigram_repeat'
+              WHEN a.sym_ratio > {_CUR_MAX_SYM} THEN 'symbol_ratio'
+              WHEN a.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
+              WHEN a.doc_id IN (SELECT doc_id FROM segdrop) THEN 'dup_segments'
+              WHEN a.doc_id IN (SELECT doc FROM neard) THEN 'near_dup'{sem_when}{med_when}
+         END AS drop_reason
+  FROM ann a{med_join})"""
     return rf"""
 WITH RECURSIVE bq AS (
   SELECT doc_id, text, length(text) AS n,
@@ -1662,26 +1887,9 @@ conn(a, b) AS (
   UNION
   SELECT c.a, e.b FROM conn c JOIN ed e ON c.b = e.a),
 lab AS (SELECT a AS doc, LEAST(a, MIN(b)) AS cluster FROM conn GROUP BY a),
-neard AS MATERIALIZED (SELECT doc FROM lab WHERE doc != cluster){sem_clause}{med_clause}
-SELECT doc_id, lang, quality, n_tokens, dup_line_frac, top_bigram_frac,
-       sym_ratio{med_col}, drop_reason IS NULL AS keep, drop_reason
-FROM (
-  SELECT a.doc_id, a.lang, a.quality, a.n_tokens, a.dup_line_frac,
-         a.top_bigram_frac, a.sym_ratio{med_col_inner},
-         CASE WHEN a.text IS NULL
-                   OR regexp_replace(a.text, '\s+', '', 'g') = '' THEN 'empty'
-              WHEN a.lang NOT IN ({langs}) THEN 'lang'
-              WHEN a.quality < {_CUR_MIN_Q} THEN 'quality'
-              WHEN a.dup_line_frac > {_CUR_MAX_DLF} THEN 'dup_lines'
-              WHEN a.top_bigram_frac > {_CUR_MAX_TBF}
-                   AND a.n_tokens >= {_CUR_MIN_BGT} THEN 'bigram_repeat'
-              WHEN a.sym_ratio > {_CUR_MAX_SYM} THEN 'symbol_ratio'
-              WHEN a.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
-              WHEN a.doc_id IN (SELECT doc_id FROM segdrop) THEN 'dup_segments'
-              WHEN a.doc_id IN (SELECT doc FROM neard) THEN 'near_dup'{sem_when}{med_when}
-         END AS drop_reason
-  FROM ann a{med_join})
-"""
+neard AS MATERIALIZED (SELECT doc FROM lab WHERE doc != cluster){sem_clause}{med_clause}{
+    ",%scur AS MATERIALIZED (%s%s)" % (chr(10), final_select, chr(10))
+    if as_cte else chr(10) + final_select + chr(10)}"""
 
 
 def q_lang_id(spark, sf_dir):
@@ -3867,11 +4075,15 @@ REGISTRY: dict[str, tuple] = {
     # incremental == full recompute: the promoted streaming-curation view
     # hashes against the SAME generated SQL as batch curation
     "q_curate_incr": (q_curate_incr, _curate_sql("stride", semantic=False)),
+    # the composed end-to-end training-data product (round 8): curation ->
+    # strip -> decontaminate -> redact -> mix -> upsample audit, ONE
+    # generated oracle; q_strip_dup_segments folded to anchors for the
+    # slot — its exact strip CTEs ride inside this oracle
+    "q_training_data": (q_training_data, _training_audit_sql()),
     "q_minhash_bands": (q_minhash_bands, _minhash_bands_sql()),
     "q_embed_near_dup_srp": (q_embed_near_dup_srp, _srp_sql()),
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
     "q_cdc_dedup": (q_cdc_dedup, _cdc_dedup_sql()),
-    "q_strip_dup_segments": (q_strip_dup_segments, _strip_segments_sql()),
     "q_ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "q_ann_ivf_bcast": (q_ann_ivf_bcast, _ivf_sql()),
     "q_ann_pq": (q_ann_pq, _PQ_SQL_TRAINED),
@@ -3922,7 +4134,11 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     "q_layout_classes_prima": (q_layout_classes_prima, _layout_prima_sql()),
     # the untrained PQ path (round-4's q_ann_pq) stays under the hash gate
     "q_ann_pq_seeded": (q_ann_pq_seeded, _pq_sql(trained=False)),
-    # the CDC strip consumer (the stride consumer holds the driver slot)
+    # the stride strip consumer: folded r8 for q_training_data's driver
+    # slot — its exact strip CTEs ride inside that composed oracle, and
+    # the operator stays hash-gated here every pytest run
+    "q_strip_dup_segments": (q_strip_dup_segments, _strip_segments_sql()),
+    # the CDC strip consumer
     "q_strip_dup_chunks": (q_strip_dup_chunks, _strip_chunks_sql()),
     # segment span detection: folded r7 to make driver-window room for the
     # media-tier curation variant; its consumers (q_strip_dup_segments) and
