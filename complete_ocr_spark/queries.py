@@ -1485,35 +1485,16 @@ def q_corpus_curation_cdc(spark, sf_dir):
     )
 
 
-def q_corpus_curation_media(spark, sf_dir):
-    """q_corpus_curation with the MULTIMODAL tier (round-6 verdict #2): each
-    doc's linked media (an md5-derived doc->fixture-ref link both engines
-    recompute identically) is scored against the corpus's visual dup
-    clusters (functions.media_dedup over the committed fixture, signatures
-    memoized — the q_media_near_dup store reused), and a doc whose linked
-    media are mostly non-canonical dup-cluster members drops as
-    ``media_dup`` even though its text is unique — the re-hosted gallery /
-    scan-mirror case no text tier can see. Gates + exact + near tiers as in
-    q_corpus_curation (segment/semantic off — the scheme deltas hold their
-    own driver slots); the oracle recomputes the link and reads the
-    committed independent brute-force cluster golden."""
-    from .functions.curate import curate_corpus
-    from .functions.media_dedup import media_dup_clusters_from_sigs, media_phash
-
-    d = _t(spark, sf_dir, "documents")
-    media = spark.read.parquet(MEDIA_FIXTURE)
-    store = _scratch("media_phash", MEDIA_FIXTURE)
-    if store not in _MEDIA_SIG_BUILT or not os.path.isdir(store):
-        media_phash(media).write.mode("overwrite").parquet(store)
-        _MEDIA_SIG_BUILT.add(store)
-    clusters = media_dup_clusters_from_sigs(
-        spark.read.parquet(store), max_hamming=3, n_blocks=8
-    )
+def _media_fixture_link(spark, d, media):
+    """The md5-derived doc -> fixture-media link (each doc samples
+    _MG_REFS_PER_DOC refs by hashed index) — both engines recompute it
+    identically; shared by the batch media-tier query and the full-tier
+    incremental runner."""
     n_refs = media.count()  # fixture-sized dim: one bounded driver read
     refs = media.select("media_ref").withColumn(
         "idx", F.row_number().over(W.orderBy("media_ref")) - 1
     )
-    link = (
+    return (
         d.select("doc_id")
         .crossJoin(
             spark.range(_MG_REFS_PER_DOC).select(F.col("id").alias("j"))
@@ -1538,6 +1519,33 @@ def q_corpus_curation_media(spark, sf_dir):
         .join(F.broadcast(refs), "idx")
         .select("doc_id", "media_ref")
     )
+
+
+def q_corpus_curation_media(spark, sf_dir):
+    """q_corpus_curation with the MULTIMODAL tier (round-6 verdict #2): each
+    doc's linked media (an md5-derived doc->fixture-ref link both engines
+    recompute identically) is scored against the corpus's visual dup
+    clusters (functions.media_dedup over the committed fixture, signatures
+    memoized — the q_media_near_dup store reused), and a doc whose linked
+    media are mostly non-canonical dup-cluster members drops as
+    ``media_dup`` even though its text is unique — the re-hosted gallery /
+    scan-mirror case no text tier can see. Gates + exact + near tiers as in
+    q_corpus_curation (segment/semantic off — the scheme deltas hold their
+    own driver slots); the oracle recomputes the link and reads the
+    committed independent brute-force cluster golden."""
+    from .functions.curate import curate_corpus
+    from .functions.media_dedup import media_dup_clusters_from_sigs, media_phash
+
+    d = _t(spark, sf_dir, "documents")
+    media = spark.read.parquet(MEDIA_FIXTURE)
+    store = _scratch("media_phash", MEDIA_FIXTURE)
+    if store not in _MEDIA_SIG_BUILT or not os.path.isdir(store):
+        media_phash(media).write.mode("overwrite").parquet(store)
+        _MEDIA_SIG_BUILT.add(store)
+    clusters = media_dup_clusters_from_sigs(
+        spark.read.parquet(store), max_hamming=3, n_blocks=8
+    )
+    link = _media_fixture_link(spark, d, media)
     return curate_corpus(
         d, "doc_id", "text", languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
         max_dup_line_frac=_CUR_MAX_DLF, max_top_bigram_frac=_CUR_MAX_TBF,
@@ -1597,6 +1605,61 @@ def q_curate_incr(spark, sf_dir):
     return read_curated_incr(spark, root).select(
         "doc_id", "lang", "quality", "n_tokens", "dup_line_frac",
         "top_bigram_frac", "sym_ratio", "keep", "drop_reason",
+    )
+
+
+def q_curate_incr_full(spark, sf_dir):
+    """INCREMENTAL curation with ALL TIERS ON (round-8: closes the
+    curate_stream semantic/media carve-out): the same 4 monotone-range
+    deliveries as q_curate_incr, with the real streaming semantic body
+    (SRP band + vector + verified-pair stores over the embeddings of each
+    batch's near survivors) and the real streaming media body (per-batch
+    links + the perceptual-signature dedup_stream stack over
+    newly-arriving fixture media). The returned frame is the PROMOTED
+    view — near_dup from the cluster log, semantic_dup from connected
+    components over the persisted verified pairs restricted to promoted
+    survivors, media_dup (and the audited dup_media_frac) recomputed
+    against the media cluster log — and the oracle is the SAME generated
+    SQL as batch curation with segment+semantic+media on: incremental ==
+    full recompute, now for every tier."""
+    import shutil
+
+    from .streaming.curate_stream import make_curate_batch, read_curated_incr
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    media = spark.read.parquet(MEDIA_FIXTURE)
+    link = _media_fixture_link(spark, d, media)
+    root = _scratch("curate_incr_full", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    hi = d.agg(F.max("doc_id")).collect()[0][0]  # one bounded driver read
+    per = (int(hi) + _CI_BATCHES) // _CI_BATCHES  # ceil((hi+1)/B)
+    pb = make_curate_batch(
+        spark, root, id_col="doc_id", text_col="text",
+        languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
+        max_dup_line_frac=_CUR_MAX_DLF, max_top_bigram_frac=_CUR_MAX_TBF,
+        min_bigram_tokens=_CUR_MIN_BGT, max_symbol_ratio=_CUR_MAX_SYM,
+        max_dup_segment_frac=_CUR_MAX_SEGF,
+        seg_win=_SEG_WIN, seg_stride=_SEG_STRIDE,
+        max_hamming=_SH_MAX_HAMMING, n_blocks=4,
+        embeddings=e, emb_dim=_SRP_DIM,
+        semantic_threshold=_CUR_SEM_THR,
+        sem_bits=_CUR_SEM_BITS, sem_tables=_CUR_SEM_TABLES,
+        doc_media=link, media=media,
+        max_dup_media_frac=_CUR_MAX_MEDIA,
+        media_max_hamming=3, media_n_blocks=8,
+    )
+    for k in range(_CI_BATCHES):
+        pb(
+            d.filter(
+                (F.col("doc_id") >= k * per) & (F.col("doc_id") < (k + 1) * per)
+            ),
+            k,
+        )
+    return read_curated_incr(spark, root).select(
+        "doc_id", "lang", "quality", "n_tokens", "dup_line_frac",
+        "top_bigram_frac", "sym_ratio", "dup_media_frac", "keep",
+        "drop_reason",
     )
 
 
@@ -4138,6 +4201,12 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     # slot — its exact strip CTEs ride inside that composed oracle, and
     # the operator stays hash-gated here every pytest run
     "q_strip_dup_segments": (q_strip_dup_segments, _strip_segments_sql()),
+    # round 8: incremental curation with the semantic + media tiers ON —
+    # the promoted view hashes against the SAME generated SQL as batch
+    # curation with segment+semantic+media (incremental == full recompute
+    # for every tier; q_curate_incr keeps the lexical driver slot)
+    "q_curate_incr_full": (
+        q_curate_incr_full, _curate_sql("stride", semantic=True, media=True)),
     # the CDC strip consumer
     "q_strip_dup_chunks": (q_strip_dup_chunks, _strip_chunks_sql()),
     # segment span detection: folded r7 to make driver-window room for the

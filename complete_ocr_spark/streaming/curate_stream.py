@@ -59,11 +59,33 @@ cluster-log promotion equals batch connected components under ANY order.
 idempotent; its canon is first-arrival instead of min-id — the honest
 streaming semantics.)
 
+5. semantic dedup (optional, round 8) — near survivors with an embedding
+   row feed the real streaming.semantic_stream body (SRP band + vector +
+   verified-pair stores under ``sem/``); batch-time flags (strictly-earlier
+   verified match) are the ``semantic_dup`` evidence. Because the batch
+   tier runs over NEAR-DUP SURVIVORS — a set that itself changes under
+   near-dup promotion — promotion reruns connected components over the
+   persisted verified pairs RESTRICTED to current upstream survivors
+   (|pairs|-sized, never corpus-sized): exact batch semantics at every
+   prefix.
+6. media dedup (optional, round 8) — the arriving docs' media links are
+   persisted under ``links/``; media payloads not seen in a strictly
+   earlier batch feed the real dedup_stream body with the PERCEPTUAL
+   signature kernel (media_dedup.media_sig_fn) under ``media/`` — the
+   whole banded/flag/cluster-log stack on visual hashes. Batch-time gate:
+   fraction of the doc's links flagged so far > max_dup_media_frac =>
+   ``media_dup``. Promotion recomputes the fraction against the media
+   CLUSTER LOG's non-minimums (labels = component min media_ref — the
+   same canon batch clusters use, so the media gate is exact at every
+   prefix under ANY arrival order; the gate is a per-doc test against
+   corpus-level media evidence, independent of which docs survive).
+
 Scale shape: per batch = the cheap-gate map + one fb-pruned fp probe + the
-segment and dedup bodies' own pruned probes — cost tracks |batch|, never
-the corpus. The semantic and media tiers stay batch-only (they gate
-against corpus-level embedding/visual evidence whose incremental stores
-are future work); ``curate_corpus`` remains the full-recompute reference.
+segment, dedup, semantic and media bodies' own pruned probes — cost tracks
+|batch|, never the corpus. ``curate_corpus`` remains the full-recompute
+reference; the promoted view equals it at every prefix (monotone-id
+arrival for the lexical tiers; the semantic CC and media gate are
+arrival-order-free).
 """
 
 from __future__ import annotations
@@ -102,6 +124,9 @@ def curate_stream_paths(out_root: str) -> dict[str, str]:
         "fps": os.path.join(out_root, "fps"),
         "seg": os.path.join(out_root, "seg"),
         "dedup": os.path.join(out_root, "dedup"),
+        "sem": os.path.join(out_root, "sem"),
+        "media": os.path.join(out_root, "media"),
+        "links": os.path.join(out_root, "links"),
         "training": os.path.join(out_root, "training"),
         "audit": os.path.join(out_root, "audit"),
         "lineage": os.path.join(out_root, "curated_lineage"),
@@ -125,7 +150,18 @@ def make_curate_batch(spark: SparkSession, out_root: str,
                       n_fp_buckets: int = N_FP_BUCKETS,
                       n_buckets: int = DEFAULT_N_BUCKETS,
                       sig_fn=None,
-                      maintenance_every: int | None = None):
+                      maintenance_every: int | None = None,
+                      embeddings: DataFrame | None = None,
+                      emb_id_col: str = "vec_id",
+                      emb_vec_col: str = "embedding",
+                      emb_dim: int = 64,
+                      semantic_threshold: float = 0.95,
+                      sem_bits: int = 10, sem_tables: int = 2,
+                      doc_media: DataFrame | None = None,
+                      media: DataFrame | None = None,
+                      max_dup_media_frac: float = 0.5,
+                      media_max_hamming: int = 3,
+                      media_n_blocks: int = 8):
     """foreachBatch body, exposed for direct re-delivery testing (module
     doc). Parameters mirror curate_corpus' lexical tiers; ``sig_fn`` and
     ``maintenance_every`` pass through to the near-dup body
@@ -150,6 +186,16 @@ def make_curate_batch(spark: SparkSession, out_root: str,
         "cdc_window_k": cdc_window_k,
         "max_hamming": max_hamming, "n_blocks": n_blocks,
         "n_fp_buckets": n_fp_buckets, "n_buckets": n_buckets,
+        # the optional corpus-evidence tiers (round 8): presence + the
+        # decision-relevant parameters (the frames themselves have no
+        # stable serialization — curate_io._GEOMETRY_EXCLUDED rationale)
+        "semantic": embeddings is not None,
+        "emb_dim": emb_dim, "semantic_threshold": semantic_threshold,
+        "sem_bits": sem_bits, "sem_tables": sem_tables,
+        "media_tier": doc_media is not None,
+        "max_dup_media_frac": max_dup_media_frac,
+        "media_max_hamming": media_max_hamming,
+        "media_n_blocks": media_n_blocks,
     }))
     heur = heuristic_reason(
         text_col, languages, min_quality, max_dup_line_frac,
@@ -169,6 +215,27 @@ def make_curate_batch(spark: SparkSession, out_root: str,
         maintain_clusters=True, sig_fn=sig_fn,
         maintenance_every=maintenance_every,
     )
+    pb_sem = pb_media = None
+    if embeddings is not None:
+        from .semantic_stream import make_semantic_dedup_batch
+
+        pb_sem = make_semantic_dedup_batch(
+            spark, paths["sem"], id_col=id_col, vec_col=emb_vec_col,
+            dim=emb_dim, threshold=semantic_threshold,
+            n_bits=sem_bits, n_tables=sem_tables,
+        )
+    if doc_media is not None:
+        from ..functions.media_dedup import media_sig_fn
+
+        if media is None:
+            raise ValueError(
+                "doc_media requires the media table (payload rows) — the "
+                "incremental tier signs arriving media itself")
+        pb_media = make_dedup_batch(
+            spark, paths["media"], id_col="media_ref", text_col="payload",
+            max_hamming=media_max_hamming, n_blocks=media_n_blocks,
+            maintain_clusters=True, sig_fn=media_sig_fn,
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
@@ -257,7 +324,74 @@ def make_curate_batch(spark: SparkSession, out_root: str,
             read_flags(spark, paths["dedup"], id_type)
             .filter(F.col("batch_id") == bid)
             .select(F.col("doc").alias(id_col))
+            .localCheckpoint()  # feeds the sem-input anti-join AND audit
         )
+        # 5. semantic tier (module doc #5): near survivors with embeddings
+        sem_flagged = None
+        if pb_sem is not None:
+            from .semantic_stream import read_semantic_flags
+
+            sem_in = (
+                seg_surv.join(near_flagged, id_col, "left_anti")
+                .select(id_col)
+                .join(
+                    embeddings.select(
+                        F.col(emb_id_col).alias(id_col),
+                        F.col(emb_vec_col),
+                    ),
+                    id_col,
+                )
+            )
+            pb_sem(sem_in, bid)
+            sem_flagged = (
+                read_semantic_flags(spark, paths["sem"], id_type)
+                .filter(F.col("batch_id") == bid)
+                .select(F.col("doc").alias(id_col))
+            )
+        # 6. media tier (module doc #6): persist this batch's links, sign
+        # media not seen in a strictly-earlier batch, gate on flags so far
+        media_frac = None
+        if pb_media is not None:
+            batch_links = (
+                doc_media.join(
+                    batch_df.select(id_col).distinct(), id_col
+                ).select(id_col, "media_ref").localCheckpoint()
+            )
+            (
+                batch_links.withColumn("batch_id", F.lit(bid))
+                .repartition(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(paths["links"])
+            )
+            new_refs = batch_links.select("media_ref").distinct()
+            media_sig_path = os.path.join(paths["media"], "sigs")
+            if has_parquet(media_sig_path):
+                # strictly-earlier batches only: a re-delivered batch then
+                # recomputes the same new-media set (idempotent overwrite)
+                seen = (
+                    spark.read.parquet(media_sig_path)
+                    .filter(F.col("batch_id") < bid)
+                    .select(F.col("doc").alias("media_ref")).distinct()
+                )
+                new_refs = new_refs.join(seen, "media_ref", "left_anti")
+            media_batch = media.join(new_refs, "media_ref")
+            if not media_batch.isEmpty():
+                pb_media(media_batch, bid)
+            flagged_media = (
+                read_flags(spark, paths["media"], "string")
+                .filter(F.col("batch_id") <= bid)
+                .select(F.col("doc").alias("media_ref"),
+                        F.lit(True).alias("_mf"))
+            )
+            media_frac = (
+                batch_links.join(flagged_media, "media_ref", "left")
+                .groupBy(id_col)
+                .agg(F.round(
+                    F.sum(F.when(F.col("_mf"), 1).otherwise(0))
+                    / F.count("*"), 6).alias("dup_media_frac"))
+            )
         # batch-time decision: first failing tier, in batch-curation order
         audit = (
             ann.join(
@@ -275,6 +409,19 @@ def make_curate_batch(spark: SparkSession, out_root: str,
             )
         else:
             audit = audit.withColumn("_sg", F.lit(False))
+        if sem_flagged is not None:
+            audit = audit.join(
+                sem_flagged.withColumn("_sd", F.lit(True)), id_col, "left")
+        else:
+            audit = audit.withColumn("_sd", F.lit(False))
+        audit_cols = list(AUDIT_COLS)
+        if media_frac is not None:
+            audit = audit.join(media_frac, id_col, "left").withColumn(
+                "dup_media_frac",
+                F.coalesce("dup_media_frac", F.lit(0.0)))
+            audit_cols.insert(audit_cols.index("keep"), "dup_media_frac")
+        else:
+            audit = audit.withColumn("_md", F.lit(False))
         audit = (
             audit.withColumn(
                 "drop_reason",
@@ -283,10 +430,16 @@ def make_curate_batch(spark: SparkSession, out_root: str,
                     F.when(F.coalesce("_ex", F.lit(False)), "exact_dup"),
                     F.when(F.coalesce("_sg", F.lit(False)), "dup_segments"),
                     F.when(F.coalesce("_nd", F.lit(False)), "near_dup"),
+                    F.when(F.coalesce("_sd", F.lit(False)), "semantic_dup"),
+                    F.when(
+                        F.col("dup_media_frac") > max_dup_media_frac,
+                        "media_dup",
+                    ) if media_frac is not None else F.when(
+                        F.col("_md"), "media_dup"),
                 ),
             )
             .withColumn("keep", F.col("drop_reason").isNull())
-            .select(id_col, *AUDIT_COLS)
+            .select(id_col, *audit_cols)
         )
         audit = with_bucket(audit, n_buckets, id_col=id_col).localCheckpoint()
         (
@@ -357,30 +510,111 @@ def read_curated_incr(spark: SparkSession, out_root: str,
                       id_col: str = "doc_id",
                       id_type: str = "bigint") -> DataFrame:
     """The PROMOTED curation view (module doc): every processed doc's audit
-    row, with kept docs that the online cluster log now proves to be
-    near-dup-cluster non-minimums flipped to ``near_dup``. Equals batch
-    curate_corpus over all arrived docs at every prefix under monotone-id
-    arrival. Promotion only moves keep -> drop: a doc the batch-time pass
-    flagged stays flagged (its strictly-earlier match IS a cluster edge),
-    and docs dropped by earlier tiers never entered the cluster log."""
+    row with the corpus-evidence tiers RE-RESOLVED against everything seen
+    so far. Equals batch curate_corpus over all arrived docs at every
+    prefix (monotone-id arrival for the lexical tiers; the semantic CC and
+    media gate are arrival-order-free — module doc #5/#6).
+
+    * near_dup: online-cluster-log non-minimums (as before).
+    * semantic_dup: connected components over the persisted verified pairs
+      RESTRICTED to docs surviving every earlier tier under promotion —
+      |pairs|-sized, exact batch semantics (a near-promoted doc's edges
+      drop out, exactly as batch recomputation would exclude the doc).
+    * media_dup: dup_media_frac recomputed against the media cluster log's
+      non-minimums over ALL persisted links (the audit column is updated
+      too — batch curation reports the final-cluster fraction).
+
+    Batch-time evidence is a sound subset of each promoted set, so
+    promotion only ever refines WHICH final tier names a doc and moves
+    keep -> drop, never drop -> keep. Tier order is batch curation's:
+    lexical reasons (final at batch time), then near, semantic, media."""
+    from ..functions.dedup import connected_components
+
     paths = curate_stream_paths(out_root)
+    geo_path = os.path.join(out_root, "_curate_geometry.json")
+    geo = {}
+    if os.path.exists(geo_path):
+        with open(geo_path) as f:
+            geo = json.load(f)
     audit = spark.read.parquet(paths["audit"])
-    promoted_nd = (
+    # lexical tiers are final at batch time; the promoted tiers' batch-time
+    # reasons are re-derived below (a batch-time semantic_dup doc can be
+    # revealed as a near_dup cluster member by a later bridge — batch
+    # recomputation would name near_dup, and so must promotion)
+    promoted = ("near_dup", "semantic_dup", "media_dup")
+    audit = audit.withColumn(
+        "_lex", F.when(~F.col("drop_reason").isin(*promoted),
+                       F.col("drop_reason")))
+    nd = (
         read_cluster_labels(spark, paths["dedup"], id_type)
         .filter(F.col("doc") != F.col("cluster"))
         .select(F.col("doc").alias(id_col), F.lit(True).alias("_pnd"))
     )
-    return (
-        audit.join(promoted_nd, id_col, "left")
-        .withColumn(
+    audit = audit.join(nd, id_col, "left")
+    if geo.get("semantic") and has_parquet(
+            os.path.join(paths["sem"], "pairs")):
+        from .semantic_stream import read_semantic_pairs
+
+        surv = audit.filter(
+            F.col("_lex").isNull() & F.col("_pnd").isNull()
+        ).select(F.col(id_col).alias("_s"))
+        pairs = read_semantic_pairs(spark, paths["sem"], id_type)
+        edges = (
+            pairs.join(surv.withColumnRenamed("_s", "doc"), "doc")
+            .join(surv.withColumnRenamed("_s", "dup_of"), "dup_of")
+            .select(F.col("dup_of").alias("doc1"), F.col("doc").alias("doc2"))
+        )
+        sd = (
+            connected_components(edges)
+            .filter(F.col("doc") != F.col("cluster"))
+            .select(F.col("doc").alias(id_col), F.lit(True).alias("_psd"))
+        )
+        audit = audit.join(sd, id_col, "left")
+    else:
+        audit = audit.withColumn("_psd", F.lit(None).cast("boolean"))
+    has_media = geo.get("media_tier") and has_parquet(paths["links"])
+    if has_media:
+        noncanon = (
+            read_cluster_labels(spark, paths["media"], "string")
+            .filter(F.col("doc") != F.col("cluster"))
+            .select(F.col("doc").alias("media_ref"),
+                    F.lit(True).alias("_mf"))
+        )
+        frac = (
+            spark.read.parquet(paths["links"])
+            .join(noncanon, "media_ref", "left")
+            .groupBy(id_col)
+            .agg(F.round(
+                F.sum(F.when(F.col("_mf"), 1).otherwise(0))
+                / F.count("*"), 6).alias("_dmf"))
+        )
+        audit = (
+            audit.drop("dup_media_frac")
+            .join(frac, id_col, "left")
+            .withColumn("dup_media_frac",
+                        F.coalesce("_dmf", F.lit(0.0)))
+            .withColumn(
+                "_pmd",
+                F.col("dup_media_frac")
+                > float(geo.get("max_dup_media_frac", 0.5)))
+            .drop("_dmf")
+        )
+    else:
+        audit = audit.withColumn("_pmd", F.lit(None).cast("boolean"))
+    out = (
+        audit.withColumn(
             "drop_reason",
             F.coalesce(
-                "drop_reason", F.when(F.col("_pnd"), "near_dup")
+                "_lex",
+                F.when(F.col("_pnd"), "near_dup"),
+                F.when(F.col("_psd"), "semantic_dup"),
+                F.when(F.col("_pmd"), "media_dup"),
             ),
         )
         .withColumn("keep", F.col("drop_reason").isNull())
-        .drop("_pnd")
+        .drop("_lex", "_pnd", "_psd", "_pmd")
     )
+    return out
 
 
 def read_incr_training(spark: SparkSession, out_root: str) -> DataFrame:

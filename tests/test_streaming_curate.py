@@ -263,3 +263,156 @@ def test_run_streaming_curation_end_to_end(spark, tmp_path):
     q2 = run_streaming_curation(spark, stream2, root, ckpt, **CURATE_KW)
     q2.awaitTermination(120)
     assert _incr_snapshot(spark, root) == snap
+
+
+# ---------------------------------------------------------------------------
+# round 8: the semantic + media tiers in the incremental runner
+# ---------------------------------------------------------------------------
+
+UNIQ4 = ("the vectorized engine executes columnar batches in fused "
+         "kernels and a planner re-splits the skewed exchanges of a run " * 3)
+UNIQ5 = ("checkpointed state stores replay idempotent updates after a "
+         "failure and watermarks bound the lateness of streaming rows " * 3)
+UNIQ6 = ("broadcast hash joins ship the dimension side to every task and "
+         "probe local tables without moving the large fact relation " * 3)
+
+
+def _keystream(seed, n):
+    import hashlib
+
+    out = bytearray()
+    c = 0
+    while len(out) < n:
+        out += hashlib.blake2b(f"{seed}:{c}".encode(),
+                               digest_size=64).digest()
+        c += 1
+    return bytes(out[:n])
+
+
+def _full_fixture(spark):
+    """Docs + embeddings + media engineered so every round-8 tier fires:
+    doc 10's embedding duplicates doc 0's (semantic_dup), doc 21's
+    embedding BRIDGES docs 0 and 1 (the semantic promotion case), doc 12's
+    only linked media is a re-encode of batch-0 media (media_dup)."""
+    A = [1.0, 0.0, 0.0, 0.0]
+    B = [0.8, 0.6, 0.0, 0.0]          # cos(A,B)=0.8 < thr: no direct edge
+    M = [0.95, 0.312, 0.0, 0.0]       # cos(M,A)=.95, cos(M,B)=.947 >= thr
+    C, D, E = [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0], [0.0, 1.0, 0.0, 0.0]
+    batches = [
+        [(0, GOOD), (1, UNIQ2)],
+        [(10, UNIQ3), (11, UNIQ4), (12, UNIQ5)],
+        [(21, UNIQ6)],
+    ]
+    emb = spark.createDataFrame(
+        [(0, A), (1, B), (10, A), (11, C), (12, D), (21, M)],
+        "vec_id bigint, embedding array<double>",
+    )
+    base = _keystream("page", 64 * 64)
+    reenc = bytearray(base)
+    for k in range(0, len(reenc), 997):
+        reenc[k] = (reenc[k] + 5) % 256
+    media = spark.createDataFrame(
+        [("m0", 64, 64, 1, base),
+         ("m1", 48, 80, 1, _keystream("one", 48 * 80)),
+         ("m0re", 64, 64, 1, bytes(reenc)),   # visual dup of m0
+         ("m2", 32, 96, 1, _keystream("two", 32 * 96))],
+        "media_ref string, width int, height int, n_frames int, payload binary",
+    )
+    links = spark.createDataFrame(
+        [(0, "m0"), (1, "m1"),
+         (10, "m2"), (11, "m0re"), (11, "m2"),  # frac 0.5: not > 0.5, keeps
+         (12, "m0re"),                          # frac 1.0: media_dup
+         (21, "m1")],
+        "doc_id bigint, media_ref string",
+    )
+    kw = dict(
+        CURATE_KW,
+        embeddings=emb, emb_dim=4, semantic_threshold=0.9,
+        sem_bits=1, sem_tables=2,
+        doc_media=links, media=media,
+        max_dup_media_frac=0.5, media_max_hamming=3, media_n_blocks=8,
+    )
+    return batches, emb, media, links, kw
+
+
+def _full_batch_snapshot(spark, rows, emb, media, links, kw):
+    """Batch curate_corpus over the union, with media restricted to what
+    the arrived docs link (exactly what the stream has signed)."""
+    docs = spark.createDataFrame(rows, SCHEMA)
+    seen_media = media.join(
+        links.join(docs.select("doc_id"), "doc_id")
+        .select("media_ref").distinct(), "media_ref")
+    bkw = dict(kw)
+    bkw.pop("sem_bits"), bkw.pop("sem_tables")
+    bkw.update(sem_bits=kw["sem_bits"], sem_tables=kw["sem_tables"],
+               media=seen_media)
+    cur = curate_corpus(docs, "doc_id", "text", **bkw)
+    return {
+        r["doc_id"]: (r["keep"], r["drop_reason"],
+                      round(r["dup_media_frac"], 6))
+        for r in cur.collect()
+    }
+
+
+def _full_incr_snapshot(spark, root):
+    return {
+        r["doc_id"]: (r["keep"], r["drop_reason"],
+                      round(r["dup_media_frac"], 6))
+        for r in read_curated_incr(spark, root).collect()
+    }
+
+
+def test_full_tier_prefix_equality_and_promotion(spark, tmp_path):
+    """All-tiers prefix equality: after every monotone batch, the promoted
+    incremental view (cluster-log near_dup, pair-CC semantic_dup,
+    cluster-log media_dup + recomputed dup_media_frac) equals batch
+    curate_corpus with segment+semantic+media on, over everything arrived.
+    The batch-2 bridge (doc 21's embedding links docs 0 and 1) must FLIP
+    doc 1 from kept (prefix 1) to semantic_dup (prefix 2)."""
+    batches, emb, media, links, kw = _full_fixture(spark)
+    root = str(tmp_path / "cif")
+    pb = make_curate_batch(spark, root, **kw)
+    seen = []
+    snaps = []
+    for k, rows in enumerate(batches):
+        pb(spark.createDataFrame(rows, SCHEMA), k)
+        seen += rows
+        got = _full_incr_snapshot(spark, root)
+        exp = _full_batch_snapshot(spark, seen, emb, media, links, kw)
+        assert got == exp, f"prefix {k}: {got} != {exp}"
+        snaps.append(got)
+    # the engineered evidence actually fired (non-vacuous fixture)
+    assert snaps[1][10][:2] == (False, "semantic_dup")   # identical embedding
+    assert snaps[1][12][:2] == (False, "media_dup")      # all links visual dups
+    assert snaps[1][12][2] == 1.0
+    assert snaps[1][11][:2] == (True, None)              # frac 0.5 not > 0.5
+    assert snaps[1][11][2] == 0.5
+    assert snaps[1][1][:2] == (True, None)               # kept at prefix 1...
+    assert snaps[2][1][:2] == (False, "semantic_dup")    # ...bridged at 2
+
+
+def test_full_tier_redelivery_is_idempotent(spark, tmp_path):
+    batches, emb, media, links, kw = _full_fixture(spark)
+    root = str(tmp_path / "cif")
+    pb = make_curate_batch(spark, root, **kw)
+    for k, rows in enumerate(batches):
+        pb(spark.createDataFrame(rows, SCHEMA), k)
+    before = _full_incr_snapshot(spark, root)
+    pb(spark.createDataFrame(batches[1], SCHEMA), 1)  # replay mid batch
+    assert _full_incr_snapshot(spark, root) == before
+
+
+def test_full_tier_restart_resumes_from_stores(spark, tmp_path):
+    """A fresh batch-body instance (new process after a crash) over the
+    same stores continues where the old one stopped — all three evidence
+    stores (fps/seg/dedup + sem + media) are the state, not the object."""
+    batches, emb, media, links, kw = _full_fixture(spark)
+    root = str(tmp_path / "cif")
+    make_curate_batch(spark, root, **kw)(
+        spark.createDataFrame(batches[0], SCHEMA), 0)
+    pb2 = make_curate_batch(spark, root, **kw)  # "restarted" instance
+    for k, rows in enumerate(batches[1:], start=1):
+        pb2(spark.createDataFrame(rows, SCHEMA), k)
+    seen = [r for b in batches for r in b]
+    assert _full_incr_snapshot(spark, root) == _full_batch_snapshot(
+        spark, seen, emb, media, links, kw)
