@@ -689,3 +689,73 @@ def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,
         .orderBy(F.col("score_micros").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def gumbel_table_micros(tau: float, g_bits: int = 12) -> list[int]:
+    """The quantized-Gumbel perturbation table: g[i] = floor(tau *
+    -ln(-ln((i + 0.5) / 2^g_bits)) * 1e6) for i in 0..2^g_bits-1.
+
+    The Gumbel-top-k trick (sampling k items without replacement with
+    P(i) proportional to exp(s_i / tau) == top-k of s_i + tau * G_i,
+    G_i ~ Gumbel(0,1)) needs one float draw PER DOC — which would put
+    cross-engine float arithmetic in a corpus-sized expression. Instead
+    the draw is QUANTIZED to a 2^g_bits-entry table computed driver-side
+    in Python (the dsir_weights confinement trick, applied to the noise):
+    each doc indexes the table with a salted md5, so the corpus-side plan
+    is integer-exact end-to-end and both engines agree bit-for-bit. 12
+    bits of noise resolution is far inside the sampling error of any
+    realistic k."""
+    import math
+
+    n = 1 << g_bits
+    return [
+        math.floor(tau * -math.log(-math.log((i + 0.5) / n)) * 1_000_000)
+        for i in range(n)
+    ]
+
+
+def dsir_select_sampled(raw: DataFrame, target: DataFrame, id_col: str,
+                        text_col: str, k: int, n_buckets: int = 1024,
+                        tau: float = 1.0, seed: str = "dsir",
+                        g_bits: int = 12) -> DataFrame:
+    """DSIR with the paper's Gumbel-top-k SAMPLED-without-replacement
+    selection (dsir_select's docstring deferral): every raw doc's integer
+    log-importance score is perturbed with a seeded quantized-Gumbel draw
+    (gumbel_table_micros) and the top k by perturbed score are kept —
+    P(select) proportional to exp(score / tau), yet fully deterministic
+    (same seed => same selection on every engine and rerun; a different
+    seed permutes equal-score docs differently).
+
+    The hash is salted with 'gumbel:<seed>:' so composed pipelines'
+    decisions stay independent of every other md5-threshold operator (the
+    upsample_domains lesson). Scale shape = dsir_select's: the noise table
+    rides the same broadcast-array row pattern as the weights; selection
+    stays a TakeOrderedAndProject.
+
+    Returns (doc_id, n_feats, score_micros, perturbed_micros)."""
+    if not 1 <= g_bits <= 20:
+        raise ValueError(f"g_bits must be in [1, 20], got {g_bits}")
+    w = dsir_weights(raw, target, id_col, text_col, n_buckets)
+    wm = [r["w_micros"] for r in
+          w.select("bucket", "w_micros").orderBy("bucket").collect()]
+    gt = gumbel_table_micros(tau, g_bits)
+    spark = raw.sparkSession
+    grow = spark.createDataFrame([(gt,)], "gt: array<bigint>")
+    idx = (
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"gumbel:{seed}:"),
+            F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % (1 << g_bits)
+    )
+    return (
+        dsir_score(raw, id_col, text_col, wm)
+        .crossJoin(F.broadcast(grow))
+        .withColumn(
+            "perturbed_micros",
+            (F.col("score_micros")
+             + F.element_at("gt", (idx + 1).cast("int"))).cast("bigint"),
+        )
+        .drop("gt")
+        .orderBy(F.col("perturbed_micros").desc(), F.col("doc_id"))
+        .limit(k)
+    )

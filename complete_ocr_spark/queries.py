@@ -649,6 +649,29 @@ def q_decontaminate(spark, sf_dir):
     return prep.decontaminate(corpus, bench, "doc_id", "text", n=_DECON_N)
 
 
+def q_decontaminate_incr(spark, sf_dir):
+    """INCREMENTAL decontamination (streaming/decon_stream.py): the corpus
+    arrives as 3 foreachBatch deliveries (doc_id % 3) screened against the
+    fixed benchmark gram set; the flag store's union is the answer. Same
+    oracle as q_decontaminate — the gate pins streaming == batch == SQL
+    (a pure per-doc map against fixed state, so equality holds under ANY
+    arrival order; no promotion pass exists)."""
+    import shutil
+
+    from .streaming.decon_stream import make_decon_batch, read_decon_incr
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _DECON_MOD == _DECON_REM)
+    corpus = d.filter(F.col("doc_id") % _DECON_MOD != _DECON_REM)
+    root = _scratch("decon_incr", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    pb = make_decon_batch(spark, root, bench, n=_DECON_N)
+    for bid in range(3):
+        pb(corpus.filter(F.col("doc_id") % 3 == bid), bid)
+    return read_decon_incr(spark, root).select(
+        "doc_id", "n_grams", "n_hits", "contamination")
+
+
 def _decontaminate_sql(n: int = _DECON_N) -> str:
     return rf"""
 WITH w AS (
@@ -1308,6 +1331,52 @@ FROM fb JOIN wm USING (bkt)
 WHERE fb.source <> '{_DSIR_TGT}'
 GROUP BY 1
 ORDER BY score_micros DESC, doc_id
+LIMIT {k}
+"""
+
+
+# Gumbel-top-k sampled DSIR (prep.dsir_select_sampled): the quantized
+# noise table is computed by the SAME Python (gumbel_table_micros) and
+# EMBEDDED in the generated oracle as one array literal — the float ln is
+# confined to 2^g_bits driver-side entries, never recomputed per engine
+_DSIR_TAU, _DSIR_SEED, _DSIR_GBITS = 0.5, "r8", 12
+
+
+def q_dsir_sampled(spark, sf_dir):
+    """Gumbel-top-k SAMPLED DSIR (prep.dsir_select_sampled — the
+    dsir_select docstring's deferred variant): each doc's integer score is
+    perturbed by a seeded quantized-Gumbel draw (salted md5 index into a
+    driver-computed 2^12-entry table riding one broadcast array row), and
+    the top k by perturbed score are kept — sampling without replacement
+    with P proportional to exp(score/tau), deterministic across engines
+    and reruns."""
+    raw, target = _dsir_split(spark, sf_dir)
+    return prep.dsir_select_sampled(
+        raw, target, "doc_id", "text", k=_DSIR_K, n_buckets=_DSIR_BUCKETS,
+        tau=_DSIR_TAU, seed=_DSIR_SEED, g_bits=_DSIR_GBITS,
+    )
+
+
+def _dsir_sampled_sql(k: int = _DSIR_K) -> str:
+    gt = prep.gumbel_table_micros(_DSIR_TAU, _DSIR_GBITS)
+    lit = "[" + ", ".join(str(v) for v in gt) + "]"
+    n = 1 << _DSIR_GBITS
+    return f"""
+WITH {_dsir_cte()},
+gt AS (SELECT {lit} AS g),
+scored AS (
+  SELECT fb.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(w_micros) AS BIGINT) AS score_micros
+  FROM fb JOIN wm USING (bkt)
+  WHERE fb.source <> '{_DSIR_TGT}'
+  GROUP BY 1)
+SELECT doc_id, n_feats, score_micros,
+       CAST(score_micros + g[CAST(
+         ('0x' || substr(md5('gumbel:{_DSIR_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % {n} + 1 AS INT)] AS BIGINT) AS perturbed_micros
+FROM scored, gt
+ORDER BY perturbed_micros DESC, doc_id
 LIMIT {k}
 """
 
@@ -4207,6 +4276,13 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     # for every tier; q_curate_incr keeps the lexical driver slot)
     "q_curate_incr_full": (
         q_curate_incr_full, _curate_sql("stride", semantic=True, media=True)),
+    # round 8: streaming decontamination — same oracle as q_decontaminate,
+    # pinning streaming == batch == SQL (the last prep stage to get an
+    # incremental form)
+    "q_decontaminate_incr": (q_decontaminate_incr, _decontaminate_sql()),
+    # round 8: Gumbel-top-k sampled DSIR — the noise table's float ln is
+    # driver-confined; the oracle embeds the identical table literal
+    "q_dsir_sampled": (q_dsir_sampled, _dsir_sampled_sql()),
     # the CDC strip consumer
     "q_strip_dup_chunks": (q_strip_dup_chunks, _strip_chunks_sql()),
     # segment span detection: folded r7 to make driver-window room for the

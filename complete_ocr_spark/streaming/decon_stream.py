@@ -1,0 +1,118 @@
+"""Incremental eval-set DECONTAMINATION for arriving documents — the
+streaming twin of functions.prep.decontaminate, completing the set: every
+prep stage an arriving corpus runs now has an incremental form (exact /
+segment / near / semantic / media dedup, curation, the BM25 index, and now
+decontamination).
+
+This is the cheapest twin in the stack because the operator is a PURE
+PER-DOC MAP against FIXED state: the benchmark gram set (eval sets are MBs
+and do not stream) is broadcast once, each arriving doc's grams are built
+map-side and die in the broadcast hash join unless they hit, and no
+cross-batch evidence exists — a doc's contamination verdict depends only
+on itself and the benchmark, so batch-time decisions are final, no
+promotion pass exists, and stream == batch == SQL trivially composes.
+
+Store layout: ``flags/batch_id=K`` — (doc_id, n_grams, n_hits,
+contamination) for batch K's contaminated docs (the decontaminate output
+contract), dynamic-overwrite partitioned by arrival batch so a
+re-delivered batch replaces exactly its own rows.
+
+Geometry: (n, min_hits) plus a FINGERPRINT of the benchmark gram set
+(count + xor of gram-hash prefixes — two bounded driver scalars over the
+already-tiny benchmark): a resume against a different benchmark would
+silently mix two decontamination standards in one store, so it refuses
+loudly instead (the package-wide geometry-guard contract)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.prep import benchmark_grams, decontaminate
+from ..io import require_local
+from .dedup_stream import _geometry_guard, _has_parquet
+
+
+def decon_paths(out_root: str) -> str:
+    return os.path.join(require_local(out_root, "decon out_root"), "flags")
+
+
+def _bench_fingerprint(bg: DataFrame) -> dict:
+    """(count, xor) over the benchmark gram-hash set — a stable identity
+    for the geometry sidecar; one aggregate over the (tiny) gram table."""
+    row = bg.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(cast(conv(substring(g, 1, 15), 16, 10) "
+                   "as bigint))"),
+            F.lit(0),
+        ).alias("x"),
+    ).head()
+    return {"n_grams": int(row["n"]), "xor": int(row["x"])}
+
+
+def make_decon_batch(spark: SparkSession, out_root: str,
+                     bench: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 5,
+                     min_hits: int = 1):
+    """foreachBatch body, exposed for direct re-delivery testing. The
+    benchmark gram set is computed ONCE at wiring time (it is the fixed
+    state) and its fingerprint pins the store's geometry."""
+    out_root = require_local(out_root, "decon out_root")
+    flag_path = decon_paths(out_root)
+    bg = benchmark_grams(bench, id_col, text_col, n).localCheckpoint()
+    geometry = json.loads(json.dumps({
+        "kind": "decon-stream",
+        "n": n, "min_hits": min_hits,
+        "bench": _bench_fingerprint(bg),
+    }))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        if batch_df.isEmpty():
+            return
+        _geometry_guard(out_root, geometry, filename="_decon_geometry.json")
+        flags = decontaminate(
+            batch_df, bench, id_col, text_col, n=n, min_hits=min_hits,
+        )
+        (
+            flags.withColumn("batch_id", F.lit(bid))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(flag_path)
+        )
+
+    return process_batch
+
+
+def read_decon_incr(spark: SparkSession, out_root: str,
+                    id_type: str = "bigint") -> DataFrame:
+    """Every contaminated doc flagged so far: (doc_id, n_grams, n_hits,
+    contamination, batch_id). Equals batch decontaminate over the union of
+    all arrived batches under ANY arrival order (pure per-doc map)."""
+    flag_path = decon_paths(out_root)
+    if not _has_parquet(flag_path):
+        return spark.createDataFrame(
+            [], f"doc_id {id_type}, n_grams bigint, n_hits bigint, "
+                f"contamination double, batch_id bigint")
+    return spark.read.parquet(flag_path)
+
+
+def run_streaming_decon(spark: SparkSession, source: DataFrame,
+                        out_root: str, checkpoint: str,
+                        bench: DataFrame, **kwargs) -> StreamingQuery:
+    """Wire a streaming source through the decontamination batch body with
+    exactly-once foreachBatch semantics (availableNow callers drain the
+    backlog). ``kwargs`` as in make_decon_batch."""
+    pb = make_decon_batch(spark, out_root, bench, **kwargs)
+    return (
+        source.writeStream.foreachBatch(pb)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

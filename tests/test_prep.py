@@ -478,3 +478,96 @@ def test_pack_count_col_packs_provided_token_counts(spark):
     assert rows[0]["tok_start"] == 0 and rows[0]["n_tokens"] == 10
     assert rows[1]["tok_start"] == 10 and rows[1]["pack_end"] == 1
     assert rows[3]["tok_start"] == 74 and rows[3]["pack_start"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-top-k sampled DSIR
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_corpus(spark):
+    # target domain favors "alpha beta" vocabulary; raw docs mix it in
+    # controlled amounts so scores are strictly ordered by design
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta " * 10) for i in range(5)],
+        ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(i, "alpha beta " * (1 + i % 4) + "noise" + str(i % 7) + " filler")
+         for i in range(40)]
+        # 8 EQUAL-score docs (identical text): the permutation probes
+        + [(100 + j, "alpha beta gamma") for j in range(8)],
+        ["doc_id", "text"])
+    return raw, target
+
+
+def _sel(spark, dsir_corpus, **kw):
+    raw, target = dsir_corpus
+    out = prep.dsir_select_sampled(raw, target, "doc_id", "text",
+                                   k=10, n_buckets=64, **kw)
+    return [r["doc_id"] for r in out.collect()]
+
+
+def test_sampled_dsir_deterministic_per_seed(spark, dsir_corpus):
+    a = _sel(spark, dsir_corpus, tau=1.0, seed="s1")
+    b = _sel(spark, dsir_corpus, tau=1.0, seed="s1")
+    assert a == b and len(a) == 10
+
+
+def test_sampled_dsir_seed_permutes_equal_scores(spark, dsir_corpus):
+    """Docs 100..107 share identical text (equal scores): which of them a
+    selection admits, and in what order, must depend on the seed — the
+    perturbation is a real permutation, not a tie-break by id."""
+    picks = {s: _sel(spark, dsir_corpus, tau=3.0, seed=s)
+             for s in ("s1", "s2", "s3", "s4")}
+    assert len({tuple(p) for p in picks.values()}) > 1, picks
+    # and among the equal-score block, at least one seed admits a
+    # non-prefix subset (not always the smallest ids)
+    eq_sets = {s: tuple(sorted(d for d in p if d >= 100))
+               for s, p in picks.items()}
+    assert len(set(eq_sets.values())) > 1, eq_sets
+
+
+def test_sampled_dsir_tau_zero_is_deterministic_topk(spark, dsir_corpus):
+    """tau -> 0 collapses the Gumbel noise to the zero table: the sampled
+    form degenerates to dsir_select's deterministic top-k (same ids)."""
+    raw, target = dsir_corpus
+    det = [r["doc_id"] for r in prep.dsir_select(
+        raw, target, "doc_id", "text", k=10, n_buckets=64).collect()]
+    sampled = _sel(spark, dsir_corpus, tau=0.0, seed="any")
+    # tau=0: perturbation table is all zeros, ordering ties broken by id —
+    # identical to the deterministic route
+    assert sampled == det
+
+
+def test_sampled_dsir_ranking_law(spark, dsir_corpus):
+    """P(select) increases with score: across seeds, the highest-scoring
+    doc is selected (weakly) more often than a mid-pack doc, which beats a
+    bottom doc — the Gumbel-top-k law, checked on deterministic seeds."""
+    raw, target = dsir_corpus
+    det = [r["doc_id"] for r in prep.dsir_select(
+        raw, target, "doc_id", "text", k=48, n_buckets=64).collect()]
+    top, mid, low = set(det[:6]), set(det[20:26]), set(det[-6:])
+    seeds = [f"seed{i}" for i in range(12)]
+    hits = {"top": 0, "mid": 0, "low": 0}
+    for s in seeds:
+        got = set(_sel(spark, dsir_corpus, tau=5.0, seed=s))
+        hits["top"] += len(got & top)
+        hits["mid"] += len(got & mid)
+        hits["low"] += len(got & low)
+    # tier-aggregated counts (single-doc counts are too noisy at 12 seeds)
+    assert hits["top"] >= hits["mid"] >= hits["low"], hits
+    assert hits["top"] > hits["low"], hits
+
+
+def test_gumbel_table_monotone_and_bounded(spark):
+    gt = prep.gumbel_table_micros(1.0, 8)
+    assert len(gt) == 256
+    assert gt == sorted(gt)                      # -ln(-ln(u)) is increasing
+    assert gt[0] < 0 < gt[-1]                    # spans both tails
+    assert prep.gumbel_table_micros(0.0, 8) == [0] * 256
+    with pytest.raises(ValueError, match="g_bits"):
+        prep.dsir_select_sampled(
+            spark.createDataFrame([(1, "x")], ["doc_id", "text"]),
+            spark.createDataFrame([(2, "x")], ["doc_id", "text"]),
+            "doc_id", "text", k=1, g_bits=0)
