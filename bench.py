@@ -227,6 +227,15 @@ def main() -> None:
                         "vocab-sized groupBy + a 1-row driver read, "
                         "corpus-independent after the first word-count scan",
         },
+        "q_training_data": {
+            "bound_by": "the whole composed chain, rebuilt per rep: "
+                        "curation (incl. its near-dup leg) + strip + "
+                        "decon + redact + mix + upsample + BPE training "
+                        "(16 sequential merge rounds) + encode + pack + "
+                        "5 bucketed table writes + lineage — the "
+                        "end-to-end training-data product, not one "
+                        "operator",
+        },
         "canary": {
             "frozen": "round 7 — code pinned forever; use "
                       "canary_rN/canary_rM as the cross-round session-noise "

@@ -250,6 +250,50 @@ def pack_manifest(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def epoch_shuffle(df: DataFrame, id_col: str, n_epochs: int,
+                  n_shards: int, seed: str = "ep") -> DataFrame:
+    """Deterministic per-epoch training order: every doc gets, for each
+    epoch, a (shard, pos) placement drawn from md5(seed:epoch:id) — a
+    reproducible pseudo-random permutation per epoch (different across
+    epochs, identical across reruns/engines/cluster sizes), the order a
+    multi-epoch training job reads packed data in.
+
+    Output: (epoch, shard, pos, doc_id) with pos = the doc's 1-based rank
+    inside its (epoch, shard).
+
+    Scale shape: epochs fan out MAP-SIDE (explode of a sequence literal —
+    no self-union), the only shuffle is the hash exchange feeding the
+    (epoch, shard)-partitioned rank window, and no window ever sees more
+    than one shard: pick n_shards so a shard's rows fit a task (10^5-10^6
+    shards at 10^12 docs), exactly the bucket_span knob pack_sequences
+    documents. There is NO global sort of the corpus anywhere — global
+    order is (shard, pos), materialized shard-locally."""
+    if int(n_epochs) < 1 or int(n_shards) < 1:
+        raise ValueError("n_epochs and n_shards must be >= 1")
+    keyed = df.select(F.col(id_col).alias("doc_id")).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_epochs) - 1))
+        ).alias("epoch"),
+    ).select(
+        "epoch", "doc_id",
+        F.md5(
+            F.concat_ws(":", F.lit(seed), F.col("epoch").cast("string"),
+                        F.col("doc_id").cast("string"))
+        ).alias("_k"),
+    ).select(
+        "epoch", "doc_id", "_k",
+        (F.conv(F.substring("_k", 1, 8), 16, 10).cast("bigint")
+         % int(n_shards)).cast("bigint").alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("_k", "doc_id")
+    return keyed.select(
+        F.col("epoch").cast("bigint").alias("epoch"), "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -1119,6 +1119,199 @@ FROM sized s LEFT JOIN raw r USING (doc_id)
 """
 
 
+# Hashed-classifier TRAINING (functions/classifier.py): gated against the
+# committed golden of the INDEPENDENT Counter/dict oracle
+# (oracle/classifier.py, minted by scripts/gen_goldens.py over the
+# deterministic separable fixture corpus — SF-independent, like the BPE
+# goldens). 64 buckets x 8 full-batch rounds at lr 100.0 reaches 236/240
+# train accuracy from 120/240 at init; the scored golden additionally pins
+# trainer -> scorer drop-in parity (prep.hashed_quality_score consumes the
+# trained table directly).
+_CLF_BUCKETS, _CLF_ITERS, _CLF_LR = 64, 8, 1_000_000
+CLF_WEIGHTS_GOLDEN = os.path.join(_REPO, "data", "clf_weights_golden.parquet")
+CLF_SCORED_GOLDEN = os.path.join(_REPO, "data", "clf_scored_golden.parquet")
+_CLF_TRAINED: tuple | None = None  # per-process memo (q_bpe_train pattern)
+
+
+def _clf_fixture(spark):
+    from .functions import classifier
+
+    rows = classifier.synthetic_labeled_corpus()
+    return spark.createDataFrame(rows, "doc_id: bigint, y: bigint, text: string")
+
+
+def _clf_trained(spark) -> tuple:
+    global _CLF_TRAINED
+    if _CLF_TRAINED is None:
+        from .functions import classifier
+
+        w, bias, _hist = classifier.train_hashed_classifier(
+            _clf_fixture(spark), "doc_id", "text", "y",
+            n_buckets=_CLF_BUCKETS, n_iters=_CLF_ITERS, lr_bp=_CLF_LR,
+        )
+        _CLF_TRAINED = (w, bias)
+    return _CLF_TRAINED
+
+
+def q_clf_train(spark, sf_dir):
+    """Distributed logistic-regression training of the hashed quality
+    classifier (the artifact q_quality_classifier's scorer consumes —
+    round 7's make_hashed_weights stand-in replaced by on-cluster
+    training): per round, one scalar error agg + one bounded-key gradient
+    groupBy (<= n_buckets + 1 keys) over a localCheckpoint'ed compact
+    feature table, then a pure-Python integer weight update — the BPE
+    sequential-rounds shape, nothing corpus-sized ever shuffles. Output:
+    the trained weight table, bias as bucket = n_buckets."""
+    w, bias = _clf_trained(spark)
+    return spark.createDataFrame(
+        [(b, int(x)) for b, x in enumerate(w)] + [(_CLF_BUCKETS, int(bias))],
+        "bucket: bigint, w_micros: bigint",
+    )
+
+
+def _clf_train_sql() -> str:
+    return f"""
+SELECT bucket, w_micros FROM '{CLF_WEIGHTS_GOLDEN}'
+"""
+
+
+def q_clf_scored(spark, sf_dir):
+    """The trained weights dropped straight into prep.hashed_quality_score
+    (same bucket hash, same integer margin expression) over the fixture
+    corpus — pins trainer -> scorer artifact parity bit for bit."""
+    w, bias = _clf_trained(spark)
+    scored = prep.hashed_quality_score(
+        _clf_fixture(spark), "doc_id", "text", w, bias_micros=bias,
+        threshold_micros=0,
+    )
+    return scored.filter(F.col("n_tokens") > 0).select(
+        "doc_id", "n_tokens", "score_mean_micros"
+    )
+
+
+def _clf_scored_sql() -> str:
+    return f"""
+SELECT doc_id, n_tokens, score_mean_micros FROM '{CLF_SCORED_GOLDEN}'
+"""
+
+
+def q_clf_train_scale(spark, sf_dir):
+    """The trainer on the real documents table (y = lang == 'en': learn
+    to recognize the English token distribution), 256 buckets x 4 rounds —
+    the corpus-shaped twin of the fixture anchor. Rows-only (iterative
+    training is not SQL-expressible — the q_bpe_train_scale convention)."""
+    from .functions import classifier
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+    )
+    w, bias, _hist = classifier.train_hashed_classifier(
+        d, "doc_id", "text", "y", n_buckets=256, n_iters=4,
+        lr_bp=_CLF_LR,
+    )
+    return spark.createDataFrame(
+        [(b, int(x)) for b, x in enumerate(w)] + [(256, int(bias))],
+        "bucket: bigint, w_micros: bigint",
+    )
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training order (prep.epoch_shuffle): every
+    (epoch, doc) gets a (shard, pos) placement from md5(seed:epoch:id) —
+    reproducible across reruns/engines/cluster sizes. Epochs fan out
+    map-side; the only shuffle feeds the (epoch, shard)-partitioned rank
+    window, and no window ever sees more than one shard."""
+    d = _t(spark, sf_dir, "documents")
+    return prep.epoch_shuffle(d, "doc_id", n_epochs=2, n_shards=8)
+
+
+def _epoch_shuffle_sql(n_epochs: int = 2, n_shards: int = 8) -> str:
+    return f"""
+WITH e AS (
+  SELECT doc_id, t.epoch
+  FROM documents, UNNEST(range({n_epochs})) AS t(epoch)),
+k AS (
+  SELECT epoch, doc_id,
+         md5('ep:' || CAST(epoch AS VARCHAR) || ':' ||
+             CAST(doc_id AS VARCHAR)) AS _k
+  FROM e),
+s AS (
+  SELECT epoch, doc_id, _k,
+         ('0x' || substr(_k, 1, 8))::BIGINT % {n_shards} AS shard
+  FROM k)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY epoch, shard
+                               ORDER BY _k, doc_id) AS BIGINT) AS pos,
+       doc_id
+FROM s
+"""
+
+
+def q_corpus_report(spark, sf_dir):
+    """The corpus data card (functions/report.corpus_report): docs/tokens/
+    chars totals, language mix, decimal-digit length histogram, emptiness,
+    PII density — ONE scan, one bounded-key groupBy, integer-exact. Every
+    5th doc is enriched with the q_redact_pii contact line so the PII rows
+    have partial-coverage signal (n_docs < docs)."""
+    from .functions import report
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    contact = F.concat(
+        F.lit(" u"), s(i), F.lit("@ex"), s(i % 7),
+        F.lit(".org 10."), s(i % 256), F.lit(".3."), s((i * 7) % 256),
+    )
+    enriched = F.when(i % 5 == 0, F.concat(F.col("text"), contact)) \
+        .otherwise(F.col("text"))
+    return report.corpus_report(
+        d.withColumn("text", enriched), "doc_id", "text", lang_col="lang"
+    )
+
+
+def _corpus_report_sql() -> str:
+    em, ip, ph = prep.EMAIL_RE, prep.IPV4_RE, prep.PHONE_RE
+    return rf"""
+WITH e AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' u' || CAST(doc_id AS VARCHAR) || '@ex' ||
+           CAST(doc_id % 7 AS VARCHAR) || '.org 10.' ||
+           CAST(doc_id % 256 AS VARCHAR) || '.3.' ||
+           CAST((doc_id * 7) % 256 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents),
+ne AS (
+  SELECT *, regexp_replace(text, '{em}', '<EMAIL>', 'g') AS s1,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS l
+  FROM e),
+sized AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN array_to_string(l, '') = '' THEN 0 ELSE len(l) END AS nt,
+         CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS em,
+         CAST(len(regexp_extract_all(s1, '{ip}')) AS BIGINT) AS ip,
+         CAST(len(regexp_extract_all(s1, '{ph}')) AS BIGINT) AS ph
+  FROM ne)
+SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(v) AS BIGINT) AS total
+FROM (
+  SELECT 'docs' AS metric, 1::BIGINT AS v FROM sized
+  UNION ALL SELECT 'empty_docs', 1 FROM sized WHERE nt = 0
+  UNION ALL SELECT 'tokens', nt FROM sized WHERE nt > 0
+  UNION ALL SELECT 'chars', length(text) FROM sized
+  UNION ALL SELECT 'len_digits:' || CAST(length(CAST(nt AS VARCHAR)) AS VARCHAR),
+                   1 FROM sized WHERE nt > 0
+  UNION ALL SELECT 'pii_emails', em FROM sized WHERE em > 0
+  UNION ALL SELECT 'pii_ips', ip FROM sized WHERE ip > 0
+  UNION ALL SELECT 'pii_phones', ph FROM sized WHERE ph > 0
+  UNION ALL SELECT 'lang:' || lang, 1 FROM sized WHERE nt > 0 AND lang IS NOT NULL
+) GROUP BY 1
+"""
+
+
 # DSIR importance resampling (prep.dsir_*): target = one source slice
 # ('src0', ~5% of docs — "the Wikipedia-like domain sample"), raw = the
 # rest; hashed unigram+bigram features into 1024 buckets. The weight table
@@ -4320,6 +4513,17 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     "q_bpe_train": (q_bpe_train, _bpe_train_sql()),
     "q_bpe_encode": (q_bpe_encode, _bpe_encode_sql()),
     "q_bpe_train_scale": (q_bpe_train_scale, None),
+    # round 8: on-cluster TRAINING of the hashed quality classifier vs the
+    # independent integer-LR oracle's committed goldens (q_quality_classifier
+    # keeps the scoring gate; q_clf_scored pins trainer -> scorer drop-in
+    # parity); the scale twin is rows-only (iterative, like BPE)
+    "q_clf_train": (q_clf_train, _clf_train_sql()),
+    "q_clf_scored": (q_clf_scored, _clf_scored_sql()),
+    "q_clf_train_scale": (q_clf_train_scale, None),
+    # round 8: deterministic per-epoch training order + the corpus data
+    # card (one-scan bounded-key profiling report)
+    "q_epoch_shuffle": (q_epoch_shuffle, _epoch_shuffle_sql()),
+    "q_corpus_report": (q_corpus_report, _corpus_report_sql()),
     # DSIR: the weight-table stage (the end-to-end q_dsir_select holds the
     # driver slot); q_quality_sample folded r7 to make that room
     "q_dsir_weights": (q_dsir_weights, _dsir_weights_sql()),

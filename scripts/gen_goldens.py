@@ -284,6 +284,46 @@ def gen_bpe_goldens(docs, n_merges: int = 48, min_pair_count: int = 2) -> None:
           "bpe_encode_golden:", len(enc), "rows")
 
 
+def gen_clf_goldens(n_buckets: int = 64, n_iters: int = 8,
+                    lr_bp: int = 1_000_000) -> None:
+    """Hashed-classifier training + scoring goldens over the deterministic
+    separable fixture corpus — the INDEPENDENT integer-LR oracle
+    (oracle/classifier.py) the distributed trainer
+    (functions/classifier.py) is hash-gated against.  Parameters must
+    match queries.py's _CLF_BUCKETS/_CLF_ITERS/_CLF_LR."""
+    from complete_ocr_spark.functions.classifier import synthetic_labeled_corpus
+    from complete_ocr_spark.oracle import classifier as oclf
+
+    rows = synthetic_labeled_corpus()
+    w, bias, hist = oclf.train(rows, n_buckets, n_iters, lr_bp)
+    table = list(enumerate(w)) + [(n_buckets, bias)]
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "bucket": pa.array([b for b, _ in table], pa.int64()),
+                "w_micros": pa.array([x for _, x in table], pa.int64()),
+            }
+        ),
+        os.path.join(DATA, "clf_weights_golden.parquet"),
+    )
+    scored = oclf.score(rows, w, bias, n_buckets)
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([s[0] for s in scored], pa.int64()),
+                "n_tokens": pa.array([s[1] for s in scored], pa.int64()),
+                "score_mean_micros": pa.array([s[2] for s in scored],
+                                              pa.int64()),
+            }
+        ),
+        os.path.join(DATA, "clf_scored_golden.parquet"),
+    )
+    print("clf_weights_golden:", len(table), "rows;",
+          "clf_scored_golden:", len(scored), "rows;",
+          "final train acc:", hist[-1]["n_correct"], "/",
+          hist[-1]["n_docs"])
+
+
 if __name__ == "__main__":
     docs = _docs()
     gen_extract_golden(docs)
@@ -294,3 +334,4 @@ if __name__ == "__main__":
     gen_singular_golden(docs)
     gen_media_fixture_and_golden()
     gen_bpe_goldens(docs)
+    gen_clf_goldens()

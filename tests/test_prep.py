@@ -571,3 +571,111 @@ def test_gumbel_table_monotone_and_bounded(spark):
             spark.createDataFrame([(1, "x")], ["doc_id", "text"]),
             spark.createDataFrame([(2, "x")], ["doc_id", "text"]),
             "doc_id", "text", k=1, g_bits=0)
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle (deterministic per-epoch training order)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def shuffle_docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+    )
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch(shuffle_docs):
+    out = prep.epoch_shuffle(shuffle_docs, "doc_id", n_epochs=3,
+                             n_shards=4).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert sorted(by_epoch) == [0, 1, 2]
+    for rows in by_epoch.values():
+        # every doc exactly once
+        assert sorted(r["doc_id"] for r in rows) == list(range(200))
+        # pos is contiguous 1..n within each shard
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for ps in by_shard.values():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_epoch_shuffle_orders_differ_across_epochs(shuffle_docs):
+    out = prep.epoch_shuffle(shuffle_docs, "doc_id", n_epochs=2,
+                             n_shards=1).collect()
+    order = {e: [r["doc_id"] for r in sorted(
+        (x for x in out if x["epoch"] == e), key=lambda x: x["pos"])]
+        for e in (0, 1)}
+    assert order[0] != order[1]          # different epoch, different order
+    assert sorted(order[0]) == sorted(order[1])
+
+
+def test_epoch_shuffle_deterministic_and_seeded(shuffle_docs):
+    a = sorted(map(tuple, prep.epoch_shuffle(
+        shuffle_docs, "doc_id", 2, 4).collect()))
+    b = sorted(map(tuple, prep.epoch_shuffle(
+        shuffle_docs, "doc_id", 2, 4).collect()))
+    c = sorted(map(tuple, prep.epoch_shuffle(
+        shuffle_docs, "doc_id", 2, 4, seed="other").collect()))
+    assert a == b
+    assert a != c
+
+
+def test_epoch_shuffle_guards(shuffle_docs):
+    with pytest.raises(ValueError, match=">= 1"):
+        prep.epoch_shuffle(shuffle_docs, "doc_id", 0, 4)
+    with pytest.raises(ValueError, match=">= 1"):
+        prep.epoch_shuffle(shuffle_docs, "doc_id", 1, 0)
+
+
+def test_epoch_shuffle_single_exchange(shuffle_docs):
+    """Epoch fan-out is map-side; the rank window's hash exchange is the
+    ONLY shuffle (no global sort of the corpus)."""
+    plan = prep.epoch_shuffle(shuffle_docs, "doc_id", 4, 8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus_report (the data card)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_report_reconciles(spark):
+    from complete_ocr_spark.functions.report import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (0, "one two three", "en"),
+            (1, "   ", "en"),            # empty: only docs/empty/chars
+            (2, "uno dos", "es"),
+            (3, "a@b.com wrote this", "en"),
+            (4, None, None),             # null text: counts as empty? no —
+        ],                               # null splits to [''] -> empty
+        "doc_id: bigint, text: string, lang: string",
+    )
+    got = {r["metric"]: (r["n_docs"], r["total"])
+           for r in corpus_report(df.fillna({"text": ""}), "doc_id",
+                                  "text", "lang").collect()}
+    assert got["docs"] == (5, 5)
+    assert got["empty_docs"] == (2, 2)
+    assert got["tokens"] == (3, 3 + 2 + 3)
+    assert got["lang:en"] == (2, 2)      # empty en doc takes no lang row
+    assert got["lang:es"] == (1, 1)
+    assert got["pii_emails"] == (1, 1)
+    assert "pii_ips" not in got          # no hits -> no row
+    assert got["len_digits:1"] == (3, 3)
+
+
+def test_corpus_report_single_bounded_groupby(spark):
+    from complete_ocr_spark.functions.report import corpus_report
+
+    df = spark.createDataFrame([(0, "a b", "en")],
+                               "doc_id: bigint, text: string, lang: string")
+    plan = corpus_report(df, "doc_id", "text", "lang") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1  # one scan, one agg
