@@ -171,6 +171,15 @@ def main() -> None:
     }
     reg["canary"] = _canary
     bench_queries = [] if os.environ.get("BENCH_EXTRACT_ONLY") else BENCH_QUERIES
+    if os.environ.get("BENCH_ONLY"):
+        # supplemental sessions: measure a named subset (always with the
+        # canary so the artifact stays cross-session comparable) without
+        # perturbing the frozen headline suite above
+        only = [q.strip() for q in os.environ["BENCH_ONLY"].split(",") if q.strip()]
+        unknown = [q for q in only if q not in reg]
+        if unknown:
+            raise ValueError(f"BENCH_ONLY names unknown queries: {unknown}")
+        bench_queries = (["canary"] if "canary" not in only else []) + only
     reps: dict[str, list[float]] = {name: [] for name in bench_queries}
     for name in bench_queries:  # warm pass (not measured)
         reg[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

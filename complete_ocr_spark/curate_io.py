@@ -26,6 +26,7 @@ plan is the price of global dedup; rewriting finished output is not.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -45,7 +46,8 @@ from .streaming.dedup_stream import _geometry_guard
 # — the decision-relevant facts — since the frames themselves have no stable
 # serialization.
 _GEOMETRY_EXCLUDED = ("embeddings", "near_dup_sig_store", "doc_media",
-                      "media", "media_clusters", "media_sig_store")
+                      "media", "media_clusters", "media_sig_store",
+                      "clf_weights")  # identity pinned via the clf fingerprint
 
 AUDIT_COLS = ("lang", "quality", "n_tokens", "dup_line_frac",
               "top_bigram_frac", "sym_ratio", "keep", "drop_reason")
@@ -97,6 +99,14 @@ def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
         "cdc_window_k": cdc_window_k,
         "semantic": curate_kwargs.get("embeddings") is not None,
         "media_tier": curate_kwargs.get("doc_media") is not None,
+        # model gate (round 8): pin the weight ARTIFACT's identity, not the
+        # list (a 2^20-bucket table would bloat the sidecar unreadable)
+        "clf": None if curate_kwargs.get("clf_weights") is None else {
+            "n_buckets": len(curate_kwargs["clf_weights"]),
+            "fingerprint": hashlib.md5(",".join(
+                str(int(w)) for w in curate_kwargs["clf_weights"]
+            ).encode()).hexdigest(),
+        },
         **{k: v for k, v in sorted(curate_kwargs.items())
            if k not in _GEOMETRY_EXCLUDED},
     }))
@@ -135,6 +145,8 @@ def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
     audit_cols = list(AUDIT_COLS)
     if "dup_media_frac" in curated.columns:  # media tier on: audit its signal
         audit_cols.insert(audit_cols.index("keep"), "dup_media_frac")
+    if "model_quality_micros" in curated.columns:  # model tier on: ditto
+        audit_cols.insert(audit_cols.index("keep"), "model_quality_micros")
     audit = _bucket(curated.select(id_col, *audit_cols))
     if done is not None:
         # global decisions, pruned writes: only pending buckets are written

@@ -186,7 +186,10 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                   media_clusters: DataFrame | None = None,
                   max_dup_media_frac: float = 0.5,
                   media_max_hamming: int = 3, media_n_blocks: int = 8,
-                  media_sig_store: str | None = None) -> DataFrame:
+                  media_sig_store: str | None = None,
+                  clf_weights: list[int] | None = None,
+                  clf_bias_micros: int = 0,
+                  clf_threshold_micros: int = 0) -> DataFrame:
     """Annotate every document with its keep/drop decision (module doc).
 
     ``max_dup_segment_frac`` (off by default) inserts a SEGMENT-level stage
@@ -223,6 +226,15 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
     to the link table) + one groupBy on the doc id — no payload ever rides
     either shuffle.
 
+    ``clf_weights`` (off by default) appends the MODEL-quality gate after
+    ``symbol_ratio``: the hashed-linear classifier margin (the
+    prep.hashed_quality_score integer contract — weights trainable
+    on-cluster via functions/classifier.train_hashed_classifier) must
+    reach ``clf_threshold_micros`` or the doc drops as ``model_quality``.
+    A narrow map against one broadcast weight row (zero shuffle); the
+    margin is returned as ``model_quality_micros`` (present only when the
+    tier is on, NULL on empty docs).
+
     Returns the input columns plus (lang, quality, n_tokens, dup_line_frac,
     top_bigram_frac, sym_ratio, keep boolean, drop_reason string|null).
     Deterministic: survivors of each dedup stage are the minimum doc ids,
@@ -235,7 +247,29 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
         max_top_bigram_frac, min_bigram_tokens, max_symbol_ratio,
     )
     heur = heuristic_reason(*gate_args)
-    passed = annotated.filter(heuristic_pass(*gate_args))
+    # model-quality gate (optional, module doc #5b): the CCNet step — the
+    # hashed-linear classifier's margin (functions/prep.hashed_quality_score
+    # contract, trainable on-cluster via functions/classifier) against a
+    # threshold. A per-doc narrow map vs a FIXED broadcast weight artifact,
+    # so it ranks with the heuristic gates: after symbol_ratio (it costs a
+    # token-stream fold where 1-5 are cheap scalars), before any dedup tier.
+    model_pass = None
+    if clf_weights is not None:
+        from .prep import quality_margin_col
+
+        annotated = quality_margin_col(
+            annotated, text_col, clf_weights, bias_micros=clf_bias_micros,
+        )
+        model_pass = (
+            F.col("model_quality_micros").isNotNull()
+            & (F.col("model_quality_micros")
+               >= F.lit(int(clf_threshold_micros)))
+        )
+        heur = heur.when(~model_pass, "model_quality")
+    passed = annotated.filter(
+        heuristic_pass(*gate_args)
+        & (model_pass if model_pass is not None else F.lit(True))
+    )
     # exact dedup: every doc that is NOT its fingerprint group's minimum id.
     # groupBy + join back, NOT a window over fp: a window puts every row of a
     # hot fingerprint (a boilerplate page repeated 10^7 times) into ONE task's

@@ -573,6 +573,40 @@ def hashed_quality_score(
     )
 
 
+def quality_margin_col(df: DataFrame, text_col: str,
+                       weights_micros: list[int],
+                       bias_micros: int = 0,
+                       out_col: str = "model_quality_micros") -> DataFrame:
+    """hashed_quality_score's margin appended AS A COLUMN (``out_col``),
+    keeping every input column — for pipelines that must keep their row
+    shape (the curation model gate) without a doc-keyed join back.
+
+    Identical integer contract: margin = (sum of the doc's buckets'
+    micro-weights + bias) div n_tokens, NULL on empty/whitespace docs.
+    The weight table rides ONE broadcast array<bigint> row; the corpus
+    side is a single Catalyst projection — zero shuffle, a narrow map."""
+    n = len(weights_micros)
+    spark = df.sparkSession
+    wrow = spark.createDataFrame(
+        [(list(int(w) for w in weights_micros),)], "_qmw: array<bigint>"
+    )
+    toks = F.split(normalized(F.col(text_col)), " ")
+    margin = F.expr(
+        f"(aggregate(transform(_qm_t, t -> element_at(_qmw, int(conv("
+        f"substring(md5(t), 1, 8), 16, 10) % {n}) + 1)), bigint(0), "
+        f"(a, x) -> a + x) + bigint({int(bias_micros)})) div size(_qm_t)"
+    )
+    return (
+        df.crossJoin(F.broadcast(wrow))
+        .withColumn("_qm_t", toks)
+        .withColumn(
+            out_col,
+            F.when(F.array_join("_qm_t", "") != "", margin),
+        )
+        .drop("_qmw", "_qm_t")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR: data selection via importance resampling (hashed n-gram LLR)
 # ---------------------------------------------------------------------------

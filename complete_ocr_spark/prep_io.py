@@ -68,6 +68,7 @@ prefix-sum, never a global window.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -91,7 +92,8 @@ from .streaming.dedup_stream import _geometry_guard
 # see curate_io._GEOMETRY_EXCLUDED: DataFrames and scratch handles carry no
 # stable serialization; their decision-relevant PRESENCE is recorded instead
 _GEOMETRY_EXCLUDED = ("embeddings", "near_dup_sig_store", "doc_media",
-                      "media", "media_clusters", "media_sig_store")
+                      "media", "media_clusters", "media_sig_store",
+                      "clf_weights")  # identity pinned via the clf fingerprint
 
 AUDIT_COLS = ("lang", "quality", "n_tokens", "dup_line_frac",
               "top_bigram_frac", "sym_ratio", "eval_overlap",
@@ -158,6 +160,14 @@ def write_training_data(
         "ctx_len": ctx_len,
         "semantic": curate_kwargs.get("embeddings") is not None,
         "media_tier": curate_kwargs.get("doc_media") is not None,
+        # model gate (round 8): pin the weight ARTIFACT's identity, not the
+        # list (a 2^20-bucket table would bloat the sidecar unreadable)
+        "clf": None if curate_kwargs.get("clf_weights") is None else {
+            "n_buckets": len(curate_kwargs["clf_weights"]),
+            "fingerprint": hashlib.md5(",".join(
+                str(int(w)) for w in curate_kwargs["clf_weights"]
+            ).encode()).hexdigest(),
+        },
         **{k: v for k, v in sorted(curate_kwargs.items())
            if k not in _GEOMETRY_EXCLUDED},
     }))

@@ -1312,6 +1312,36 @@ FROM (
 """
 
 
+def q_corpus_report_incr(spark, sf_dir):
+    """INCREMENTAL data card (streaming/report_stream.py): the corpus
+    arrives as 3 foreachBatch deliveries (doc_id % 3); the promoted view
+    sums the per-batch partial reports. Same oracle as q_corpus_report —
+    every metric is a per-doc sum, so stream == batch == SQL under ANY
+    arrival order (no cross-batch evidence, no promotion pass)."""
+    import shutil
+
+    from .streaming.report_stream import make_report_batch, read_report_incr
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    contact = F.concat(
+        F.lit(" u"), s(i), F.lit("@ex"), s(i % 7),
+        F.lit(".org 10."), s(i % 256), F.lit(".3."), s((i * 7) % 256),
+    )
+    enriched = d.withColumn(
+        "text",
+        F.when(i % 5 == 0, F.concat(F.col("text"), contact))
+        .otherwise(F.col("text")),
+    )
+    root = _scratch("report_incr", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    pb = make_report_batch(spark, root, "doc_id", "text", lang_col="lang")
+    for bid in range(3):
+        pb(enriched.filter(F.col("doc_id") % 3 == bid), bid)
+    return read_report_incr(spark, root)
+
+
 # DSIR importance resampling (prep.dsir_*): target = one source slice
 # ('src0', ~5% of docs — "the Wikipedia-like domain sample"), raw = the
 # rest; hashed unigram+bigram features into 1024 buckets. The weight table
@@ -1684,6 +1714,14 @@ _CUR_SEM_THR, _CUR_SEM_BITS, _CUR_SEM_TABLES = 0.45, 6, 8
 _MG_REFS_PER_DOC = 2
 _CUR_MAX_MEDIA = 0.5
 
+# model-quality tier driver calibration: the q_quality_classifier weight
+# table (make_hashed_weights' md5-seed contract — the SQL oracle
+# regenerates it) at threshold 0: random signed micro-weights give doc
+# margins centered near 0, so the gate genuinely splits the corpus at sf
+# (trained tables from functions/classifier plug into the same parameter
+# in deployment; test_curate pins trained-weight flow-through)
+_CUR_CLF_THR = 0
+
 
 def q_corpus_curation(spark, sf_dir):
     """Corpus curation (functions.curate): the C4/RefinedWeb-shaped keep/drop
@@ -1818,6 +1856,34 @@ def q_corpus_curation_media(spark, sf_dir):
     ).select(
         "doc_id", "lang", "quality", "n_tokens", "dup_line_frac",
         "top_bigram_frac", "sym_ratio", "dup_media_frac", "keep",
+        "drop_reason",
+    )
+
+
+def q_corpus_curation_clf(spark, sf_dir):
+    """q_corpus_curation with the MODEL-quality tier (round 8): the
+    hashed-linear classifier margin (the prep.hashed_quality_score integer
+    contract, weight table trainable on-cluster via functions/classifier)
+    gates docs after the named heuristics and before any dedup tier — the
+    CCNet pipeline step. A narrow map against ONE broadcast weight row;
+    failing docs drop as ``model_quality`` and the margin rides the audit
+    as ``model_quality_micros``. Gates + exact + near tiers as in
+    q_corpus_curation (segment/semantic/media off — those deltas hold
+    their own slots); the oracle regenerates the md5-seed weight table and
+    evaluates the same truncating-div margin in SQL."""
+    from .functions.curate import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        d, "doc_id", "text", languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
+        max_dup_line_frac=_CUR_MAX_DLF, max_top_bigram_frac=_CUR_MAX_TBF,
+        min_bigram_tokens=_CUR_MIN_BGT, max_symbol_ratio=_CUR_MAX_SYM,
+        max_hamming=_SH_MAX_HAMMING, n_blocks=4,
+        clf_weights=prep.make_hashed_weights(_QCLF_BUCKETS),
+        clf_threshold_micros=_CUR_CLF_THR,
+    ).select(
+        "doc_id", "lang", "quality", "n_tokens", "dup_line_frac",
+        "top_bigram_frac", "sym_ratio", "model_quality_micros", "keep",
         "drop_reason",
     )
 
@@ -2039,7 +2105,7 @@ FROM {prefix}d WHERE ROUND(dot / (sqrt(na) * sqrt(nc)), 6) >= {threshold}"""
 
 def _curate_sql(segment_scheme: str | None = "stride",
                 semantic: bool = False, media: bool = False,
-                as_cte: bool = False) -> str:
+                clf: bool = False, as_cte: bool = False) -> str:
     """The generated curation oracle. ``as_cte=True`` returns the same
     query with its final SELECT wrapped as a ``cur`` CTE and no trailing
     statement — composed oracles (q_training_data) append their own CTEs
@@ -2132,11 +2198,45 @@ medd AS (SELECT doc_id FROM medfrac WHERE dmf > {_CUR_MAX_MEDIA})"""
         med_clause, med_when, med_col, med_col_inner, med_join = (
             "", "", "", "", ""
         )
+    if clf:
+        # the model-quality gate: the q_quality_classifier weight table
+        # (md5-seed-regenerated, the make_hashed_weights contract) and the
+        # scorer's exact integer margin; DuckDB // truncates toward zero
+        # like Spark's div, so the margin expression is portable verbatim
+        clf_clause = f""",
+mqw AS (
+  SELECT CAST(i AS BIGINT) AS b,
+         ('0x' || substr(md5('qw:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           % 2000001 - 1000000 AS wt
+  FROM range({_QCLF_BUCKETS}) t(i)),
+mqt AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS l
+  FROM documents),
+mq AS MATERIALIZED (
+  SELECT m.doc_id,
+         CAST(SUM(w.wt) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS margin
+  FROM mqt m, UNNEST(m.l) AS u(tok)
+  JOIN mqw w ON w.b = ('0x' || substr(md5(u.tok), 1, 8))::BIGINT % {_QCLF_BUCKETS}
+  WHERE array_to_string(m.l, '') != ''
+  GROUP BY m.doc_id),
+mqd AS (SELECT doc_id FROM mq WHERE margin < {_CUR_CLF_THR})"""
+        clf_when = ("\n              WHEN a.doc_id IN (SELECT doc_id FROM mqd) "
+                    "THEN 'model_quality'")
+        clf_col = ", model_quality_micros"
+        clf_col_inner = ",\n         mq2.margin AS model_quality_micros"
+        clf_join = "\n  LEFT JOIN mq mq2 ON mq2.doc_id = a.doc_id"
+        clf_pass = "\n    AND doc_id NOT IN (SELECT doc_id FROM mqd)"
+    else:
+        clf_clause, clf_when, clf_col, clf_col_inner, clf_join, clf_pass = (
+            "", "", "", "", "", ""
+        )
     final_select = rf"""SELECT doc_id, lang, quality, n_tokens, dup_line_frac, top_bigram_frac,
-       sym_ratio{med_col}, drop_reason IS NULL AS keep, drop_reason
+       sym_ratio{med_col}{clf_col}, drop_reason IS NULL AS keep, drop_reason
 FROM (
   SELECT a.doc_id, a.lang, a.quality, a.n_tokens, a.dup_line_frac,
-         a.top_bigram_frac, a.sym_ratio{med_col_inner},
+         a.top_bigram_frac, a.sym_ratio{med_col_inner}{clf_col_inner},
          CASE WHEN a.text IS NULL
                    OR regexp_replace(a.text, '\s+', '', 'g') = '' THEN 'empty'
               WHEN a.lang NOT IN ({langs}) THEN 'lang'
@@ -2144,12 +2244,12 @@ FROM (
               WHEN a.dup_line_frac > {_CUR_MAX_DLF} THEN 'dup_lines'
               WHEN a.top_bigram_frac > {_CUR_MAX_TBF}
                    AND a.n_tokens >= {_CUR_MIN_BGT} THEN 'bigram_repeat'
-              WHEN a.sym_ratio > {_CUR_MAX_SYM} THEN 'symbol_ratio'
+              WHEN a.sym_ratio > {_CUR_MAX_SYM} THEN 'symbol_ratio'{clf_when}
               WHEN a.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
               WHEN a.doc_id IN (SELECT doc_id FROM segdrop) THEN 'dup_segments'
               WHEN a.doc_id IN (SELECT doc FROM neard) THEN 'near_dup'{sem_when}{med_when}
          END AS drop_reason
-  FROM ann a{med_join})"""
+  FROM ann a{med_join}{clf_join})"""
     return rf"""
 WITH RECURSIVE bq AS (
   SELECT doc_id, text, length(text) AS n,
@@ -2182,14 +2282,14 @@ ann AS MATERIALIZED (
                / greatest(len(lines), 1), 6) AS dup_line_frac,
          COALESCE(bgf.tbf, 0.0) AS top_bigram_frac,
          ROUND(n_punct / greatest(n, 1), 6) AS sym_ratio
-  FROM bq LEFT JOIN bgf ON bgf.doc_id = bq.doc_id),
+  FROM bq LEFT JOIN bgf ON bgf.doc_id = bq.doc_id){clf_clause},
 passed AS MATERIALIZED (
   SELECT doc_id, text FROM ann
   WHERE NOT (text IS NULL OR regexp_replace(text, '\s+', '', 'g') = '')
     AND lang IN ({langs}) AND quality >= {_CUR_MIN_Q}
     AND dup_line_frac <= {_CUR_MAX_DLF}
     AND NOT (top_bigram_frac > {_CUR_MAX_TBF} AND n_tokens >= {_CUR_MIN_BGT})
-    AND sym_ratio <= {_CUR_MAX_SYM}),
+    AND sym_ratio <= {_CUR_MAX_SYM}{clf_pass}),
 fpt AS (
   SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
   FROM passed),
@@ -4524,6 +4624,15 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     # card (one-scan bounded-key profiling report)
     "q_epoch_shuffle": (q_epoch_shuffle, _epoch_shuffle_sql()),
     "q_corpus_report": (q_corpus_report, _corpus_report_sql()),
+    # the data card's streaming twin, same oracle: stream == batch == SQL
+    "q_corpus_report_incr": (q_corpus_report_incr, _corpus_report_sql()),
+    # round 8: curation with the MODEL-quality tier (the CCNet step) —
+    # the classifier margin as a named auditable gate between the
+    # heuristics and the dedup tiers
+    "q_corpus_curation_clf": (
+        q_corpus_curation_clf,
+        _curate_sql(segment_scheme=None, clf=True),
+    ),
     # DSIR: the weight-table stage (the end-to-end q_dsir_select holds the
     # driver slot); q_quality_sample folded r7 to make that room
     "q_dsir_weights": (q_dsir_weights, _dsir_weights_sql()),

@@ -90,6 +90,7 @@ arrival-order-free).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -161,7 +162,10 @@ def make_curate_batch(spark: SparkSession, out_root: str,
                       media: DataFrame | None = None,
                       max_dup_media_frac: float = 0.5,
                       media_max_hamming: int = 3,
-                      media_n_blocks: int = 8):
+                      media_n_blocks: int = 8,
+                      clf_weights: list[int] | None = None,
+                      clf_bias_micros: int = 0,
+                      clf_threshold_micros: int = 0):
     """foreachBatch body, exposed for direct re-delivery testing (module
     doc). Parameters mirror curate_corpus' lexical tiers; ``sig_fn`` and
     ``maintenance_every`` pass through to the near-dup body
@@ -196,11 +200,35 @@ def make_curate_batch(spark: SparkSession, out_root: str,
         "max_dup_media_frac": max_dup_media_frac,
         "media_max_hamming": media_max_hamming,
         "media_n_blocks": media_n_blocks,
+        # model gate (round 8): the weight ARTIFACT is decision-relevant
+        # state, so its identity (not the list — geometry stays readable)
+        # pins the store: resuming under different weights would mix two
+        # quality standards (the decon_stream benchmark-fingerprint rule)
+        "clf": None if clf_weights is None else {
+            "n_buckets": len(clf_weights),
+            "fingerprint": hashlib.md5(
+                ",".join(str(int(w)) for w in clf_weights).encode()
+            ).hexdigest(),
+            "bias_micros": int(clf_bias_micros),
+            "threshold_micros": int(clf_threshold_micros),
+        },
     }))
     heur = heuristic_reason(
         text_col, languages, min_quality, max_dup_line_frac,
         max_top_bigram_frac, min_bigram_tokens, max_symbol_ratio,
     )
+    if clf_weights is not None:
+        # the shared gate semantics: same margin column batch curation
+        # computes (prep.quality_margin_col appends it in process_batch
+        # step 1 below, before _hr is materialized)
+        heur = heur.when(
+            ~(
+                F.col("model_quality_micros").isNotNull()
+                & (F.col("model_quality_micros")
+                   >= F.lit(int(clf_threshold_micros)))
+            ),
+            "model_quality",
+        )
     # the real streaming bodies own their stores (and their own geometry
     # guards) under nested roots
     pb_seg = make_segment_dedup_batch(
@@ -243,13 +271,17 @@ def make_curate_batch(spark: SparkSession, out_root: str,
             return
         _geometry_guard(out_root, geometry, filename="_curate_geometry.json")
         id_type = dict(batch_df.dtypes)[id_col]
-        # 1. heuristic gates: one narrow map, materialized once (feeds the
-        # survivor filter AND the audit write)
-        ann = (
-            annotate_gates(batch_df.select(id_col, text_col), text_col)
-            .withColumn("_hr", heur)
-            .localCheckpoint()
-        )
+        # 1. heuristic gates (+ the model margin when the tier is on): one
+        # narrow map, materialized once (feeds the survivor filter AND the
+        # audit write)
+        ann = annotate_gates(batch_df.select(id_col, text_col), text_col)
+        if clf_weights is not None:
+            from ..functions.prep import quality_margin_col
+
+            ann = quality_margin_col(
+                ann, text_col, clf_weights, bias_micros=clf_bias_micros,
+            )
+        ann = ann.withColumn("_hr", heur).localCheckpoint()
         passed = ann.filter(F.col("_hr").isNull()).select(id_col, text_col)
         # 2. exact tier: fp store probe with the strictly-earlier rule
         # (segment_stream pattern: fb-pruned scan, canon owner groupBy)
@@ -415,6 +447,9 @@ def make_curate_batch(spark: SparkSession, out_root: str,
         else:
             audit = audit.withColumn("_sd", F.lit(False))
         audit_cols = list(AUDIT_COLS)
+        if clf_weights is not None:
+            audit_cols.insert(audit_cols.index("keep"),
+                              "model_quality_micros")
         if media_frac is not None:
             audit = audit.join(media_frac, id_col, "left").withColumn(
                 "dup_media_frac",

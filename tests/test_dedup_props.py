@@ -1114,3 +1114,81 @@ def test_strip_consumers_match_python_filter_randomized(spark):
                 assert got[d_id] == (
                     " ".join(kept), len(kept), len(toks) - len(kept)
                 ), (trial, d_id)
+
+
+def test_curate_model_quality_tier(spark):
+    """The model gate (round 8): trips ONLY on below-threshold classifier
+    margins, ranks after symbol_ratio and before exact_dup, and the audit
+    margin equals prep.hashed_quality_score's score_mean_micros for the
+    same weight table (trainer/scorer/curation share one margin)."""
+    from complete_ocr_spark.functions import prep
+    from complete_ocr_spark.functions.curate import curate_corpus
+    from complete_ocr_spark.oracle.classifier import bucket
+
+    nb = 1024
+    good = ("the spark engine shuffles partitioned batches of arrow pages "
+            "and the reader prunes nested columns in a distributed plan " * 3)
+    # every bucket +1e6 except the marker token's bucket (collision-checked
+    # vs every other fixture token at nb=1024): docs carrying markers go
+    # negative, plain-English docs stay at +1e6. Fillers keep the modal
+    # bigram diverse so bigram_repeat cannot fire first.
+    marker = "badtokenxyz"
+    w = [1_000_000] * nb
+    w[bucket(marker, nb)] = -100_000_000
+    bad = ("the quick brown fox likes "
+           + " ".join(f"{marker} filler{i}" for i in range(30))
+           + " over the lazy dog")
+    rows = [
+        (1, good),                       # keep
+        (2, good + " extended"),         # near_dup of 1? no - hamming far
+        (3, bad),                        # model_quality
+        (4, bad),                        # ALSO an exact dup of 3: model
+                                         # gate must fire FIRST
+        (5, "zzz qqq " + marker * 3),    # lang fires before model
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in curate_corpus(
+        d, "doc_id", "text", clf_weights=w, clf_threshold_micros=0,
+    ).collect()}
+    assert out[1]["keep"] and out[1]["drop_reason"] is None
+    assert out[3]["drop_reason"] == "model_quality"
+    assert out[4]["drop_reason"] == "model_quality"  # not exact_dup
+    assert out[5]["drop_reason"] == "lang"           # earlier gate wins
+    # audit margin == the round-7 scorer bit for bit
+    scored = {r["doc_id"]: r["score_mean_micros"]
+              for r in prep.hashed_quality_score(
+                  d, "doc_id", "text", w).collect()}
+    for i in (1, 2, 3, 4, 5):
+        assert out[i]["model_quality_micros"] == scored[i], i
+
+
+def test_curate_model_tier_accepts_trained_weights(spark):
+    """Weights trained on-cluster (functions/classifier) plug straight into
+    the curation gate: the gate's keep set equals the scorer's pass set
+    over heuristic-surviving docs."""
+    from complete_ocr_spark.functions import classifier as C, prep
+    from complete_ocr_spark.functions.curate import curate_corpus
+
+    rows = C.synthetic_labeled_corpus(60, 25)
+    d = spark.createDataFrame(rows, "doc_id: bigint, y: bigint, text: string")
+    w, bias, _ = C.train_hashed_classifier(
+        d, "doc_id", "text", "y", n_buckets=32, n_iters=4)
+    out = curate_corpus(
+        d.select("doc_id", "text"), "doc_id", "text",
+        languages=("en", "unknown"),  # fixture text has no stopwords
+        min_quality=0.0, max_symbol_ratio=1.0, max_dup_line_frac=1.0,
+        max_top_bigram_frac=1.0,
+        clf_weights=w, clf_bias_micros=bias, clf_threshold_micros=0,
+    ).collect()
+    scored = {r["doc_id"]: bool(r["pass"]) for r in prep.hashed_quality_score(
+        d, "doc_id", "text", w, bias_micros=bias,
+        threshold_micros=0).collect()}
+    model_rows = [r for r in out
+                  if r["drop_reason"] in (None, "model_quality",
+                                          "exact_dup", "near_dup")]
+    assert len(model_rows) == 60
+    for r in model_rows:
+        if r["drop_reason"] == "model_quality":
+            assert scored[r["doc_id"]] is False, r["doc_id"]
+        else:
+            assert scored[r["doc_id"]] is True, r["doc_id"]

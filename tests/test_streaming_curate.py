@@ -416,3 +416,57 @@ def test_full_tier_restart_resumes_from_stores(spark, tmp_path):
     seen = [r for b in batches for r in b]
     assert _full_incr_snapshot(spark, root) == _full_batch_snapshot(
         spark, seen, emb, media, links, kw)
+
+
+def test_model_gate_prefix_equality_and_geometry(spark, tmp_path):
+    """The model-quality tier in the incremental runner (round 8): with a
+    crafted weight table (one poisoned bucket), the promoted view equals
+    batch curate_corpus with the same clf parameters at every prefix; the
+    margin rides the audit; resuming under different weights refuses."""
+    from complete_ocr_spark.oracle.classifier import bucket
+
+    nb = 1024
+    marker = "badtokenxyz"
+    w = [1_000_000] * nb
+    w[bucket(marker, nb)] = -100_000_000  # collision-checked vs fixture tokens
+    bad = ("the quick brown fox likes "
+           + " ".join(f"{marker} filler{i}" for i in range(30))
+           + " over the lazy dog")
+    batches = [
+        [(0, GOOD), (1, bad)],                       # model drop arrives
+        [(10, UNIQ2), (11, GOOD), (12, bad)],        # 11 exact dup, 12 model
+        [(20, "zzz qqq " + marker * 3), (21, UNIQ3)],  # lang beats model
+    ]
+    kw = dict(CURATE_KW, clf_weights=w, clf_threshold_micros=0)
+    root = str(tmp_path / "cm")
+    pb = make_curate_batch(spark, root, **kw)
+    seen = []
+    for k, rows in enumerate(batches):
+        pb(spark.createDataFrame(rows, SCHEMA), k)
+        seen += rows
+        got = {
+            r["doc_id"]: (r["keep"], r["drop_reason"],
+                          r["model_quality_micros"])
+            for r in read_curated_incr(spark, root).collect()
+        }
+        exp = {
+            r["doc_id"]: (r["keep"], r["drop_reason"],
+                          r["model_quality_micros"])
+            for r in curate_corpus(
+                spark.createDataFrame(seen, SCHEMA), "doc_id", "text", **kw
+            ).collect()
+        }
+        assert got == exp, f"prefix {k}"
+    reasons = {v[1] for v in got.values()}
+    assert "model_quality" in reasons
+    assert got[1][1] == "model_quality"
+    assert got[11][1] == "exact_dup"
+    assert got[20][1] == "lang"          # earlier gate wins
+    # geometry: different weights refuse loudly
+    w2 = list(w)
+    w2[0] += 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="geometry"):
+        make_curate_batch(spark, root, **dict(kw, clf_weights=w2))(
+            spark.createDataFrame([(30, GOOD)], SCHEMA), 3)
