@@ -172,6 +172,7 @@ def train_hashed_classifier(
     lr_bp: int = 200_000,
     z_max_micros: int = 12_000_000,
     sig_bits: int = 12,
+    val_bp: int = 0,
 ) -> tuple[list[int], int, list[dict]]:
     """Full-batch logistic regression on hashed unigram features, integer
     fixed-point end to end.  Returns ``(weights_micros[n_buckets],
@@ -187,9 +188,17 @@ def train_hashed_classifier(
         g_b      = sum_d (err_d * cnt_{d,b}) div n_tokens_d    (int64)
         w_b     += tdiv(lr_bp * g_b, 10_000 * n_docs)
 
-    history rows: (iter, n_docs, sum_abs_err, n_correct) — integer
-    training telemetry (correct = p on y's side of 500_000), enough to
-    assert "training learns" without floats.
+    ``val_bp`` (basis points, default 0 = off) holds out a deterministic
+    validation slice — docs with md5('clfval:' || id) % 10000 < val_bp —
+    that NEVER contributes to gradients; its per-round accuracy rides the
+    history so overfitting is visible from the artifact alone.  The hash
+    is salted with its own prefix (the upsample_domains lesson: composed
+    selection decisions must be independent).
+
+    history rows: (iter, n_docs, sum_abs_err, n_correct[, val_docs,
+    val_sum_abs_err, val_correct]) — integer telemetry (correct = p on
+    y's side of 500_000), enough to assert "training learns" without
+    floats.
     """
     if int(n_iters) < 1:
         raise ValueError("n_iters must be >= 1")
@@ -197,10 +206,19 @@ def train_hashed_classifier(
         raise ValueError("lr_bp must be a positive integer (basis points)")
     if int(n_buckets) < 2:
         raise ValueError("n_buckets must be >= 2")
+    if not 0 <= int(val_bp) < 10_000:
+        raise ValueError("val_bp must be in [0, 10000)")
 
     sig = sigmoid_table_micros(z_max_micros, sig_bits)
     feats = featurize(docs, id_col, text_col, label_col,
-                      n_buckets).localCheckpoint()
+                      n_buckets).withColumn(
+        "_val",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("clfval:"),
+                                       F.col("doc_id").cast("string"))),
+                        1, 8), 16, 10
+        ).cast("bigint") % 10_000 < int(val_bp),
+    ).localCheckpoint()
 
     bad = feats.filter(~F.col("y").isin(0, 1) | F.col("y").isNull()).count()
     if bad:
@@ -208,15 +226,14 @@ def train_hashed_classifier(
             f"{label_col} must be integer 0/1 on every non-empty doc "
             f"({bad} rows are not)"
         )
-    n_docs = feats.count()
+    train = feats.filter(~F.col("_val"))
+    n_docs = train.count()
     if n_docs == 0:
-        raise ValueError("no non-empty docs to train on")
+        raise ValueError("no non-empty training docs (val split too large?)")
 
-    w = [0] * (int(n_buckets) + 1)  # [buckets..., bias]
-    history: list[dict] = []
-    for it in range(int(n_iters)):
-        scored = _margin_and_err(feats, w, sig, z_max_micros)
-        stats = scored.agg(
+    def _stats(scored):
+        return scored.agg(
+            F.count("*").alias("n"),
             F.sum(F.abs(F.col("err_micros"))).alias("sum_abs_err"),
             F.sum(
                 F.when(
@@ -225,12 +242,27 @@ def train_hashed_classifier(
                 ).otherwise(0)
             ).alias("n_correct"),
         ).collect()[0]  # bounded: 1 row
-        history.append({
+
+    w = [0] * (int(n_buckets) + 1)  # [buckets..., bias]
+    history: list[dict] = []
+    for it in range(int(n_iters)):
+        scored = _margin_and_err(train, w, sig, z_max_micros)
+        stats = _stats(scored)
+        row = {
             "iter": it,
             "n_docs": int(n_docs),
             "sum_abs_err": int(stats["sum_abs_err"]),
             "n_correct": int(stats["n_correct"]),
-        })
+        }
+        if int(val_bp) > 0:
+            vstats = _stats(_margin_and_err(
+                feats.filter(F.col("_val")), w, sig, z_max_micros))
+            row.update({
+                "val_docs": int(vstats["n"]),
+                "val_sum_abs_err": int(vstats["sum_abs_err"] or 0),
+                "val_correct": int(vstats["n_correct"] or 0),
+            })
+        history.append(row)
         grads = (
             scored.select(F.explode("fb").alias("f"), "err_micros",
                           "n_tokens")

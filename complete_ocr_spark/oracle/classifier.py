@@ -44,45 +44,65 @@ def sigmoid_table(z_max_micros: int = 12_000_000,
     ]
 
 
+def _is_val(doc_id, val_bp: int) -> bool:
+    return (int(hashlib.md5(f"clfval:{doc_id}".encode()).hexdigest()[:8],
+                16) % 10_000) < val_bp
+
+
 def train(rows, n_buckets: int, n_iters: int, lr_bp: int,
-          z_max_micros: int = 12_000_000, sig_bits: int = 12):
+          z_max_micros: int = 12_000_000, sig_bits: int = 12,
+          val_bp: int = 0):
     """rows: iterable of (doc_id, y, text).  Returns (weights, bias,
     history) exactly as train_hashed_classifier does."""
     sig = sigmoid_table(z_max_micros, sig_bits)
     nsig = len(sig)
-    docs = []
-    for _doc_id, y, text in rows:
+    docs, val_docs = [], []
+    for doc_id, y, text in rows:
         toks = norm_tokens(text or "")
         if not toks:
             continue
         if y not in (0, 1):
             raise ValueError("labels must be 0/1")
-        docs.append((int(y), len(toks),
-                     Counter(bucket(t, n_buckets) for t in toks)))
+        rec = (int(y), len(toks),
+               Counter(bucket(t, n_buckets) for t in toks))
+        (val_docs if val_bp and _is_val(doc_id, val_bp) else docs).append(rec)
     if not docs:
         raise ValueError("no non-empty docs")
     n_docs = len(docs)
     w = [0] * (n_buckets + 1)
+
+    def eval_doc(y, n_tok, cnts):
+        dot = sum(w[b] * c for b, c in cnts.items()) + w[n_buckets]
+        margin = tdiv(dot, n_tok)
+        idx = min(max(tdiv((margin + z_max_micros) * nsig,
+                           2 * z_max_micros), 0), nsig - 1)
+        p = sig[idx]
+        return p, y * 1_000_000 - p
+
     history = []
     for it in range(n_iters):
         grads = [0] * (n_buckets + 1)
         sum_abs_err = 0
         n_correct = 0
         for y, n_tok, cnts in docs:
-            dot = sum(w[b] * c for b, c in cnts.items()) + w[n_buckets]
-            margin = tdiv(dot, n_tok)
-            idx = min(max(tdiv((margin + z_max_micros) * nsig,
-                               2 * z_max_micros), 0), nsig - 1)
-            p = sig[idx]
-            err = y * 1_000_000 - p
+            p, err = eval_doc(y, n_tok, cnts)
             sum_abs_err += abs(err)
             n_correct += int((p >= 500_000) == (y == 1))
             for b, c in cnts.items():
                 grads[b] += tdiv(err * c, n_tok)
             grads[n_buckets] += tdiv(err, n_tok)
-        history.append({"iter": it, "n_docs": n_docs,
-                        "sum_abs_err": sum_abs_err,
-                        "n_correct": n_correct})
+        row = {"iter": it, "n_docs": n_docs,
+               "sum_abs_err": sum_abs_err,
+               "n_correct": n_correct}
+        if val_bp:
+            vs, vc = 0, 0
+            for y, n_tok, cnts in val_docs:
+                p, err = eval_doc(y, n_tok, cnts)
+                vs += abs(err)
+                vc += int((p >= 500_000) == (y == 1))
+            row.update({"val_docs": len(val_docs),
+                        "val_sum_abs_err": vs, "val_correct": vc})
+        history.append(row)
         for b in range(n_buckets + 1):
             w[b] += tdiv(lr_bp * grads[b], 10_000 * n_docs)
     return w[:-1], w[-1], history

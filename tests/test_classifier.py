@@ -143,3 +143,35 @@ def test_sigmoid_table_shape():
     assert all(a <= b for a, b in zip(sig, sig[1:]))  # monotone
     # both implementations build the identical table
     assert sig == OC.sigmoid_table()
+
+
+def test_val_split_matches_oracle_and_never_trains(spark, fixture_df,
+                                                   fixture_rows):
+    """val_bp holds out a salted-hash slice: weights/history equal the
+    independent oracle's, val rows never contribute gradients (training
+    on the non-val subset directly gives the same weights), and the
+    history carries per-round val telemetry."""
+    w, bias, hist = C.train_hashed_classifier(
+        fixture_df, "doc_id", "text", "y",
+        n_buckets=NB, n_iters=4, lr_bp=LR, val_bp=2_500,
+    )
+    ow, obias, ohist = OC.train(fixture_rows, NB, 4, LR, val_bp=2_500)
+    assert (w, bias, hist) == (ow, obias, ohist)
+    assert hist[0]["val_docs"] > 0
+    assert hist[0]["val_docs"] + hist[0]["n_docs"] == len(fixture_rows)
+    # val rows are pure telemetry: training on the train subset alone
+    # (val rows REMOVED) yields identical weights
+    train_ids = {d for d, _y, _t in fixture_rows
+                 if not OC._is_val(d, 2_500)}
+    sub = fixture_df.filter(F.col("doc_id").isin(list(train_ids)))
+    w2, bias2, _ = C.train_hashed_classifier(
+        sub, "doc_id", "text", "y", n_buckets=NB, n_iters=4, lr_bp=LR)
+    assert (w2, bias2) == (w, bias)
+    # val accuracy improves on the separable fixture too
+    assert hist[-1]["val_correct"] >= hist[0]["val_correct"]
+
+
+def test_val_bp_guard(spark, fixture_df):
+    with pytest.raises(ValueError, match="val_bp"):
+        C.train_hashed_classifier(fixture_df, "doc_id", "text", "y",
+                                  n_buckets=8, n_iters=1, val_bp=10_000)
