@@ -1342,6 +1342,86 @@ def q_corpus_report_incr(spark, sf_dir):
     return read_report_incr(spark, root)
 
 
+# hashed-bigram LM perplexity filter (functions/lm.py): target = the same
+# src0 slice DSIR uses ("the Wikipedia-like domain sample"); 512 buckets.
+# ln() is confined to the 512-row count table and floor-quantized there
+# (the dsir_weights float-confinement precedent); scoring is integer-exact.
+# The anchor hashes the SCORES (the filter's threshold is a deployment
+# knob whose gate logic is unit-pinned; the synthetic corpora are too
+# homogeneous for one constant to split meaningfully at every sf).
+_LM_BUCKETS = 512
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity scoring: fit the add-one hashed-bigram LM
+    on the target slice (two bounded-key groupBys -> one 512-row table),
+    score every raw doc's avg negative log likelihood per bigram in ONE
+    zero-shuffle broadcast-fold projection."""
+    from .functions import lm
+
+    d = _t(spark, sf_dir, "documents")
+    raw, target = (d.filter(F.col("source") != _DSIR_TGT),
+                   d.filter(F.col("source") == _DSIR_TGT))
+    t = lm.lm_tables(target, "doc_id", "text", n_buckets=_LM_BUCKETS)
+    rows = t.select("bucket", "w1_micros", "w2_micros") \
+        .orderBy("bucket").collect()  # bounded: 512 rows
+    return lm.lm_score(raw, "doc_id", "text",
+                       [r["w1_micros"] for r in rows],
+                       [r["w2_micros"] for r in rows])
+
+
+def _lm_sql(n: int = _LM_BUCKETS) -> str:
+    return rf"""
+WITH tg AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS l
+  FROM documents
+  WHERE source = '{_DSIR_TGT}'),
+tgn AS (SELECT l FROM tg WHERE array_to_string(l, '') != ''),
+uni AS (
+  SELECT ('0x' || substr(md5(l[CAST(i AS BIGINT)]), 1, 8))::BIGINT % {n} AS b,
+         COUNT(*) AS c
+  FROM tgn, UNNEST(range(1, len(l))) AS t(i)
+  GROUP BY 1),
+bi AS (
+  SELECT ('0x' || substr(md5(l[CAST(i AS BIGINT)] || ' ' ||
+                             l[CAST(i AS BIGINT) + 1]), 1, 8))::BIGINT % {n} AS b,
+         COUNT(*) AS c
+  FROM tgn, UNNEST(range(1, len(l))) AS t(i)
+  GROUP BY 1),
+w1 AS (
+  SELECT CAST(r.range AS BIGINT) AS b,
+         CAST(FLOOR(LN(COALESCE(u.c, 0) + {n}) * 1000000) AS BIGINT) AS w
+  FROM range({n}) r LEFT JOIN uni u ON u.b = r.range),
+w2 AS (
+  SELECT CAST(r.range AS BIGINT) AS b,
+         CAST(FLOOR(LN(COALESCE(bc.c, 0) + 1) * 1000000) AS BIGINT) AS w
+  FROM range({n}) r LEFT JOIN bi bc ON bc.b = r.range),
+cp AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS l
+  FROM documents
+  WHERE source <> '{_DSIR_TGT}'),
+pos AS (
+  SELECT doc_id, l[CAST(i AS BIGINT)] AS a, l[CAST(i AS BIGINT) + 1] AS bb
+  FROM (SELECT doc_id, l FROM cp
+        WHERE len(l) >= 2 AND array_to_string(l, '') != '') c,
+       UNNEST(range(1, len(l))) AS t(i)),
+sc AS (
+  SELECT doc_id, SUM(w2.w - w1.w) AS s, COUNT(*) AS nb
+  FROM pos
+  JOIN w2 ON w2.b = ('0x' || substr(md5(a || ' ' || bb), 1, 8))::BIGINT % {n}
+  JOIN w1 ON w1.b = ('0x' || substr(md5(a), 1, 8))::BIGINT % {n}
+  GROUP BY doc_id)
+SELECT doc_id,
+       CAST(nb AS BIGINT) AS n_bigrams,
+       CAST(-s AS BIGINT) AS nll_micros,
+       CAST((-s) // nb AS BIGINT) AS avg_nll_micros
+FROM sc
+"""
+
+
 # DSIR importance resampling (prep.dsir_*): target = one source slice
 # ('src0', ~5% of docs — "the Wikipedia-like domain sample"), raw = the
 # rest; hashed unigram+bigram features into 1024 buckets. The weight table
@@ -4633,6 +4713,11 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
         q_corpus_curation_clf,
         _curate_sql(segment_scheme=None, clf=True),
     ),
+    # round 8: hashed-bigram LM perplexity scoring (the other half of
+    # CCNet's quality stack: absolute in-domain likelihood, vs DSIR's
+    # contrastive LLR and the classifier's supervised margin) — full-CTE
+    # ln oracle, the dsir_weights float-confinement precedent
+    "q_lm_perplexity": (q_lm_perplexity, _lm_sql()),
     # DSIR: the weight-table stage (the end-to-end q_dsir_select holds the
     # driver slot); q_quality_sample folded r7 to make that room
     "q_dsir_weights": (q_dsir_weights, _dsir_weights_sql()),
