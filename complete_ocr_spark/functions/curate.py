@@ -189,7 +189,10 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                   media_sig_store: str | None = None,
                   clf_weights: list[int] | None = None,
                   clf_bias_micros: int = 0,
-                  clf_threshold_micros: int = 0) -> DataFrame:
+                  clf_threshold_micros: int = 0,
+                  lm_w1_micros: list[int] | None = None,
+                  lm_w2_micros: list[int] | None = None,
+                  max_avg_nll_micros: int = 0) -> DataFrame:
     """Annotate every document with its keep/drop decision (module doc).
 
     ``max_dup_segment_frac`` (off by default) inserts a SEGMENT-level stage
@@ -266,9 +269,32 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
                >= F.lit(int(clf_threshold_micros)))
         )
         heur = heur.when(~model_pass, "model_quality")
+    # perplexity gate (optional): the hashed-bigram LM's avg surprise
+    # (functions/lm, tables fit offline or via lm.lm_tables) against a
+    # bound. Ranks after model_quality (another broadcast fold); docs
+    # without bigram evidence (< 2 tokens) PASS — no evidence, no drop
+    # (the semantic tier's no-vector rule).
+    lm_pass = None
+    if lm_w1_micros is not None or lm_w2_micros is not None:
+        if lm_w1_micros is None or lm_w2_micros is None:
+            raise ValueError(
+                "perplexity gate needs BOTH lm_w1_micros and lm_w2_micros "
+                "(lm.lm_tables' columns ordered by bucket)"
+            )
+        from .lm import lm_margin_col
+
+        annotated = lm_margin_col(
+            annotated, text_col, lm_w1_micros, lm_w2_micros,
+        )
+        lm_pass = (
+            F.col("avg_nll_micros").isNull()
+            | (F.col("avg_nll_micros") <= F.lit(int(max_avg_nll_micros)))
+        )
+        heur = heur.when(~lm_pass, "perplexity")
     passed = annotated.filter(
         heuristic_pass(*gate_args)
         & (model_pass if model_pass is not None else F.lit(True))
+        & (lm_pass if lm_pass is not None else F.lit(True))
     )
     # exact dedup: every doc that is NOT its fingerprint group's minimum id.
     # groupBy + join back, NOT a window over fp: a window puts every row of a

@@ -140,6 +140,39 @@ def lm_score(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def lm_margin_col(df: DataFrame, text_col: str,
+                  w1_micros: list[int], w2_micros: list[int],
+                  out_col: str = "avg_nll_micros") -> DataFrame:
+    """lm_score's avg_nll appended AS A COLUMN, keeping every input column
+    (the prep.quality_margin_col pattern — for the curation perplexity
+    gate, no doc-keyed join back).  NULL when the doc has < 2 tokens (no
+    bigram evidence).  Zero shuffle: one broadcast row, one projection."""
+    if len(w1_micros) != len(w2_micros):
+        raise ValueError("w1/w2 tables must have one entry per bucket")
+    n = len(w1_micros)
+    spark = df.sparkSession
+    tabs = spark.createDataFrame(
+        [(list(int(x) for x in w1_micros),
+          list(int(x) for x in w2_micros))],
+        "_lm1: array<bigint>, _lm2: array<bigint>",
+    )
+    b2 = _bucket_expr(
+        "concat(element_at(_lm_t, i), ' ', element_at(_lm_t, i + 1))", n)
+    b1 = _bucket_expr("element_at(_lm_t, i)", n)
+    avg_nll = F.expr(
+        f"CASE WHEN size(_lm_t) >= 2 THEN "
+        f"(-aggregate(sequence(1, size(_lm_t) - 1), bigint(0), (a, i) -> "
+        f"a + element_at(_lm2, {b2} + 1) - element_at(_lm1, {b1} + 1))) "
+        f"div (size(_lm_t) - 1) END"
+    )
+    return (
+        df.crossJoin(F.broadcast(tabs))
+        .withColumn("_lm_t", _tokens(text_col))
+        .withColumn(out_col, avg_nll)
+        .drop("_lm1", "_lm2", "_lm_t")
+    )
+
+
 def perplexity_filter(docs: DataFrame, target: DataFrame, id_col: str,
                       text_col: str, max_avg_nll_micros: int,
                       n_buckets: int = 1024) -> DataFrame:

@@ -1352,6 +1352,40 @@ def q_corpus_report_incr(spark, sf_dir):
 _LM_BUCKETS = 512
 
 
+def q_corpus_curation_lm(spark, sf_dir):
+    """q_corpus_curation with the PERPLEXITY tier (round 8): the
+    hashed-bigram LM (tables fit on the src0 target slice, a bounded
+    512-row driver read) gates docs after the named heuristics as another
+    zero-shuffle broadcast fold — CCNet's absolute-likelihood filter in
+    the curation chain. Failing docs drop as ``perplexity``; the avg
+    surprise rides the audit as ``avg_nll_micros`` (NULL = no bigram
+    evidence, which passes). Gates + exact + near tiers as in
+    q_corpus_curation (segment/semantic/media/clf off — their deltas hold
+    their own slots); the oracle refits the LM in CTEs (the q_lm_perplexity
+    ln oracle) and evaluates the same truncating-div gate."""
+    from .functions import lm as lmod
+    from .functions.curate import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    t = lmod.lm_tables(d.filter(F.col("source") == _DSIR_TGT),
+                       "doc_id", "text", n_buckets=_LM_BUCKETS)
+    rows = t.select("bucket", "w1_micros", "w2_micros") \
+        .orderBy("bucket").collect()  # bounded: 512 rows
+    return curate_corpus(
+        d, "doc_id", "text", languages=_CUR_LANGS, min_quality=_CUR_MIN_Q,
+        max_dup_line_frac=_CUR_MAX_DLF, max_top_bigram_frac=_CUR_MAX_TBF,
+        min_bigram_tokens=_CUR_MIN_BGT, max_symbol_ratio=_CUR_MAX_SYM,
+        max_hamming=_SH_MAX_HAMMING, n_blocks=4,
+        lm_w1_micros=[r["w1_micros"] for r in rows],
+        lm_w2_micros=[r["w2_micros"] for r in rows],
+        max_avg_nll_micros=_CUR_LM_THR,
+    ).select(
+        "doc_id", "lang", "quality", "n_tokens", "dup_line_frac",
+        "top_bigram_frac", "sym_ratio", "avg_nll_micros", "keep",
+        "drop_reason",
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style perplexity scoring: fit the add-one hashed-bigram LM
     on the target slice (two bounded-key groupBys -> one 512-row table),
@@ -1802,6 +1836,13 @@ _CUR_MAX_MEDIA = 0.5
 # in deployment; test_curate pins trained-weight flow-through)
 _CUR_CLF_THR = 0
 
+# perplexity tier driver calibration: tables fit on the src0 slice; the
+# bound sits at the sf0.01 90th percentile (4.94M micros -> 50/500 docs
+# trip 'perplexity'); at sf0.1 the LM sees 10x the target data and every
+# avg_nll drops to ~3.3M, so the gate is vacuous there by construction —
+# the audit column still hashes, like the bigram gate's 2-doc sf0.01 trip
+_CUR_LM_THR = 4_940_000
+
 
 def q_corpus_curation(spark, sf_dir):
     """Corpus curation (functions.curate): the C4/RefinedWeb-shaped keep/drop
@@ -2185,7 +2226,8 @@ FROM {prefix}d WHERE ROUND(dot / (sqrt(na) * sqrt(nc)), 6) >= {threshold}"""
 
 def _curate_sql(segment_scheme: str | None = "stride",
                 semantic: bool = False, media: bool = False,
-                clf: bool = False, as_cte: bool = False) -> str:
+                clf: bool = False, lm: bool = False,
+                as_cte: bool = False) -> str:
     """The generated curation oracle. ``as_cte=True`` returns the same
     query with its final SELECT wrapped as a ``cur`` CTE and no trailing
     statement — composed oracles (q_training_data) append their own CTEs
@@ -2312,11 +2354,67 @@ mqd AS (SELECT doc_id FROM mq WHERE margin < {_CUR_CLF_THR})"""
         clf_clause, clf_when, clf_col, clf_col_inner, clf_join, clf_pass = (
             "", "", "", "", "", ""
         )
-    final_select = rf"""SELECT doc_id, lang, quality, n_tokens, dup_line_frac, top_bigram_frac,
-       sym_ratio{med_col}{clf_col}, drop_reason IS NULL AS keep, drop_reason
+    if lm:
+        # the perplexity gate: hashed-bigram LM fit on the src0 target
+        # slice (the q_lm_perplexity CTEs), scored over EVERY doc with
+        # >= 2 tokens; no-evidence docs (< 2 tokens) pass with NULL
+        lm_clause = rf''',
+lmtg AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS l
+  FROM documents WHERE source = '{_DSIR_TGT}'),
+lmtgn AS (SELECT l FROM lmtg WHERE array_to_string(l, '') != ''),
+lmuni AS (
+  SELECT ('0x' || substr(md5(l[CAST(i AS BIGINT)]), 1, 8))::BIGINT
+           % {_LM_BUCKETS} AS b, COUNT(*) AS c
+  FROM lmtgn, UNNEST(range(1, len(l))) AS t(i) GROUP BY 1),
+lmbi AS (
+  SELECT ('0x' || substr(md5(l[CAST(i AS BIGINT)] || ' ' ||
+                             l[CAST(i AS BIGINT) + 1]), 1, 8))::BIGINT
+           % {_LM_BUCKETS} AS b, COUNT(*) AS c
+  FROM lmtgn, UNNEST(range(1, len(l))) AS t(i) GROUP BY 1),
+lmw1 AS (
+  SELECT CAST(r.range AS BIGINT) AS b,
+         CAST(FLOOR(LN(COALESCE(u.c, 0) + {_LM_BUCKETS}) * 1000000)
+              AS BIGINT) AS w
+  FROM range({_LM_BUCKETS}) r LEFT JOIN lmuni u ON u.b = r.range),
+lmw2 AS (
+  SELECT CAST(r.range AS BIGINT) AS b,
+         CAST(FLOOR(LN(COALESCE(bc.c, 0) + 1) * 1000000) AS BIGINT) AS w
+  FROM range({_LM_BUCKETS}) r LEFT JOIN lmbi bc ON bc.b = r.range),
+lmpos AS (
+  SELECT doc_id, l[CAST(i AS BIGINT)] AS a, l[CAST(i AS BIGINT) + 1] AS bb
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                           'g'), ' ') AS l
+        FROM documents) c,
+       UNNEST(range(1, len(l))) AS t(i)
+  WHERE len(l) >= 2 AND array_to_string(l, '') != ''),
+lmsc AS MATERIALIZED (
+  SELECT doc_id,
+         CAST((-SUM(w2.w - w1.w)) // COUNT(*) AS BIGINT) AS avg_nll
+  FROM lmpos
+  JOIN lmw2 w2 ON w2.b = ('0x' || substr(md5(a || ' ' || bb), 1, 8))::BIGINT
+                          % {_LM_BUCKETS}
+  JOIN lmw1 w1 ON w1.b = ('0x' || substr(md5(a), 1, 8))::BIGINT
+                          % {_LM_BUCKETS}
+  GROUP BY doc_id),
+lmd AS (SELECT doc_id FROM lmsc WHERE avg_nll > {_CUR_LM_THR})'''
+        lm_when = ("\n              WHEN a.doc_id IN (SELECT doc_id FROM lmd) "
+                   "THEN 'perplexity'")
+        lm_col = ", avg_nll_micros"
+        lm_col_inner = ",\n         lmsc2.avg_nll AS avg_nll_micros"
+        lm_join = "\n  LEFT JOIN lmsc lmsc2 ON lmsc2.doc_id = a.doc_id"
+        lm_pass = "\n    AND doc_id NOT IN (SELECT doc_id FROM lmd)"
+    else:
+        lm_clause, lm_when, lm_col, lm_col_inner, lm_join, lm_pass = (
+            "", "", "", "", "", ""
+        )
+    final_select =rf"""SELECT doc_id, lang, quality, n_tokens, dup_line_frac, top_bigram_frac,
+       sym_ratio{med_col}{clf_col}{lm_col}, drop_reason IS NULL AS keep, drop_reason
 FROM (
   SELECT a.doc_id, a.lang, a.quality, a.n_tokens, a.dup_line_frac,
-         a.top_bigram_frac, a.sym_ratio{med_col_inner}{clf_col_inner},
+         a.top_bigram_frac, a.sym_ratio{med_col_inner}{clf_col_inner}{lm_col_inner},
          CASE WHEN a.text IS NULL
                    OR regexp_replace(a.text, '\s+', '', 'g') = '' THEN 'empty'
               WHEN a.lang NOT IN ({langs}) THEN 'lang'
@@ -2324,12 +2422,12 @@ FROM (
               WHEN a.dup_line_frac > {_CUR_MAX_DLF} THEN 'dup_lines'
               WHEN a.top_bigram_frac > {_CUR_MAX_TBF}
                    AND a.n_tokens >= {_CUR_MIN_BGT} THEN 'bigram_repeat'
-              WHEN a.sym_ratio > {_CUR_MAX_SYM} THEN 'symbol_ratio'{clf_when}
+              WHEN a.sym_ratio > {_CUR_MAX_SYM} THEN 'symbol_ratio'{clf_when}{lm_when}
               WHEN a.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
               WHEN a.doc_id IN (SELECT doc_id FROM segdrop) THEN 'dup_segments'
               WHEN a.doc_id IN (SELECT doc FROM neard) THEN 'near_dup'{sem_when}{med_when}
          END AS drop_reason
-  FROM ann a{med_join}{clf_join})"""
+  FROM ann a{med_join}{clf_join}{lm_join})"""
     return rf"""
 WITH RECURSIVE bq AS (
   SELECT doc_id, text, length(text) AS n,
@@ -2362,14 +2460,14 @@ ann AS MATERIALIZED (
                / greatest(len(lines), 1), 6) AS dup_line_frac,
          COALESCE(bgf.tbf, 0.0) AS top_bigram_frac,
          ROUND(n_punct / greatest(n, 1), 6) AS sym_ratio
-  FROM bq LEFT JOIN bgf ON bgf.doc_id = bq.doc_id){clf_clause},
+  FROM bq LEFT JOIN bgf ON bgf.doc_id = bq.doc_id){clf_clause}{lm_clause},
 passed AS MATERIALIZED (
   SELECT doc_id, text FROM ann
   WHERE NOT (text IS NULL OR regexp_replace(text, '\s+', '', 'g') = '')
     AND lang IN ({langs}) AND quality >= {_CUR_MIN_Q}
     AND dup_line_frac <= {_CUR_MAX_DLF}
     AND NOT (top_bigram_frac > {_CUR_MAX_TBF} AND n_tokens >= {_CUR_MIN_BGT})
-    AND sym_ratio <= {_CUR_MAX_SYM}{clf_pass}),
+    AND sym_ratio <= {_CUR_MAX_SYM}{clf_pass}{lm_pass}),
 fpt AS (
   SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
   FROM passed),
@@ -4718,6 +4816,12 @@ ANCHOR_REGISTRY: dict[str, tuple] = {
     # contrastive LLR and the classifier's supervised margin) — full-CTE
     # ln oracle, the dsir_weights float-confinement precedent
     "q_lm_perplexity": (q_lm_perplexity, _lm_sql()),
+    # the perplexity gate IN the curation chain (CCNet curation complete:
+    # lang + heuristics + perplexity + model + dedup tiers in one job)
+    "q_corpus_curation_lm": (
+        q_corpus_curation_lm,
+        _curate_sql(segment_scheme=None, lm=True),
+    ),
     # DSIR: the weight-table stage (the end-to-end q_dsir_select holds the
     # driver slot); q_quality_sample folded r7 to make that room
     "q_dsir_weights": (q_dsir_weights, _dsir_weights_sql()),

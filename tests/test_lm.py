@@ -98,3 +98,44 @@ def test_table_length_guard(spark):
     with pytest.raises(ValueError, match="one entry per bucket"):
         lm.lm_score(spark.createDataFrame(DOCS, SCHEMA), "doc_id", "text",
                     [0] * 4, [0] * 8)
+
+
+def test_curate_perplexity_tier(spark, fitted):
+    """The perplexity gate in the curation chain: trips only on
+    above-bound avg surprise, ranks after the heuristics and before
+    exact_dup, passes no-evidence docs (< 2 tokens), and the audit
+    column equals lm_score's avg bit for bit."""
+    from complete_ocr_spark.functions.curate import curate_corpus
+
+    w1 = [r["w1_micros"] for r in fitted]
+    w2 = [r["w2_micros"] for r in fitted]
+    rows = [
+        (1, "the spark engine shuffles partitioned batches of arrow pages"),
+        (2, "zxq vbn mlk poi uyt rew qas dfg hjk the"),   # out-of-domain
+        (3, "zxq vbn mlk poi uyt rew qas dfg hjk the"),   # exact dup of 2:
+                                                          # perplexity wins
+        (4, "single"),                                    # no evidence: pass
+    ]
+    d = spark.createDataFrame(rows, SCHEMA)
+    out = {r["doc_id"]: r for r in curate_corpus(
+        d, "doc_id", "text", languages=("en", "unknown"), min_quality=0.0,
+        max_symbol_ratio=1.0, max_dup_line_frac=1.0, max_top_bigram_frac=1.0,
+        lm_w1_micros=w1, lm_w2_micros=w2,
+        max_avg_nll_micros=4_500_000,
+    ).collect()}
+    assert out[1]["keep"] and out[1]["drop_reason"] is None
+    assert out[2]["drop_reason"] == "perplexity"
+    assert out[3]["drop_reason"] == "perplexity"   # not exact_dup
+    assert out[4]["keep"] and out[4]["avg_nll_micros"] is None
+    scored = {r["doc_id"]: r["avg_nll_micros"] for r in lm.lm_score(
+        d, "doc_id", "text", w1, w2).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["avg_nll_micros"] == scored[i], i
+
+
+def test_curate_perplexity_tier_guards(spark):
+    from complete_ocr_spark.functions.curate import curate_corpus
+
+    d = spark.createDataFrame([(1, "a b")], SCHEMA)
+    with pytest.raises(ValueError, match="BOTH"):
+        curate_corpus(d, "doc_id", "text", lm_w1_micros=[0] * 8).collect()
