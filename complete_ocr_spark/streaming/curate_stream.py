@@ -165,7 +165,10 @@ def make_curate_batch(spark: SparkSession, out_root: str,
                       media_n_blocks: int = 8,
                       clf_weights: list[int] | None = None,
                       clf_bias_micros: int = 0,
-                      clf_threshold_micros: int = 0):
+                      clf_threshold_micros: int = 0,
+                      lm_w1_micros: list[int] | None = None,
+                      lm_w2_micros: list[int] | None = None,
+                      max_avg_nll_micros: int = 0):
     """foreachBatch body, exposed for direct re-delivery testing (module
     doc). Parameters mirror curate_corpus' lexical tiers; ``sig_fn`` and
     ``maintenance_every`` pass through to the near-dup body
@@ -212,6 +215,16 @@ def make_curate_batch(spark: SparkSession, out_root: str,
             "bias_micros": int(clf_bias_micros),
             "threshold_micros": int(clf_threshold_micros),
         },
+        # perplexity gate (round 8): the LM table pair's identity, same rule
+        "lm": None if lm_w1_micros is None else {
+            "n_buckets": len(lm_w1_micros),
+            "fingerprint": hashlib.md5(
+                (",".join(str(int(w)) for w in lm_w1_micros) + "|"
+                 + ",".join(str(int(w)) for w in (lm_w2_micros or []))
+                 ).encode()
+            ).hexdigest(),
+            "max_avg_nll_micros": int(max_avg_nll_micros),
+        },
     }))
     heur = heuristic_reason(
         text_col, languages, min_quality, max_dup_line_frac,
@@ -228,6 +241,17 @@ def make_curate_batch(spark: SparkSession, out_root: str,
                    >= F.lit(int(clf_threshold_micros)))
             ),
             "model_quality",
+        )
+    if (lm_w1_micros is None) != (lm_w2_micros is None):
+        raise ValueError(
+            "perplexity gate needs BOTH lm_w1_micros and lm_w2_micros")
+    if lm_w1_micros is not None:
+        # batch curation's perplexity rule: NULL avg (no bigram evidence)
+        # passes; above-bound surprise drops
+        heur = heur.when(
+            F.col("avg_nll_micros").isNotNull()
+            & (F.col("avg_nll_micros") > F.lit(int(max_avg_nll_micros))),
+            "perplexity",
         )
     # the real streaming bodies own their stores (and their own geometry
     # guards) under nested roots
@@ -281,6 +305,10 @@ def make_curate_batch(spark: SparkSession, out_root: str,
             ann = quality_margin_col(
                 ann, text_col, clf_weights, bias_micros=clf_bias_micros,
             )
+        if lm_w1_micros is not None:
+            from ..functions.lm import lm_margin_col
+
+            ann = lm_margin_col(ann, text_col, lm_w1_micros, lm_w2_micros)
         ann = ann.withColumn("_hr", heur).localCheckpoint()
         passed = ann.filter(F.col("_hr").isNull()).select(id_col, text_col)
         # 2. exact tier: fp store probe with the strictly-earlier rule
@@ -450,6 +478,8 @@ def make_curate_batch(spark: SparkSession, out_root: str,
         if clf_weights is not None:
             audit_cols.insert(audit_cols.index("keep"),
                               "model_quality_micros")
+        if lm_w1_micros is not None:
+            audit_cols.insert(audit_cols.index("keep"), "avg_nll_micros")
         if media_frac is not None:
             audit = audit.join(media_frac, id_col, "left").withColumn(
                 "dup_media_frac",

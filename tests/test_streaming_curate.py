@@ -470,3 +470,67 @@ def test_model_gate_prefix_equality_and_geometry(spark, tmp_path):
     with _pytest.raises(Exception, match="geometry"):
         make_curate_batch(spark, root, **dict(kw, clf_weights=w2))(
             spark.createDataFrame([(30, GOOD)], SCHEMA), 3)
+
+
+def test_lm_gate_prefix_equality_and_geometry(spark, tmp_path):
+    """The perplexity tier in the incremental runner (round 8): with LM
+    tables fit on a fixed target, the promoted view equals batch
+    curate_corpus with the same lm parameters at every prefix; the avg
+    rides the audit; resuming under different tables refuses."""
+    from complete_ocr_spark.functions import lm as lmod
+
+    target = spark.createDataFrame(
+        [(900 + i, GOOD) for i in range(4)]
+        + [(950 + i, UNIQ2) for i in range(3)], SCHEMA)
+    t = lmod.lm_tables(target, "doc_id", "text", n_buckets=128)
+    trows = t.orderBy("bucket").collect()
+    w1 = [r["w1_micros"] for r in trows]
+    w2 = [r["w2_micros"] for r in trows]
+    garbage = ("the " + " ".join(f"zx{i} vb{i} mk{i}"
+                                 for i in range(12)))  # distinct bigrams:
+    # only the LM sees it (bigram_repeat can't fire). The bound is set
+    # BETWEEN the in-domain docs' avg surprise and the garbage doc's,
+    # computed from the independent oracle so the fixture can't drift.
+    from complete_ocr_spark.oracle import lm as OLM
+
+    scored = dict(
+        (d, avg) for d, _n, _nll, avg in OLM.score(
+            [(1, GOOD), (2, UNIQ2), (3, UNIQ3), (4, garbage)],
+            w1, w2, 128)
+    )
+    thr = (max(scored[1], scored[2], scored[3]) + scored[4]) // 2
+    assert max(scored[1], scored[2], scored[3]) < thr < scored[4]
+    batches = [
+        [(0, GOOD), (1, garbage)],               # 1 trips perplexity
+        [(10, UNIQ2), (11, GOOD), (12, garbage)],  # 11 exact dup, 12 lm
+        [(20, "the"), (21, UNIQ3)],              # 20: 1 token = no bigram evidence, passes
+    ]
+    kw = dict(CURATE_KW, lm_w1_micros=w1, lm_w2_micros=w2,
+              max_avg_nll_micros=int(thr))
+    root = str(tmp_path / "cl")
+    pb = make_curate_batch(spark, root, **kw)
+    seen = []
+    for k, rows in enumerate(batches):
+        pb(spark.createDataFrame(rows, SCHEMA), k)
+        seen += rows
+        got = {
+            r["doc_id"]: (r["keep"], r["drop_reason"], r["avg_nll_micros"])
+            for r in read_curated_incr(spark, root).collect()
+        }
+        exp = {
+            r["doc_id"]: (r["keep"], r["drop_reason"], r["avg_nll_micros"])
+            for r in curate_corpus(
+                spark.createDataFrame(seen, SCHEMA), "doc_id", "text", **kw
+            ).collect()
+        }
+        assert got == exp, f"prefix {k}"
+    assert got[1][1] == "perplexity"
+    assert got[12][1] == "perplexity"
+    assert got[11][1] == "exact_dup"
+    assert got[20][0] and got[20][2] is None     # no evidence passes
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="geometry"):
+        make_curate_batch(
+            spark, root, **dict(kw, max_avg_nll_micros=int(thr) + 1)
+        )(spark.createDataFrame([(30, GOOD)], SCHEMA), 3)
