@@ -72,12 +72,32 @@ def build_spark(app_name: str = "complete_ocr_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # InferFiltersFromGenerate pushes `size(arr) > 0 AND isnotnull(arr)`
+        # below every explode; when the generator input is a COMPUTED array
+        # (gram md5 transforms, hashed-feature streams, minhash shingles —
+        # this engine's standard idiom) the inferred Filter re-evaluates the
+        # whole array expression per row OUTSIDE whole-stage codegen, i.e.
+        # the dominant map work runs ~3x interpreted. Excluding the rule
+        # costs nothing here (explode itself skips empty arrays) and
+        # measured 6-8x on the gram-explode operators (OPTIMIZATION_r09.md)
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # local inputs are few small files; split aggressively so the scan +
         # explode stage parallelizes (cluster-scale inputs split at 128MB
         # natively — this only emulates that shape locally)
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
+        # v2 commit: task output moves straight to the destination at task
+        # commit (one rename) instead of the two-step job-commit rename walk
+        # — the incremental runners issue ~12 small store writes per batch,
+        # so per-write commit latency is a first-order cost there (atomic-
+        # visibility loss is irrelevant for these single-writer local
+        # stores; cloud deployments use manifest-committing table formats)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                "2")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # ParallelGC: the default G1 degrades monotonically across repeated

@@ -291,6 +291,14 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
             | (F.col("avg_nll_micros") <= F.lit(int(max_avg_nll_micros)))
         )
         heur = heur.when(~lm_pass, "perplexity")
+    # The annotated frame is consumed by THREE independent subtrees (the
+    # fingerprint pass, the survivor anti-join chain, and the final audit
+    # join) and Spark reuses no exchanges across them — without a barrier
+    # the whole annotate_gates map (the per-row modal-bigram fold is the
+    # most expensive expression in the query) re-runs once per consumer. A
+    # LAZY localCheckpoint materializes the annotated corpus exactly once
+    # at first use; every consumer then reads the checkpointed rows.
+    annotated = annotated.localCheckpoint(eager=False)
     passed = annotated.filter(
         heuristic_pass(*gate_args)
         & (model_pass if model_pass is not None else F.lit(True))

@@ -301,6 +301,14 @@ def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str,
     if sig_store is not None:
         sig.write.mode("overwrite").parquet(sig_store)
         sig = df.sparkSession.read.parquet(sig_store)
+    else:
+        # both sides of the banded self-join consume the signature frame
+        # and Spark reuses no exchanges across MapInPandas subtrees, so the
+        # un-stored route used to run the kernel (and the whole text
+        # subtree under it) TWICE. A lazy localCheckpoint materializes the
+        # 16 B/doc signatures once at first use — the in-memory twin of the
+        # sig_store parquet round-trip, without the write.
+        sig = sig.localCheckpoint(eager=False)
     return simhash_hamming_pairs_from_sigs(sig, max_hamming, n_blocks)
 
 
@@ -373,9 +381,53 @@ def dup_clusters(df: DataFrame, id_col: str, text_col: str,
     return connected_components(pairs.select("doc1", "doc2"), max_iters)
 
 
+_CC_LOCAL_MAX_EDGES = 100_000  # bounded driver read (a few MB of id pairs)
+
+
 def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """Min-label propagation over an undirected (doc1, doc2) edge list; see
-    ``dup_clusters``. Returns (doc, cluster, n_members)."""
+    ``dup_clusters``. Returns (doc, cluster, n_members).
+
+    Small graphs take a BOUNDED driver fast path: near-dup edge lists are
+    usually tiny relative to the corpus (verified pairs only), while the
+    distributed fixpoint pays ~4 jobs per iteration regardless of size.
+    When at most ``_CC_LOCAL_MAX_EDGES`` edges exist (probed with a
+    limit-bounded collect — never more than that many rows reach the
+    driver), union-find runs driver-side and the result is parallelized
+    back; the labels are identical by construction (component minimum, and
+    Python's code-point string order == Spark's UTF-8 binary order).
+    Larger graphs fall through to the distributed loop unchanged."""
+    probe = edges.limit(_CC_LOCAL_MAX_EDGES + 1).collect()
+    if len(probe) <= _CC_LOCAL_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in probe:
+            a, b = r["doc1"], r["doc2"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the root is the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels_py = {x: find(x) for x in parent}
+        sizes_py: dict = {}
+        for lab in labels_py.values():
+            sizes_py[lab] = sizes_py.get(lab, 0) + 1
+        id_type = dict(edges.dtypes)["doc1"]
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(x, lab, sizes_py[lab]) for x, lab in labels_py.items()],
+            f"doc {id_type}, cluster {id_type}, n_members bigint",
+        )
     sym = edges.union(
         edges.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
     ).localCheckpoint()
@@ -390,6 +442,12 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(sym.doc1.alias("doc"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the update join already holds BOTH the old and the candidate
+        # label, so the changed flag rides the same row — the convergence
+        # probe below is then a shuffle-free filter over the checkpointed
+        # frame instead of a second new-vs-old join (one exchange + one
+        # join fewer per iteration, and CC runs inside every near-dup /
+        # semantic / media consumer)
         new_labels = (
             labels.join(nbr_min, "doc", "left")
             .select(
@@ -397,17 +455,14 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                ).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     else:

@@ -639,6 +639,21 @@ def _dsir_bucket(col: Column, n_buckets: int) -> Column:
     )
 
 
+def _dsir_bucket_arrays(df: DataFrame, id_col: str, text_col: str,
+                        n_buckets: int) -> DataFrame:
+    """(doc, bkts: array<bigint>) — each doc's hashed-feature BUCKET ids
+    with multiplicity, computed map-side in one projection (the md5 of
+    every gram happens exactly here and nowhere else). This is the shared
+    featurize pass: bucket counts explode it, scoring folds over it — so a
+    select pipeline that needs both (dsir_select) hashes the corpus ONCE
+    instead of once per consumer."""
+    return _dsir_feats(df, id_col, text_col).select(
+        "doc",
+        F.transform("feats",
+                    lambda g: _dsir_bucket(g, n_buckets)).alias("bkts"),
+    )
+
+
 def dsir_bucket_counts(df: DataFrame, id_col: str, text_col: str,
                        n_buckets: int) -> DataFrame:
     """(b, cnt) — total hashed-feature occurrences per bucket across the
@@ -646,17 +661,24 @@ def dsir_bucket_counts(df: DataFrame, id_col: str, text_col: str,
     multinomial. One explode + one groupBy on a bounded key space
     (<= n_buckets distinct values), so the shuffle is map-side-combined
     down to at most n_buckets rows per task — corpus-size-independent."""
+    return _bucket_counts_from_arrays(
+        _dsir_bucket_arrays(df, id_col, text_col, n_buckets))
+
+
+def _bucket_counts_from_arrays(bkts_df: DataFrame) -> DataFrame:
+    """(b, cnt) from a ``_dsir_bucket_arrays`` frame (same rollup as
+    ``dsir_bucket_counts`` — the bucket of each occurrence is identical,
+    only where the md5 is evaluated moves)."""
     return (
-        _dsir_feats(df, id_col, text_col)
-        .select(F.explode("feats").alias("g"))
-        .select(_dsir_bucket(F.col("g"), n_buckets).alias("b"))
+        bkts_df.select(F.explode("bkts").alias("b"))
         .groupBy("b")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
 
 
 def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str,
-                 text_col: str, n_buckets: int = 1024) -> DataFrame:
+                 text_col: str, n_buckets: int = 1024,
+                 _raw_buckets: DataFrame | None = None) -> DataFrame:
     """Per-bucket DSIR importance weights — the log-likelihood ratio of the
     target vs raw hashed-ngram multinomials, Laplace-smoothed (DSIR, Xie et
     al. 2023: data selection via importance resampling on hashed n-gram
@@ -678,10 +700,18 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str,
 
     Scale shape: two bounded-key groupBys (map-side-combined to n_buckets
     rows each), a join + window over the BUCKET table only (n_buckets rows,
-    one task) — nothing corpus-sized shuffles."""
+    one task) — nothing corpus-sized shuffles.
+
+    ``_raw_buckets``: optional precomputed ``_dsir_bucket_arrays`` frame
+    for the raw side, so a caller that also scores the raw corpus
+    (dsir_select) pays the featurize+md5 pass once — identical counts by
+    construction."""
     spark = raw.sparkSession
     tc = dsir_bucket_counts(target, id_col, text_col, n_buckets)
-    rc = dsir_bucket_counts(raw, id_col, text_col, n_buckets)
+    rc = (
+        _bucket_counts_from_arrays(_raw_buckets) if _raw_buckets is not None
+        else dsir_bucket_counts(raw, id_col, text_col, n_buckets)
+    )
     frame = spark.range(n_buckets).select(F.col("id").alias("b"))
     counts = (
         frame.join(tc.withColumnRenamed("cnt", "target_count"), "b", "left")
@@ -747,6 +777,30 @@ def dsir_score(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def _dsir_score_from_buckets(bkts_df: DataFrame,
+                             weights_micros: list[int]) -> DataFrame:
+    """``dsir_score`` over a precomputed ``_dsir_bucket_arrays`` frame: the
+    per-occurrence weight lookup keys on the already-hashed bucket id, so
+    the scoring pass re-hashes nothing. Same integer sum in the same
+    multiset — summation-order-independent, bit-identical to dsir_score."""
+    spark = bkts_df.sparkSession
+    wrow = spark.createDataFrame(
+        [(list(int(w) for w in weights_micros),)], "dw: array<bigint>"
+    )
+    contrib = F.expr(
+        "aggregate(transform(bkts, b -> element_at(dw, int(b) + 1)), "
+        "bigint(0), (a, x) -> a + x)"
+    )
+    return (
+        bkts_df.crossJoin(F.broadcast(wrow))
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.size("bkts").cast("bigint").alias("n_feats"),
+            contrib.cast("bigint").alias("score_micros"),
+        )
+    )
+
+
 def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,
                 text_col: str, k: int, n_buckets: int = 1024) -> DataFrame:
     """End-to-end DSIR: fit target/raw hashed-ngram multinomials, score
@@ -758,12 +812,20 @@ def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,
     so both engines and every rerun agree bit-for-bit (plug a seeded
     perturbation into score_micros upstream of the sort to get the sampled
     form). At scale the top-k is a TakeOrderedAndProject (per-partition
-    heaps + driver merge of k rows), never a global sort of the corpus."""
-    w = dsir_weights(raw, target, id_col, text_col, n_buckets)
+    heaps + driver merge of k rows), never a global sort of the corpus.
+
+    The raw corpus feeds BOTH the weight fit (its bucket counts) and the
+    scoring pass; the shared ``_dsir_bucket_arrays`` frame is lazily
+    localCheckpoint'd so the featurize + per-gram md5 pass — the dominant
+    cost of the whole query — runs once, not once per consumer."""
+    rb = _dsir_bucket_arrays(raw, id_col, text_col, n_buckets)
+    rb = rb.localCheckpoint(eager=False)
+    w = dsir_weights(raw, target, id_col, text_col, n_buckets,
+                     _raw_buckets=rb)
     wm = [r["w_micros"] for r in
           w.select("bucket", "w_micros").orderBy("bucket").collect()]
     return (
-        dsir_score(raw, id_col, text_col, wm)
+        _dsir_score_from_buckets(rb, wm)
         .orderBy(F.col("score_micros").desc(), F.col("doc_id"))
         .limit(k)
     )
@@ -813,7 +875,10 @@ def dsir_select_sampled(raw: DataFrame, target: DataFrame, id_col: str,
     Returns (doc_id, n_feats, score_micros, perturbed_micros)."""
     if not 1 <= g_bits <= 20:
         raise ValueError(f"g_bits must be in [1, 20], got {g_bits}")
-    w = dsir_weights(raw, target, id_col, text_col, n_buckets)
+    rb = _dsir_bucket_arrays(raw, id_col, text_col, n_buckets)
+    rb = rb.localCheckpoint(eager=False)  # shared featurize pass, as in dsir_select
+    w = dsir_weights(raw, target, id_col, text_col, n_buckets,
+                     _raw_buckets=rb)
     wm = [r["w_micros"] for r in
           w.select("bucket", "w_micros").orderBy("bucket").collect()]
     gt = gumbel_table_micros(tau, g_bits)
@@ -826,7 +891,7 @@ def dsir_select_sampled(raw: DataFrame, target: DataFrame, id_col: str,
         .cast("bigint") % (1 << g_bits)
     )
     return (
-        dsir_score(raw, id_col, text_col, wm)
+        _dsir_score_from_buckets(rb, wm)
         .crossJoin(F.broadcast(grow))
         .withColumn(
             "perturbed_micros",

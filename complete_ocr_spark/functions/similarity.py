@@ -526,6 +526,12 @@ def embedding_near_dup_srp(df: DataFrame, id_col: str, vec_col: str, dim: int,
             F.col(id_col).alias("vid"),
             F.posexplode(all_buckets).alias("tbl", "bucket"),
         )
+    # the bucket frame feeds BOTH self-join sides; without a barrier the
+    # bucket computation (and the whole input subtree under it — in the
+    # curation tier that subtree is every earlier gate/dedup stage) runs
+    # twice, since Spark reuses no exchanges across MapInPandas subtrees.
+    # A lazy localCheckpoint materializes the (vid, tbl, bucket) rows once.
+    b = b.localCheckpoint(eager=False)
     x, y = b.alias("x"), b.alias("y")
     cands = (
         x.join(
@@ -537,13 +543,28 @@ def embedding_near_dup_srp(df: DataFrame, id_col: str, vec_col: str, dim: int,
         .select(F.col("x.vid").alias("id1"), F.col("y.vid").alias("id2"))
         .distinct()
     )
-    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    v1 = base.select(F.col("vid").alias("id1"), F.col("v").alias("v1"))
-    v2 = base.select(F.col("vid").alias("id2"), F.col("v").alias("v2"))
+    # same argument for the two vector fetch sides of the verify join; the
+    # L2 norm is computed PER VECTOR here (n fold evaluations) instead of
+    # per candidate pair (2 x |pairs| — pairs >> vectors under LSH): the
+    # norm fold is the identical expression over the identical array, and
+    # the cosine below multiplies the same two doubles the inline form
+    # would, so the rounded value is bit-identical
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("_nrm"),
+    ).localCheckpoint(eager=False)
+    v1 = base.select(F.col("vid").alias("id1"), F.col("v").alias("v1"),
+                     F.col("_nrm").alias("_n1"))
+    v2 = base.select(F.col("vid").alias("id2"), F.col("v").alias("v2"),
+                     F.col("_nrm").alias("_n2"))
     return (
         cands.join(v1, "id1").join(v2, "id2")
         .select(
-            "id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos")
+            "id1", "id2",
+            F.round(
+                dot(F.col("v1"), F.col("v2")) / (F.col("_n1") * F.col("_n2")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -419,7 +419,7 @@ def make_curate_batch(spark: SparkSession, out_root: str,
             )
             (
                 batch_links.withColumn("batch_id", F.lit(bid))
-                .repartition(1)
+                .coalesce(1)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
@@ -561,7 +561,7 @@ def make_curate_batch(spark: SparkSession, out_root: str,
             ).withColumn("checksum", F.lit(None).cast("bigint"))
         (
             lin.withColumn("batch_id", F.lit(bid))
-            .repartition(1)
+            .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "bucket")

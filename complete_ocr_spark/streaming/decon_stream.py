@@ -80,7 +80,7 @@ def make_decon_batch(spark: SparkSession, out_root: str,
         )
         (
             flags.withColumn("batch_id", F.lit(bid))
-            .repartition(1)
+            .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

@@ -443,7 +443,7 @@ def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
         )
         if not mv.isEmpty():
             (
-                mv.repartition(1)
+                mv.coalesce(1)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
@@ -673,7 +673,7 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
         # flags may be empty for a batch; write signatures first so the flag
         # write's partition column is still recorded via an explicit lit
         (
-            sigs.repartition(1)
+            sigs.coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -688,7 +688,7 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
         )
         (
             flags.withColumn("batch_id", F.lit(bid))  # restore after groupBy
-            .repartition(1)
+            .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -854,7 +854,7 @@ def make_minhash_dedup_batch(spark: SparkSession, out_root: str,
         )
         (
             flags.withColumn("batch_id", F.lit(bid))
-            .repartition(1)
+            .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

@@ -131,7 +131,7 @@ def make_index_batch(spark: SparkSession, out_root: str,
                 F.sum("dl").cast("bigint").alias("total_tokens"),
             )
             .withColumn("batch_id", F.lit(bid))
-            .repartition(1)
+            .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

@@ -55,7 +55,7 @@ def make_report_batch(spark: SparkSession, out_root: str,
         rep = corpus_report(batch_df, id_col, text_col, lang_col=lang_col)
         (
             rep.withColumn("batch_id", F.lit(bid))
-            .repartition(1)
+            .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

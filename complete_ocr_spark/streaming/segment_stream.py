@@ -225,7 +225,7 @@ def make_segment_dedup_batch(spark: SparkSession, out_root: str,
             spans = spans.localCheckpoint()
         (
             spans.withColumn("batch_id", F.lit(bid))
-            .repartition(1)
+            .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -238,7 +238,7 @@ def make_segment_dedup_batch(spark: SparkSession, out_root: str,
             )
             (
                 cleaned.withColumn("batch_id", F.lit(bid))
-                .repartition(1)
+                .coalesce(1)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")

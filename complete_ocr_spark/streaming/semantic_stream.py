@@ -196,7 +196,7 @@ def make_semantic_dedup_batch(spark: SparkSession, out_root: str,
         for frame, path in ((matches, pair_path), (flags, flag_path)):
             (
                 frame.withColumn("batch_id", F.lit(bid))
-                .repartition(1)
+                .coalesce(1)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
