@@ -192,17 +192,26 @@ def test_ivf_train_kmeans_invariants(spark):
     assert moved  # training moved the populated cells
 
 
-def test_connected_components_raises_on_non_convergence(spark):
+def test_connected_components_raises_on_non_convergence(spark, monkeypatch):
+    """The DISTRIBUTED fixpoint (forced by shrinking the driver fast-path
+    threshold to 0) must refuse loudly when the component diameter exceeds
+    max_iters; small graphs take the bounded union-find fast path, which
+    cannot not-converge and must return the same labels either way."""
     import pytest
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "doc1 bigint, doc2 bigint"
     )
+    monkeypatch.setattr(dedup, "_CC_LOCAL_MAX_EDGES", 0)
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, max_iters=2)
-    got = {r["doc"]: r["cluster"] for r in
-           dedup.connected_components(chain, max_iters=10).collect()}
-    assert set(got.values()) == {0} and len(got) == 7
+    got_dist = {r["doc"]: r["cluster"] for r in
+                dedup.connected_components(chain, max_iters=10).collect()}
+    assert set(got_dist.values()) == {0} and len(got_dist) == 7
+    monkeypatch.undo()
+    got_local = {r["doc"]: r["cluster"] for r in
+                 dedup.connected_components(chain, max_iters=10).collect()}
+    assert got_local == got_dist
 
 
 def test_sig_store_route_matches_direct_and_runs_kernel_once(spark, tmp_path):

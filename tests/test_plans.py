@@ -70,19 +70,28 @@ def test_relational_queries_have_no_python_eval(spark):
 
 
 def test_srp_near_dup_is_single_pass_per_join_side(spark):
-    """Multi-table SRP candidates: all T buckets from ONE posexplode per join
-    side (T separate per-table joins would scan 2T times), plus one
-    vector-fetch scan per pair side — 4 scans total. The candidate self-join
-    must shuffle only (vid, tbl, bucket): no embedding column may survive
-    below the bucket equi-join's exchange."""
+    """Multi-table SRP candidates: the bucket frame and the vector base are
+    each materialized ONCE (lazy localCheckpoint — round-9) and every join
+    side reads the checkpointed rows, so the parquet input is scanned only
+    at checkpoint time, never inside the pair join: the final plan holds 4
+    `Scan ExistingRDD` legs (bucket x2 sides, vector base x2 sides) and NO
+    parquet scan or Python kernel. The candidate self-join must carry only
+    (vid, tbl, bucket): no embedding column below the bucket equi-join."""
     df = REGISTRY["q_embed_near_dup_srp"][0](spark, SF_DIR)
     plan = _plan(df)
-    assert plan.count("Scan parquet") == 4, plan
-    # the candidate join's exchanges hash on (tbl, bucket); the projected
-    # row there must be the narrow (vid, tbl, bucket) — not the vector
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    assert "MapInPandas" not in plan, "SRP kernel re-ran inside the join"
+    # the candidate join hashes on (tbl, bucket) (or broadcasts one side);
+    # the row there must be the narrow (vid, tbl, bucket) — not the vector
     for seg in plan.split("Exchange hashpartitioning(tbl")[1:]:
         first_project = seg.split("Project [", 1)[1].split("]", 1)[0]
         assert "embedding" not in first_project, first_project
+    join_seg = plan.split("BroadcastHashJoin [tbl", 1)
+    if len(join_seg) == 2:
+        below = join_seg[1].split("Project [", 1)
+        if len(below) == 2:
+            assert "embedding" not in below[1].split("]", 1)[0]
 
 
 def test_ivf_topk_is_scan_plus_take_ordered(spark):
