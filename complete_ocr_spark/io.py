@@ -63,6 +63,32 @@ def has_parquet(path: str) -> bool:
     )
 
 
+def parallel_actions(*thunks) -> None:
+    """Run INDEPENDENT Spark actions concurrently from driver threads
+    (optimization guide §2.6: actions are only sequential because driver
+    code calls them sequentially; later jobs back-fill executors freed by
+    the current job's tail). Each thunk issues one action — typically a
+    store write whose job is dominated by task-commit/file latency with
+    most executor cores idle, which is exactly when overlap pays.
+
+    ONLY for actions with no read/write dependence on each other's outputs
+    (each streaming body documents its grouping at the call site). Spark's
+    scheduler handles concurrent jobs natively (FIFO back-fill); any thunk
+    exception re-raises here after all threads finish, so a failed write
+    still fails the batch."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+    errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
+
+
 def doc_checksum() -> F.Column:
     """Order-sensitive per-document content hash over the output span sequence."""
     return F.xxhash64(F.col("doc_id"), F.to_json(F.col("spans")))

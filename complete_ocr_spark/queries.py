@@ -2765,7 +2765,12 @@ def q_stream_dedup_flags(spark, sf_dir):
         "batch_id",
         F.conv(F.substring(F.md5(F.col("doc").cast("string")), 1, 4), 16, 10)
         .cast("bigint") % _SD_BATCHES,
-    )
+    # the signature frame feeds BOTH sides of the banded self-join and
+    # Spark reuses no exchanges across MapInPandas subtrees — without a
+    # barrier the Arrow kernel (the dominant cost) runs once per side. A
+    # lazy localCheckpoint materializes the 16 B/doc signatures once
+    # (the simhash_hamming_pairs un-stored-route fix, round 9).
+    ).localCheckpoint(eager=False)
     return near_dup_flags(sigs, sigs, max_hamming=_SH_MAX_HAMMING, n_blocks=4)
 
 

@@ -100,7 +100,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..config import DEFAULT_N_BUCKETS
 from ..functions.curate import annotate_gates, heuristic_reason
 from ..functions.dedup import _strip_spans, normalized
-from ..io import has_parquet, require_local, with_bucket
+from ..io import has_parquet, parallel_actions, require_local, with_bucket
 from .dedup_stream import (
     _geometry_guard,
     make_dedup_batch,
@@ -344,16 +344,28 @@ def make_curate_batch(spark: SparkSession, out_root: str,
             .select("doc")
             .localCheckpoint()  # feeds the survivor anti-join AND the audit
         )
-        (
-            fps.repartition("fb")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "fb")
-            .parquet(paths["fps"])
-        )
-        exact_surv = passed.join(
-            exact_drops.withColumnRenamed("doc", id_col), id_col, "left_anti"
-        ).localCheckpoint()  # feeds the segment body, strip, and near body
+        # the fp-store write touches only batch_id=bid partitions and the
+        # survivor checkpoint's plan reads only the ann/exact_drops
+        # checkpoints — independent actions, overlapped (guide §2.6)
+        _surv = {}
+
+        def _write_fps():
+            (
+                fps.repartition("fb")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "fb")
+                .parquet(paths["fps"])
+            )
+
+        def _ck_surv():
+            _surv["df"] = passed.join(
+                exact_drops.withColumnRenamed("doc", id_col),
+                id_col, "left_anti",
+            ).localCheckpoint()  # feeds the segment body, strip, near body
+
+        parallel_actions(_write_fps, _ck_surv)
+        exact_surv = _surv["df"]
         # 3. segment tier: the real segment_stream body over the exact
         # survivors; this batch's spans read back for coverage + stripping
         pb_seg(exact_surv, bid)
@@ -507,66 +519,90 @@ def make_curate_batch(spark: SparkSession, out_root: str,
             .select(id_col, *audit_cols)
         )
         audit = with_bucket(audit, n_buckets, id_col=id_col).localCheckpoint()
-        (
-            audit.withColumn("batch_id", F.lit(bid))
-            .repartition("bucket")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "bucket")
-            .parquet(paths["audit"])
-        )
-        # training: kept docs with their duplicated spans stripped (the one
-        # strip pass above). May be EMPTY for an all-dropped batch — skip
-        # the write (empty partitioned writes leave unreadable paths).
-        training = with_bucket(
-            stripped.join(
-                audit.filter("keep").select(F.col(id_col).alias("doc_id")),
-                "doc_id",
-            ).withColumnRenamed("doc_id", id_col),
-            n_buckets, id_col=id_col,
-        ).localCheckpoint()  # feeds the write AND the lineage agg
-        has_training = not training.isEmpty()
-        if has_training:
+
+        # the audit-store write and the training checkpoint are independent
+        # (the training plan reads the audit/stripped CHECKPOINTS, not the
+        # store) — overlap them; likewise the training-store write and the
+        # lineage aggregation below (both read only checkpointed frames).
+        # All writes stay (batch_id, ...)-keyed dynamic overwrite, so crash/
+        # re-delivery semantics are unchanged by the overlap.
+        def _write_audit():
             (
-                training.withColumn("batch_id", F.lit(bid))
+                audit.withColumn("batch_id", F.lit(bid))
                 .repartition("bucket")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id", "bucket")
-                .parquet(paths["training"])
+                .parquet(paths["audit"])
             )
-        # lineage per (batch, bucket), computed from the frames just
-        # written — fully distributed, <= n_buckets rows per batch
-        lin = audit.groupBy("bucket").agg(
-            F.min(id_col).alias("doc_range_min"),
-            F.max(id_col).alias("doc_range_max"),
-            F.count("*").alias("doc_count"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_count"),
-        )
-        if has_training:
-            lin = lin.join(
-                training.withColumn(
-                    "h", F.xxhash64(F.col(id_col), F.col("text_clean"))
+
+        # training: kept docs with their duplicated spans stripped (the one
+        # strip pass above). May be EMPTY for an all-dropped batch — skip
+        # the write (empty partitioned writes leave unreadable paths).
+        _tr = {}
+
+        def _ck_training():
+            t = with_bucket(
+                stripped.join(
+                    audit.filter("keep").select(
+                        F.col(id_col).alias("doc_id")),
+                    "doc_id",
+                ).withColumnRenamed("doc_id", id_col),
+                n_buckets, id_col=id_col,
+            ).localCheckpoint()  # feeds the write AND the lineage agg
+            _tr["df"] = t
+            _tr["has"] = not t.isEmpty()
+
+        parallel_actions(_write_audit, _ck_training)
+        training, has_training = _tr["df"], _tr["has"]
+
+        def _write_training():
+            if has_training:
+                (
+                    training.withColumn("batch_id", F.lit(bid))
+                    .repartition("bucket")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id", "bucket")
+                    .parquet(paths["training"])
                 )
-                .groupBy("bucket")
-                .agg(
-                    F.sum("n_kept").alias("token_count"),
-                    F.expr("bit_xor(h)").alias("checksum"),
-                ),
-                "bucket", "left",
+
+        def _write_lineage():
+            # lineage per (batch, bucket), computed from the checkpointed
+            # frames — fully distributed, <= n_buckets rows per batch
+            lin = audit.groupBy("bucket").agg(
+                F.min(id_col).alias("doc_range_min"),
+                F.max(id_col).alias("doc_range_max"),
+                F.count("*").alias("doc_count"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                .alias("kept_count"),
             )
-        else:
-            lin = lin.withColumn(
-                "token_count", F.lit(None).cast("bigint")
-            ).withColumn("checksum", F.lit(None).cast("bigint"))
-        (
-            lin.withColumn("batch_id", F.lit(bid))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "bucket")
-            .parquet(paths["lineage"])
-        )
+            if has_training:
+                lin = lin.join(
+                    training.withColumn(
+                        "h", F.xxhash64(F.col(id_col), F.col("text_clean"))
+                    )
+                    .groupBy("bucket")
+                    .agg(
+                        F.sum("n_kept").alias("token_count"),
+                        F.expr("bit_xor(h)").alias("checksum"),
+                    ),
+                    "bucket", "left",
+                )
+            else:
+                lin = lin.withColumn(
+                    "token_count", F.lit(None).cast("bigint")
+                ).withColumn("checksum", F.lit(None).cast("bigint"))
+            (
+                lin.withColumn("batch_id", F.lit(bid))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "bucket")
+                .parquet(paths["lineage"])
+            )
+
+        parallel_actions(_write_training, _write_lineage)
 
     return process_batch
 

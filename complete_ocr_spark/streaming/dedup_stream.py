@@ -49,7 +49,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions.dedup import connected_components, simhash64, simhash_band_keys
 # has_parquet: the shared crash-safe probe (io.py); module-private alias kept
 # for existing callers and segment_stream's import
-from ..io import has_parquet as _has_parquet, require_local
+from ..io import has_parquet as _has_parquet, parallel_actions, require_local
 
 
 N_VALUE_BUCKETS = 16  # band-index partition fan-out; see make_dedup_batch
@@ -306,6 +306,9 @@ def _read_moves(spark: SparkSession, mov_path: str, id_type: str,
     return spark.createDataFrame([], f"src {id_type}, dst {id_type}")
 
 
+_MOVES_LOCAL_MAX = 100_000  # bounded driver read (a few MB of id pairs)
+
+
 def _apply_moves(lab: DataFrame, moves: DataFrame,
                  max_iters: int = 30) -> DataFrame:
     """Resolve union-find pointer chains: replace ``label`` by ``moves.dst``
@@ -313,7 +316,47 @@ def _apply_moves(lab: DataFrame, moves: DataFrame,
     RESOLVED root at creation time, so a chain only deepens when an old root
     later loses a merge — depth stays shallow and this converges in a few
     broadcast joins (moves hold one row per cluster-merge event, tiny
-    relative to the corpus). ``lab``: (doc, label) rows."""
+    relative to the corpus). ``lab``: (doc, label) rows.
+
+    Small move logs take a BOUNDED driver fast path (the
+    connected_components _CC_LOCAL_MAX_EDGES pattern): the per-hop loop
+    costs [join + changed-probe job + localCheckpoint] per hop and runs in
+    EVERY batch body and every promoted read, while the move log holds one
+    row per cluster-merge EVENT — tiny by construction. When at most
+    ``_MOVES_LOCAL_MAX`` moves exist (probed with a limit-bounded collect),
+    the chains are path-compressed driver-side and applied in ONE broadcast
+    join; each src maps to its terminal dst, so one application IS the
+    fixpoint — identical labels by construction. Larger logs fall through
+    to the iterative loop unchanged."""
+    probe = moves.limit(_MOVES_LOCAL_MAX + 1).collect()
+    if len(probe) <= _MOVES_LOCAL_MAX:
+        if not probe:
+            return lab
+        m = {r["src"]: r["dst"] for r in probe}
+
+        def find(x):
+            seen = []
+            while x in m:
+                seen.append(x)
+                x = m[x]
+                if len(seen) > len(m):
+                    raise RuntimeError(
+                        "cycle in label_moves — the log is corrupt"
+                    )
+            for s in seen:  # path compression
+                m[s] = x
+            return x
+
+        resolved = [(s, find(s)) for s in list(m)]
+        id_type = dict(moves.dtypes)["src"]
+        mdf = lab.sparkSession.createDataFrame(
+            resolved, f"src {id_type}, dst {id_type}"
+        )
+        return lab.join(
+            F.broadcast(mdf), lab["label"] == mdf["src"], "left"
+        ).select(
+            lab["doc"], F.coalesce(mdf["dst"], lab["label"]).alias("label")
+        )
     for _ in range(max_iters):
         j = lab.join(F.broadcast(moves), lab["label"] == moves["src"], "left")
         changed = j.filter(F.col("dst").isNotNull()).limit(1).count()
@@ -422,14 +465,18 @@ def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
         .withColumn("batch_id", F.lit(bid))
         .withColumn("db", F.pmod(F.xxhash64("doc"), F.lit(n_doc_buckets)).cast("int"))
     )
-    (
-        asg_new.repartition("db")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "db")
-        .parquet(asg_path)
-    )
-    if prior_roots is not None:
+    def _write_asg():
+        (
+            asg_new.repartition("db")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "db")
+            .parquet(asg_path)
+        )
+
+    def _write_moves():
+        if prior_roots is None:
+            return
         mv = (
             prior_roots.select(F.col("label").alias("src")).distinct()
             .join(cc, F.col("src") == cc["doc"])
@@ -449,6 +496,12 @@ def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
                 .partitionBy("batch_id")
                 .parquet(mov_path)
             )
+
+    # independent writes (different stores; both plans read only the
+    # checkpointed cc/prior_roots/batch_docs frames) — overlap them; the
+    # completion marker below stays strictly AFTER both (its ordering
+    # contract), so crash semantics are unchanged
+    parallel_actions(_write_asg, _write_moves)
     # Record completion independently of row presence: a batch whose docs ALL
     # had prior assignments (a fully re-crawled batch) writes zero rows, so no
     # batch_id partition dir appears and _cluster_backlog would treat the
@@ -478,7 +531,11 @@ def read_cluster_labels(spark: SparkSession, out_root: str,
             [], f"doc {id_type}, cluster {id_type}, n_members bigint"
         )
     lab = spark.read.parquet(asg_path).select("doc", "label")
-    resolved = _apply_moves(lab, _read_moves(spark, mov_path, id_type))
+    # the resolved frame feeds BOTH the size rollup and the final join —
+    # materialize once so the assignment scan + move join run once
+    resolved = _apply_moves(
+        lab, _read_moves(spark, mov_path, id_type)
+    ).localCheckpoint(eager=False)
     sizes = resolved.groupBy("label").agg(F.count("*").alias("n_members"))
     return (
         resolved.join(sizes, "label")
@@ -670,29 +727,37 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
             new_bands, corpus_bands, max_hamming
         ).localCheckpoint()
         flags = _flags_from_matches(matches)
-        # flags may be empty for a batch; write signatures first so the flag
-        # write's partition column is still recorded via an explicit lit
-        (
-            sigs.coalesce(1)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(sig_path)
-        )
-        (
-            new_bands.repartition("vb")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "vb")
-            .parquet(band_path)
-        )
-        (
-            flags.withColumn("batch_id", F.lit(bid))  # restore after groupBy
-            .coalesce(1)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(flag_path)
+        # The three store writes are INDEPENDENT (each overwrites only its
+        # own batch_id=bid partitions; their plans read the checkpointed
+        # sigs/matches frames, never each other's store), so they overlap
+        # (io.parallel_actions — guide §2.6): each job is commit/file-
+        # latency-bound with most cores idle. A crash mid-batch leaves any
+        # subset written — exactly as before, re-delivery overwrites all
+        # three deterministically. flags may be empty for a batch; the
+        # partition column is still recorded via an explicit lit.
+        parallel_actions(
+            lambda: (
+                sigs.coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(sig_path)
+            ),
+            lambda: (
+                new_bands.repartition("vb")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "vb")
+                .parquet(band_path)
+            ),
+            lambda: (
+                flags.withColumn("batch_id", F.lit(bid))  # restore post-agg
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(flag_path)
+            ),
         )
         if maintain_clusters:
             _update_clusters(

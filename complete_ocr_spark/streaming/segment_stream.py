@@ -54,7 +54,7 @@ from ..functions.dedup import (
     cdc_chunk_fingerprints,
     segment_fingerprints,
 )
-from ..io import require_local
+from ..io import parallel_actions, require_local
 from .dedup_stream import _geometry_guard, _has_parquet
 
 N_FP_BUCKETS = 16
@@ -210,27 +210,39 @@ def make_segment_dedup_batch(spark: SparkSession, out_root: str,
                 F.col("we").alias("span_end"),
                 F.lit(1).cast("bigint").alias("n_windows"),
             )
-        (
-            fps.select("doc_id", "ws", "we", "fp", "batch_id", "fb")
-            .withColumnRenamed("doc_id", "doc")
-            .repartition("fb")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "fb")
-            .parquet(fp_path)
-        )
         if emit_clean:
             # spans feed the report write AND the clean join — batch-sized;
             # materialize once instead of re-running the probe per consumer
             spans = spans.localCheckpoint()
-        (
-            spans.withColumn("batch_id", F.lit(bid))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(span_path)
-        )
+
+        def _write_fps():
+            (
+                fps.select("doc_id", "ws", "we", "fp", "batch_id", "fb")
+                .withColumnRenamed("doc_id", "doc")
+                .repartition("fb")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "fb")
+                .parquet(fp_path)
+            )
+
+        def _write_spans():
+            (
+                spans.withColumn("batch_id", F.lit(bid))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(span_path)
+            )
+
+        # independent stores (guide §2.6): the fps write touches only its
+        # own batch_id=bid partitions; the spans plan reads the fp store
+        # PRUNED to batch_id < bid (plus the checkpointed batch fps), so
+        # neither job reads what the other writes — overlap them. Crash
+        # mid-batch leaves any subset, exactly as before; re-delivery
+        # overwrites both deterministically.
+        parallel_actions(_write_fps, _write_spans)
         if emit_clean:
             cleaned = _strip_spans(
                 batch_df, id_col, text_col,
