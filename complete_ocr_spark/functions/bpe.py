@@ -107,6 +107,55 @@ def _apply_merge(syms_df: DataFrame, lhs: str, rhs: str) -> DataFrame:
     )
 
 
+_BPE_LOCAL_MAX_WORDS = 65_536  # bounded driver read (vocab rows, not corpus)
+
+
+def _train_local(rows, n_merges: int, min_pair_count: int) -> list:
+    """Driver-side merge loop over a BOUNDED collected vocab — the
+    connected_components fast-path pattern. One round = exact integer
+    pair counts + the same (count desc, lhs, rhs) argmax + one greedy
+    leftmost-first pass per word holding the pair. Bit-identical to the
+    distributed loop by construction: counts are exact ints, Python
+    code-point string order == Spark UTF-8 binary order (the caller
+    guards out supplementary-plane characters, where Java code-unit
+    splitting could differ), and the fold's merge semantics are the same
+    leftmost-first single pass. The n_merges sequential argmax rounds are
+    inherent to BPE; running them driver-side removes n_merges job
+    round-trips over a vocab-sized table — corpus cost is unchanged (the
+    one word-count shuffle already happened)."""
+    from collections import Counter
+
+    freq = {r["w"]: int(r["cnt"]) for r in rows}
+    vocab = {w: tuple(w) + (END,) for w in freq}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        pairs: Counter = Counter()
+        for w, c in freq.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        neg_cnt, (lhs, rhs) = min((-c, p) for p, c in pairs.items())
+        cnt = -neg_cnt
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, lhs, rhs, cnt))
+        for w, s in vocab.items():
+            if lhs in s and rhs in s:
+                out = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                vocab[w] = tuple(out)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -121,9 +170,24 @@ def bpe_train(
     weighted frequency at learn time. Stops early when no pair reaches
     ``min_pair_count``. The result is built on the driver (n_merges rows —
     bounded by the parameter, never by the corpus).
-    """
+
+    Small vocabularies take a BOUNDED driver fast path (``_train_local``):
+    after the one corpus-sized word-count shuffle, every merge round of
+    the distributed loop is [vocab groupBy + 1-row driver read + fold]
+    over a |vocab|-row table — when the vocab fits ``_BPE_LOCAL_MAX_WORDS``
+    the same greedy loop runs driver-side with zero per-round jobs,
+    byte-identical merges (tested against the committed oracle goldens).
+    Larger vocabularies fall through to the distributed loop unchanged."""
     spark = df.sparkSession
     words = _initial_symbols(word_counts(df, text_col)).localCheckpoint()
+    probe = words.limit(_BPE_LOCAL_MAX_WORDS + 1).collect()
+    if len(probe) <= _BPE_LOCAL_MAX_WORDS and all(
+        ord(c) <= 0xFFFF for r in probe for c in r["w"]
+    ):
+        return spark.createDataFrame(
+            _train_local(probe, int(n_merges), min_pair_count),
+            "rank: bigint, lhs: string, rhs: string, pair_count: bigint",
+        )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(int(n_merges)):
         top = (

@@ -310,14 +310,21 @@ def curate_corpus(df: DataFrame, id_col: str, text_col: str,
     # sort buffer, while the groupBy collapses the group map-side to a single
     # (fp, min) row before the shuffle — the package's canonical-owner rule
     # (dedup.segment_dup_spans' canon groupBy, exact_dup_groups).
+    # (doc, fp) only — and materialized once: the fingerprint frame feeds
+    # BOTH the canon groupBy and the probe join side, and each would
+    # otherwise re-run the normalize+md5 pass over the survivors' text
+    # (round 9; the exact_drops list below likewise feeds two consumers —
+    # the survivor anti-join and the final audit join)
     fp = passed.select(
-        F.col(id_col).alias("doc"), dedup.normalized(F.col(text_col)).alias("norm")
-    ).withColumn("fp", F.md5("norm"))
+        F.col(id_col).alias("doc"),
+        F.md5(dedup.normalized(F.col(text_col))).alias("fp"),
+    ).localCheckpoint(eager=False)
     fp_canon = fp.groupBy("fp").agg(F.min("doc").alias("keep_id"))
     exact_drops = (
         fp.join(fp_canon, "fp")
         .filter(F.col("doc") != F.col("keep_id"))
         .select("doc", F.col("keep_id").alias("dup_of"))
+        .localCheckpoint(eager=False)
     )
     exact_survivors = passed.join(
         exact_drops.select("doc").withColumnRenamed("doc", id_col),

@@ -86,7 +86,7 @@ from .functions.prep import (
     temperature_mix,
     upsample_domains,
 )
-from .io import has_parquet, require_local, with_bucket
+from .io import has_parquet, parallel_actions, require_local, with_bucket
 from .streaming.dedup_stream import _geometry_guard
 
 # see curate_io._GEOMETRY_EXCLUDED: DataFrames and scratch handles carry no
@@ -195,7 +195,10 @@ def write_training_data(
     contaminated = decontaminate(
         stripped, bench_n, id_col, "text_clean", n=decon_n,
         min_hits=decon_min_hits,
-    ).select(F.col("doc_id").alias(id_col), "contamination")
+    ).select(F.col("doc_id").alias(id_col), "contamination"
+             # feeds the clean anti-join AND the audit join — materialize
+             # once instead of re-running the gram pass per consumer (r9)
+             ).localCheckpoint(eager=False)
     clean = stripped.join(contaminated.select(id_col), id_col, "left_anti")
 
     # -- stage 4: PII redaction => text_final --------------------------------
@@ -250,7 +253,11 @@ def write_training_data(
     enc = bpe_encode(
         corpus_final, [id_col], "text_final", merges_df
     ).select(id_col, F.col("n_tokens").alias("n_bpe_tokens"))
-    enc = enc.localCheckpoint(eager=False)  # feeds texts AND packs
+    # EAGER checkpoint (not lazy): enc feeds the texts AND packs writes,
+    # which round 9 overlaps below — concurrent first-consumers of a lazy
+    # checkpoint would each recompute the encode kernel before either
+    # materializes it; eager runs it exactly once, up front
+    enc = enc.localCheckpoint()
 
     # -- stage 8: pack layout over (doc, copy) in BPE tokens ------------------
     # the stream element is a (doc, copy) pair; pack on the composite key
@@ -343,15 +350,25 @@ def write_training_data(
     if audit.isEmpty():
         return {"docs_in": 0, "kept": 0, "buckets_written": 0,
                 "skipped": True, "n_merges": 0, "total_tokens": 0}
-    for frame, path in ((texts, texts_path), (packs, packs_path),
-                        (audit, audit_path)):
-        (
-            frame.repartition("bucket")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(path)
-        )
+    # The three product-table writes are independent (distinct paths; every
+    # shared upstream frame — curated/stripped/finals/mix/ups/enc/
+    # contaminated — is already a MATERIALIZED checkpoint by this point:
+    # BPE training and the audit emptiness probe above forced them), so
+    # they overlap (io.parallel_actions, guide §2.6). The lineage read-back
+    # below stays strictly after all three.
+    def _writer(frame, path):
+        def _w():
+            (
+                frame.repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(path)
+            )
+        return _w
+
+    parallel_actions(_writer(texts, texts_path), _writer(packs, packs_path),
+                     _writer(audit, audit_path))
     # lineage from the files just written; audit drives (every input doc has
     # an audit row); texts may be empty (everything dropped)
     audit_back = spark.read.parquet(audit_path)

@@ -106,3 +106,18 @@ def test_checkpoint_every_does_not_change_result(spark):
     b = _train_spark(spark, texts, 12, checkpoint_every=100)
     want, _ = obpe.train(texts, 12)
     assert a == b == want and len(a) >= 8  # corpus exhausts below 12
+
+
+def test_local_fast_path_matches_distributed_loop(spark, monkeypatch):
+    """Round 9: small vocabularies train driver-side (_train_local). The
+    fast path must emit byte-identical merges to the distributed
+    map-reduce loop (forced by shrinking the vocab bound to 0) and to the
+    independent oracle."""
+    texts = ["low lower lowest", "new newer newest", "low low new",
+             "aaa aaaa ab abab banana bandana", "", None, "Tab TABLE\ttab"]
+    fast = _train_spark(spark, texts, 20, min_pair_count=1)
+    monkeypatch.setattr(bpe, "_BPE_LOCAL_MAX_WORDS", 0)
+    dist = _train_spark(spark, texts, 20, min_pair_count=1)
+    monkeypatch.undo()
+    want, _ = obpe.train(texts, 20, min_pair_count=1)
+    assert fast == dist == want and len(fast) > 5
