@@ -53,10 +53,18 @@ from .text import token_count
 
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, grams: array<string>) — DISTINCT md5 hashes of the doc's word
-    n-grams, built map-side (no shuffle): split -> sliding slice -> md5 ->
-    array_distinct, all inside one Catalyst projection. Docs shorter than n
-    words have no grams and are dropped."""
+    """(id, grams: array<string>) — the doc's DISTINCT word n-grams, built
+    map-side (no shuffle): split -> sliding slice -> array_distinct, all
+    inside one Catalyst projection. Docs shorter than n words have no grams
+    and are dropped.
+
+    The grams are RAW strings, not hashes: decontamination only ever
+    compares grams for equality (broadcast join key) and counts distincts,
+    so an md5 indirection buys nothing — distinct-raw == distinct-md5, the
+    join matches the same pairs, and the per-gram digest was pure overhead
+    (~2x on this pass, measured at sf0.1; OPTIMIZATION_r09.md). A raw
+    5-gram is also no wider than the 32-char hex it replaced, and the only
+    shuffled gram set (the broadcast benchmark side) is eval-set-sized."""
     w = F.split(normalized(F.col(text_col)), " ")
     # the CASE guards evaluation order: sequence(0, size-n) on a doc shorter
     # than n words would DESCEND into negative slice starts even though the
@@ -65,7 +73,7 @@ def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     grams = F.expr(
         f"CASE WHEN size(_w) >= {n} THEN "
         f"array_distinct(transform(sequence(0, size(_w) - {n}), "
-        f"i -> md5(array_join(slice(_w, i + 1, {n}), ' ')))) "
+        f"i -> array_join(slice(_w, i + 1, {n}), ' '))) "
         f"ELSE array() END"
     )
     return (

@@ -41,15 +41,13 @@ def decon_paths(out_root: str) -> str:
 
 
 def _bench_fingerprint(bg: DataFrame) -> dict:
-    """(count, xor) over the benchmark gram-hash set — a stable identity
-    for the geometry sidecar; one aggregate over the (tiny) gram table."""
+    """(count, xor) over the benchmark gram set — a stable identity for the
+    geometry sidecar; one aggregate over the (tiny) gram table. xxhash64 of
+    the raw gram (benchmark_grams stopped md5-hashing grams in round 9 —
+    the hex-prefix conv of the old fingerprint assumed hex input)."""
     row = bg.agg(
         F.count("*").alias("n"),
-        F.coalesce(
-            F.expr("bit_xor(cast(conv(substring(g, 1, 15), 16, 10) "
-                   "as bigint))"),
-            F.lit(0),
-        ).alias("x"),
+        F.coalesce(F.expr("bit_xor(xxhash64(g))"), F.lit(0)).alias("x"),
     ).head()
     return {"n_grams": int(row["n"]), "xor": int(row["x"])}
 
