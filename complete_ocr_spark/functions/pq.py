@@ -122,25 +122,25 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
         [(books,)], "books array<array<array<double>>>"
     )
     withr = _residuals(df, id_col, vec_col, cents).join(F.broadcast(bdf))
-    packed = F.lit(0).cast("bigint")
-    for mi in range(m):
-        rm = F.slice(F.col("r"), mi * sub + 1, sub)
-        dists = F.transform(
-            F.element_at(F.col("books"), mi + 1),
-            lambda e, i: F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(rm, e, lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ).alias("d"),
-                i.alias("k"),
-            ),
+    # ONE generated-SQL expression for the packed code word (the
+    # simhash_band_keys rule, round 9): the Column-algebra loop built
+    # M x 3 lambda expressions through py4j — ~0.8 s of driver time per
+    # call at M=16 — for a tree the SQL parser assembles in one JVM call.
+    # Same subexpressions (slice/zip_with/aggregate/round/array_min, the
+    # first-minimum tie-break on (d, k)), same bigint packing.
+    code_sql = (
+        "CAST(array_min(transform(element_at(books, {M1}), (e, i) -> "
+        "struct(round(aggregate(zip_with(slice(r, {OFF}, {SUB}), e, "
+        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x), 6) AS d, i AS k))).k AS BIGINT)"
+    )
+    packed = F.expr(
+        " + ".join(
+            code_sql.format(M1=mi + 1, OFF=mi * sub + 1, SUB=sub)
+            + f" * {2 ** (4 * mi)}"
+            for mi in range(m)
         )
-        code = F.array_min(dists)["k"].cast("bigint")
-        packed = packed + code * F.lit(2 ** (4 * mi))
+    )
     return withr.select(
         "vec_id",
         "cell",
@@ -359,12 +359,16 @@ def ann_ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str,
         [(qc, dt)], "qdots array<double>, qdt array<array<double>>"
     )
     cand = cand.join(F.broadcast(qdf))
-    adc = F.element_at(F.col("qdots"), F.col("cell"))
-    for mi in range(len(dt)):
-        code = F.shiftright(F.col("codes"), 4 * mi).bitwiseAND(F.lit(15))
-        adc = adc + F.element_at(
-            F.element_at(F.col("qdt"), mi + 1), (code + 1).cast("int")
+    # one generated-SQL ADC fold (the pq_encode / simhash_band_keys rule):
+    # identical shift+mask+lookup terms, assembled in a single JVM call
+    adc = F.expr(
+        "element_at(qdots, cell)"
+        + "".join(
+            f" + element_at(element_at(qdt, {mi + 1}), "
+            f"CAST((shiftright(codes, {4 * mi}) & 15) + 1 AS INT))"
+            for mi in range(len(dt))
         )
+    )
     ranked = (
         cand.withColumn(
             "adc_cos",
