@@ -297,7 +297,11 @@ def make_curate_batch(spark: SparkSession, out_root: str,
         id_type = dict(batch_df.dtypes)[id_col]
         # 1. heuristic gates (+ the model margin when the tier is on): one
         # narrow map, materialized once (feeds the survivor filter AND the
-        # audit write)
+        # audit write). The exact-tier fingerprint (+ its store bucket)
+        # rides the SAME checkpoint as survivor-only columns — a separate
+        # fps checkpoint was one more driver-coordinated job per batch for
+        # rows already materialized here (round 9; md5 count unchanged:
+        # only heuristic survivors get one)
         ann = annotate_gates(batch_df.select(id_col, text_col), text_col)
         if clf_weights is not None:
             from ..functions.prep import quality_margin_col
@@ -309,18 +313,24 @@ def make_curate_batch(spark: SparkSession, out_root: str,
             from ..functions.lm import lm_margin_col
 
             ann = lm_margin_col(ann, text_col, lm_w1_micros, lm_w2_micros)
-        ann = ann.withColumn("_hr", heur).localCheckpoint()
+        ann = (
+            ann.withColumn("_hr", heur)
+            .withColumn(
+                "fp",
+                F.when(F.col("_hr").isNull(),
+                       F.md5(normalized(F.col(text_col)))),
+            )
+            .withColumn("fb", _fb(F.col("fp"), n_fp_buckets))
+            .localCheckpoint()
+        )
         passed = ann.filter(F.col("_hr").isNull()).select(id_col, text_col)
         # 2. exact tier: fp store probe with the strictly-earlier rule
-        # (segment_stream pattern: fb-pruned scan, canon owner groupBy)
+        # (segment_stream pattern: fb-pruned scan, canon owner groupBy);
+        # a narrow projection of the checkpointed rows, not a new job
         fps = (
-            passed.select(
-                F.col(id_col).alias("doc"),
-                F.md5(normalized(F.col(text_col))).alias("fp"),
-            )
+            ann.filter(F.col("_hr").isNull())
+            .select(F.col(id_col).alias("doc"), "fp", "fb")
             .withColumn("batch_id", F.lit(bid))
-            .withColumn("fb", _fb(F.col("fp"), n_fp_buckets))
-            .localCheckpoint()  # feeds probe list, owner join, store write
         )
         touched = [r["fb"] for r in fps.select("fb").distinct().collect()]
         if has_parquet(paths["fps"]):
@@ -379,6 +389,9 @@ def make_curate_batch(spark: SparkSession, out_root: str,
         seg_drops = None
         seg_surv = exact_surv
         if max_dup_segment_frac is not None:
+            # a filter over the CHECKPOINTED stripped frame — each consumer
+            # (survivor anti-join, audit join) re-reads materialized rows,
+            # so its own checkpoint was one more per-batch job for nothing
             seg_drops = (
                 stripped.filter(
                     F.col("n_dropped")
@@ -386,17 +399,19 @@ def make_curate_batch(spark: SparkSession, out_root: str,
                     > max_dup_segment_frac
                 )
                 .select(F.col("doc_id").alias(id_col))
-                .localCheckpoint()
             )
             seg_surv = exact_surv.join(seg_drops, id_col, "left_anti")
         # 4. near tier: the real dedup_stream body (stores + cluster log);
         # this batch's flags are the batch-time near_dup evidence
         pb_near(seg_surv, bid)
+        # a batch_id-pruned read of the flag store just written — both
+        # consumers (the sem-input anti-join and the audit join) re-read
+        # the one tiny flag file; a checkpoint here was another per-batch
+        # job that cost more than the re-read it saved
         near_flagged = (
             read_flags(spark, paths["dedup"], id_type)
             .filter(F.col("batch_id") == bid)
             .select(F.col("doc").alias(id_col))
-            .localCheckpoint()  # feeds the sem-input anti-join AND audit
         )
         # 5. semantic tier (module doc #5): near survivors with embeddings
         sem_flagged = None
