@@ -164,7 +164,7 @@ def write_curated(spark: SparkSession, docs: DataFrame, out_root: str,
         return {"docs_in": 0, "kept": 0, "buckets_written": 0, "skipped": True}
     for frame, path in ((training, train_path), (audit, audit_path)):
         (
-            frame.repartition("bucket")
+            frame.repartition(n_buckets, "bucket")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")

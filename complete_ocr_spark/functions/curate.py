@@ -100,18 +100,40 @@ def empty_pred(text_col: str):
     )
 
 
+_GATE_COLS: dict[str, tuple] = {}
+
+
 def annotate_gates(df: DataFrame, text_col: str) -> DataFrame:
     """The cheap per-doc gate signals (module doc #1-5) as one narrow map —
     the single body behind batch curation and the incremental runner
-    (streaming.curate_stream), so both regimes measure identical values."""
+    (streaming.curate_stream), so both regimes measure identical values.
+
+    The six signal COLUMNS are memoized per text_col (round 9): Column
+    objects are immutable unresolved expression trees, so the same tuple
+    resolves against every frame, while rebuilding them (the modal-bigram
+    fold is ~40 py4j round-trips alone) cost ~0.3-0.5 s of driver time per
+    call — and batch curation, every incremental batch, and the product
+    job each call this. Expressions only, never data: every query still
+    computes from its inputs."""
+    cols = _GATE_COLS.get(text_col)
+    if cols is None:
+        c = F.col(text_col)
+        cols = (
+            lang_id(c), quality_score(c), token_count(c),
+            dup_line_fraction(c), top_bigram_fraction(c), symbol_ratio(c),
+        )
+        _GATE_COLS[text_col] = cols
     return (
-        df.withColumn("lang", lang_id(F.col(text_col)))
-        .withColumn("quality", quality_score(F.col(text_col)))
-        .withColumn("n_tokens", token_count(F.col(text_col)))
-        .withColumn("dup_line_frac", dup_line_fraction(F.col(text_col)))
-        .withColumn("top_bigram_frac", top_bigram_fraction(F.col(text_col)))
-        .withColumn("sym_ratio", symbol_ratio(F.col(text_col)))
+        df.withColumn("lang", cols[0])
+        .withColumn("quality", cols[1])
+        .withColumn("n_tokens", cols[2])
+        .withColumn("dup_line_frac", cols[3])
+        .withColumn("top_bigram_frac", cols[4])
+        .withColumn("sym_ratio", cols[5])
     )
+
+
+_HEUR_MEMO: dict[tuple, "F.Column"] = {}
 
 
 def heuristic_reason(text_col: str, languages: tuple[str, ...],
@@ -122,11 +144,20 @@ def heuristic_reason(text_col: str, languages: tuple[str, ...],
     evaluates over a frame produced by ``annotate_gates``. The dedup tiers'
     reasons chain onto this (Column.when) in arrival order; keeping the
     heuristic chain in one shared expression pins batch and incremental
-    curation to the same gate semantics by construction."""
+    curation to the same gate semantics by construction. Memoized per
+    parameter tuple (the annotate_gates rule — expressions, never data;
+    callers extending the chain with .when get a NEW Column, the shared
+    base is immutable)."""
+    key = ("reason", text_col, tuple(languages), min_quality,
+           max_dup_line_frac, max_top_bigram_frac, min_bigram_tokens,
+           max_symbol_ratio)
+    memo = _HEUR_MEMO.get(key)
+    if memo is not None:
+        return memo
     bigram_trips = (F.col("top_bigram_frac") > max_top_bigram_frac) & (
         F.col("n_tokens") >= min_bigram_tokens
     )
-    return (
+    out = (
         F.when(empty_pred(text_col), "empty")
         .when(~F.col("lang").isin(list(languages)), "lang")
         .when(F.col("quality") < min_quality, "quality")
@@ -134,6 +165,8 @@ def heuristic_reason(text_col: str, languages: tuple[str, ...],
         .when(bigram_trips, "bigram_repeat")
         .when(F.col("sym_ratio") > max_symbol_ratio, "symbol_ratio")
     )
+    _HEUR_MEMO[key] = out
+    return out
 
 
 def heuristic_pass(text_col: str, languages: tuple[str, ...],
@@ -147,11 +180,18 @@ def heuristic_pass(text_col: str, languages: tuple[str, ...],
     same-session at sf0.1), and batch curation's un-checkpointed ``passed``
     subtree is consumed by several downstream tiers, multiplying that.
     Streaming curation instead materializes the reason column once and
-    filters the materialized value — either path, one set of predicates."""
+    filters the materialized value — either path, one set of predicates.
+    Memoized like ``heuristic_reason``."""
+    key = ("pass", text_col, tuple(languages), min_quality,
+           max_dup_line_frac, max_top_bigram_frac, min_bigram_tokens,
+           max_symbol_ratio)
+    memo = _HEUR_MEMO.get(key)
+    if memo is not None:
+        return memo
     bigram_trips = (F.col("top_bigram_frac") > max_top_bigram_frac) & (
         F.col("n_tokens") >= min_bigram_tokens
     )
-    return (
+    out = (
         ~empty_pred(text_col)
         & F.col("lang").isin(list(languages))
         & (F.col("quality") >= min_quality)
@@ -159,6 +199,8 @@ def heuristic_pass(text_col: str, languages: tuple[str, ...],
         & ~bigram_trips
         & (F.col("sym_ratio") <= max_symbol_ratio)
     )
+    _HEUR_MEMO[key] = out
+    return out
 
 
 def curate_corpus(df: DataFrame, id_col: str, text_col: str,

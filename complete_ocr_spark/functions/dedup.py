@@ -669,10 +669,18 @@ def strip_dup_chunks(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+_STRIP_COLS: dict[str, "F.Column"] = {}
+
+
 def _strip_spans(df: DataFrame, id_col: str, text_col: str,
                  spans: DataFrame) -> DataFrame:
     """Shared strip body: remove token positions covered by any
-    (doc_id, span_start, span_end) row — see ``strip_dup_segments``."""
+    (doc_id, span_start, span_end) row — see ``strip_dup_segments``.
+
+    The lambda columns reference only the fixed internal names (_t,
+    _spans, _kept), so they are built once per process and reused (the
+    annotate_gates memo rule: immutable expression trees, never data) —
+    this body runs per curation call AND per incremental batch."""
     sp = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
@@ -680,25 +688,30 @@ def _strip_spans(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("doc_id"),
         F.split(normalized(F.col(text_col)), " ").alias("_t"),
     )
-    indexed = F.transform(
-        F.col("_t"), lambda x, i: F.struct(x.alias("tok"), i.alias("pos"))
-    )
-    in_any_span = lambda s: F.coalesce(  # noqa: E731
-        F.exists(
-            F.col("_spans"),
-            lambda sp_: (s["pos"] >= sp_["span_start"])
-            & (s["pos"] < sp_["span_end"]),
-        ),
-        F.lit(False),  # no spans detected for this doc -> keep everything
-    )
+    kept_col = _STRIP_COLS.get("kept")
+    if kept_col is None:
+        indexed = F.transform(
+            F.col("_t"), lambda x, i: F.struct(x.alias("tok"), i.alias("pos"))
+        )
+        in_any_span = lambda s: F.coalesce(  # noqa: E731
+            F.exists(
+                F.col("_spans"),
+                lambda sp_: (s["pos"] >= sp_["span_start"])
+                & (s["pos"] < sp_["span_end"]),
+            ),
+            F.lit(False),  # no spans for this doc -> keep everything
+        )
+        kept_col = F.filter(indexed, lambda s: ~in_any_span(s))
+        _STRIP_COLS["kept"] = kept_col
+        _STRIP_COLS["clean"] = F.concat_ws(
+            " ", F.transform("_kept", lambda s: s["tok"])
+        )
     return (
         base.join(sp, "doc_id", "left")
-        .withColumn("_kept", F.filter(indexed, lambda s: ~in_any_span(s)))
+        .withColumn("_kept", kept_col)
         .select(
             "doc_id",
-            F.concat_ws(
-                " ", F.transform("_kept", lambda s: s["tok"])
-            ).alias("text_clean"),
+            _STRIP_COLS["clean"].alias("text_clean"),
             F.size("_kept").cast("bigint").alias("n_kept"),
             (F.size("_t") - F.size("_kept")).cast("bigint").alias("n_dropped"),
         )

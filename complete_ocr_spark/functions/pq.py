@@ -300,7 +300,7 @@ def write_ivf_pq_index(df: DataFrame, id_col: str, vec_col: str,
     vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     (
         enc.join(vecs, "vec_id")
-        .repartition("cell")
+        .repartition(len(cents), "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

@@ -311,7 +311,7 @@ def build_term_index(docs: DataFrame, id_col: str, text_col: str,
     )
     (
         doc_term_pairs(docs, id_col, text_col, n_buckets)
-        .repartition("tb")
+        .repartition(n_buckets, "tb")
         .write.partitionBy("tb").mode("overwrite")
         .parquet(f"{path}/postings")
     )

@@ -278,7 +278,7 @@ def write_ivf_index(df: DataFrame, id_col: str, vec_col: str,
     ``ann_ivf_topk`` docstring promises). One pass, one hash write."""
     (
         ivf_assign_cells(df, id_col, vec_col, cents)
-        .repartition("cell")
+        .repartition(len(cents), "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

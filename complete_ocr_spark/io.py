@@ -158,7 +158,7 @@ class TableIO:
         """
         out = with_bucket(docs_out, self.n_buckets)
         (
-            out.repartition("bucket")
+            out.repartition(self.n_buckets, "bucket")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")  # per-write: robust
             .partitionBy("bucket")                        # under cloned sessions

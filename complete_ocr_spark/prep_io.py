@@ -359,7 +359,7 @@ def write_training_data(
     def _writer(frame, path):
         def _w():
             (
-                frame.repartition("bucket")
+                frame.repartition(n_buckets, "bucket")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")

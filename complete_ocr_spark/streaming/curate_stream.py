@@ -361,7 +361,7 @@ def make_curate_batch(spark: SparkSession, out_root: str,
 
         def _write_fps():
             (
-                fps.repartition("fb")
+                fps.repartition(n_fp_buckets, "fb")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id", "fb")
@@ -544,7 +544,7 @@ def make_curate_batch(spark: SparkSession, out_root: str,
         def _write_audit():
             (
                 audit.withColumn("batch_id", F.lit(bid))
-                .repartition("bucket")
+                .repartition(n_buckets, "bucket")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id", "bucket")
@@ -575,7 +575,7 @@ def make_curate_batch(spark: SparkSession, out_root: str,
             if has_training:
                 (
                     training.withColumn("batch_id", F.lit(bid))
-                    .repartition("bucket")
+                    .repartition(n_buckets, "bucket")
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("batch_id", "bucket")

@@ -455,9 +455,12 @@ def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
         # FIRST ARRIVAL WINS: the re-crawled doc keeps its original
         # assignment row — a second row would double-count n_members and fan
         # out the compaction join. Its e3/match edges did the merging above.
+        # (No checkpoint: asg_new is this frame's only consumer, so the
+        # anti-join runs exactly once either way — round 9's per-batch
+        # job-count rule.)
         batch_docs = batch_docs.join(
             prior_roots.select("doc"), "doc", "left_anti"
-        ).localCheckpoint()
+        )
     cc = connected_components(edges).localCheckpoint()
     asg_new = (
         batch_docs.join(cc.select("doc", "cluster"), "doc", "left")
@@ -467,7 +470,7 @@ def _update_clusters(spark: SparkSession, out_root: str, batch_docs: DataFrame,
     )
     def _write_asg():
         (
-            asg_new.repartition("db")
+            asg_new.repartition(n_doc_buckets, "db")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "db")
@@ -651,7 +654,7 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
             "vb", F.pmod(F.col("value"), F.lit(n_value_buckets)).cast("int")
         )
         (
-            rebuilt.repartition("vb")
+            rebuilt.repartition(n_value_buckets, "vb")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "vb")
@@ -744,7 +747,7 @@ def make_dedup_batch(spark: SparkSession, out_root: str,
                 .parquet(sig_path)
             ),
             lambda: (
-                new_bands.repartition("vb")
+                new_bands.repartition(n_value_buckets, "vb")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id", "vb")
@@ -911,7 +914,7 @@ def make_minhash_dedup_batch(spark: SparkSession, out_root: str,
             )
         )
         (
-            new_bands.repartition("vb")
+            new_bands.repartition(n_value_buckets, "vb")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "vb")

@@ -118,7 +118,7 @@ def make_index_batch(spark: SparkSession, out_root: str,
         ).localCheckpoint()  # feeds the stats agg AND the store write
         (
             pairs.withColumn("batch_id", F.lit(bid))
-            .repartition("tb")
+            .repartition(n_buckets, "tb")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "tb")

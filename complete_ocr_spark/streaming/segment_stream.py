@@ -219,7 +219,7 @@ def make_segment_dedup_batch(spark: SparkSession, out_root: str,
             (
                 fps.select("doc_id", "ws", "we", "fp", "batch_id", "fb")
                 .withColumnRenamed("doc_id", "doc")
-                .repartition("fb")
+                .repartition(n_fp_buckets, "fb")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id", "fb")

@@ -177,7 +177,7 @@ def make_semantic_dedup_batch(spark: SparkSession, out_root: str,
         )
         flags = matches.select("doc").distinct()
         (
-            keys.repartition("vb")
+            keys.repartition(n_value_buckets, "vb")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "vb")
@@ -187,7 +187,7 @@ def make_semantic_dedup_batch(spark: SparkSession, out_root: str,
             batch.withColumn("batch_id", F.lit(bid))
             .withColumn("db", F.pmod(F.xxhash64("doc"),
                                      F.lit(n_doc_buckets)).cast("int"))
-            .repartition("db")
+            .repartition(n_doc_buckets, "db")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "db")

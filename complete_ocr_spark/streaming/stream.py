@@ -59,7 +59,7 @@ def make_process_batch(spark: SparkSession, out_root: str, n_buckets: int):
         # static overwrite (wiping prior batches)
         (
             out.withColumn("batch_id", F.lit(int(batch_id)))
-            .repartition("bucket")
+            .repartition(n_buckets, "bucket")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket", "batch_id")
